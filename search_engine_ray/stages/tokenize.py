@@ -1,0 +1,150 @@
+"""Vectorized tokenize + per-doc term-frequency counting (map-side combine).
+
+This is the Ray Data restatement of the reference's parser threads
+(``/root/reference/KaggleFinanceSourceEngine.cpp:252-267``): tokenize the body
+text and pre-aggregate ``{term → tf}`` per document INSIDE the batch, so the
+downstream ``groupby`` shuffle moves one row per distinct ``(doc, term)``
+instead of one row per token — the classic partial/final aggregate split
+(reference analogue: per-doc ``word_map`` at ``.cpp:263-264``).
+
+All kernels are pyarrow.compute / numpy over zero-copy Arrow batches; the
+only per-element Python runs over the batch's *unique vocabulary* (dictionary
+values) for Porter stemming, which has no vectorized kernel.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..functions.analyze import TOKEN_SPLIT_PATTERN, porter_stem
+from ..functions.hashing import fnv1a64_array
+
+
+def split_and_normalize(texts: pa.Array | pa.ChunkedArray,
+                        *, stopwords: frozenset[str] | None = None,
+                        stem: bool = False) -> tuple[np.ndarray, pa.Array]:
+    """Tokenize a string column → ``(row_indices, terms)``.
+
+    ``row_indices[i]`` is the batch row that produced ``terms[i]``.  Semantics
+    match ``functions.analyze.tokenize`` exactly (property-tested).
+    """
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    texts = pc.fill_null(texts, "")
+    splits = pc.split_pattern_regex(texts, pattern=TOKEN_SPLIT_PATTERN)
+    counts = pc.list_value_length(splits).to_numpy(zero_copy_only=False)
+    row_idx = np.repeat(np.arange(len(texts), dtype=np.int64), counts)
+    flat = pc.list_flatten(splits)
+
+    # Reject empty fragments and any token containing a non-ASCII codepoint
+    # (reference CleanValue, .cpp:142-144), THEN strip apostrophes + lowercase.
+    keep = pc.and_(pc.not_equal(flat, ""),
+                   pc.invert(pc.match_substring_regex(flat, "[^\\x00-\\x7F]")))
+    keep_np = keep.to_numpy(zero_copy_only=False)
+    flat = flat.filter(keep)
+    row_idx = row_idx[keep_np]
+    terms = pc.ascii_lower(pc.replace_substring(flat, "'", ""))
+    keep2 = pc.not_equal(terms, "")
+    keep2_np = keep2.to_numpy(zero_copy_only=False)
+    terms = terms.filter(keep2)
+    row_idx = row_idx[keep2_np]
+
+    if stopwords:
+        drop = pc.is_in(terms, value_set=pa.array(sorted(stopwords)))
+        keep3 = pc.invert(drop)
+        keep3_np = keep3.to_numpy(zero_copy_only=False)
+        terms = terms.filter(keep3)
+        row_idx = row_idx[keep3_np]
+
+    if stem:
+        dic = pc.dictionary_encode(terms)
+        vocab = dic.dictionary.to_pylist()
+        stemmed = pa.array([porter_stem(t) for t in vocab], type=pa.string())
+        terms = stemmed.take(dic.indices)
+
+    return row_idx, terms
+
+
+def count_tf(row_idx: np.ndarray, terms: pa.Array,
+             doc_ids: np.ndarray) -> pa.Table:
+    """Per-(doc, term) frequency within the batch → ``(term, doc_id, tf)``."""
+    if len(terms) == 0:
+        return pa.table({"term": pa.array([], type=pa.string()),
+                         "doc_id": pa.array([], type=pa.int64()),
+                         "tf": pa.array([], type=pa.int32())})
+    tok = pa.table({"term": terms,
+                    "doc_id": pa.array(doc_ids[row_idx], type=pa.int64())})
+    agg = tok.group_by(["term", "doc_id"]).aggregate([([], "count_all")])
+    return pa.table({"term": agg["term"],
+                     "doc_id": agg["doc_id"],
+                     "tf": agg["count_all"].cast(pa.int32())})
+
+
+class TokenizePostings:
+    """``map_batches`` callable: documents batch → ``(term, doc_id, tf, bucket)``.
+
+    Stateless w.r.t. data but holds compiled configuration; used as an actor
+    pool so stopword sets / config are built once per actor (north-rule ST5).
+    """
+
+    def __init__(self, *, text_col: str = "text", id_col: str = "doc_id",
+                 stopwords: frozenset[str] | None = None, stem: bool = False,
+                 n_buckets: int = 32):
+        self.text_col = text_col
+        self.id_col = id_col
+        self.stopwords = stopwords
+        self.stem = stem
+        self.n_buckets = n_buckets
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        doc_ids = batch[self.id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        row_idx, terms = split_and_normalize(
+            batch[self.text_col], stopwords=self.stopwords, stem=self.stem)
+        if len(terms) == 0:
+            return pa.table({"term": pa.array([], type=pa.string()),
+                             "doc_id": pa.array([], type=pa.int64()),
+                             "tf": pa.array([], type=pa.int32()),
+                             "doc_len": pa.array([], type=pa.int32()),
+                             "bucket": pa.array([], type=pa.int32())})
+        doc_len = np.bincount(row_idx, minlength=batch.num_rows)
+        tok = pa.table({"term": terms,
+                        "row": pa.array(row_idx, type=pa.int64())})
+        agg = tok.group_by(["term", "row"]).aggregate([([], "count_all")])
+        rows = agg["row"].to_numpy(zero_copy_only=False)
+        term_col = agg["term"].combine_chunks() if isinstance(agg["term"], pa.ChunkedArray) \
+            else agg["term"]
+        bucket = (fnv1a64_array(term_col) % np.uint64(self.n_buckets)).astype(np.int32)
+        return pa.table({
+            "term": term_col,
+            "doc_id": pa.array(doc_ids[rows], type=pa.int64()),
+            "tf": agg["count_all"].cast(pa.int32()),
+            "doc_len": pa.array(doc_len[rows], type=pa.int32()),
+            "bucket": pa.array(bucket, type=pa.int32()),
+        })
+
+
+class DocStats:
+    """``map_batches`` callable: documents batch → ``(doc_id, doc_len)`` plus
+    pass-through metadata columns — the docstore / BM25-norms side table
+    (reference ``id_map``, ``/root/reference/SourceEngine.h:22``)."""
+
+    def __init__(self, *, text_col: str = "text", id_col: str = "doc_id",
+                 keep_cols: tuple[str, ...] = (),
+                 stopwords: frozenset[str] | None = None, stem: bool = False):
+        self.text_col = text_col
+        self.id_col = id_col
+        self.keep_cols = keep_cols
+        self.stopwords = stopwords
+        self.stem = stem
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        row_idx, _terms = split_and_normalize(
+            batch[self.text_col], stopwords=self.stopwords, stem=self.stem)
+        doc_len = np.bincount(row_idx, minlength=batch.num_rows).astype(np.int32)
+        cols = {"doc_id": batch[self.id_col].cast(pa.int64()),
+                "doc_len": pa.array(doc_len, type=pa.int32())}
+        for c in self.keep_cols:
+            cols[c] = batch[c]
+        return pa.table(cols)

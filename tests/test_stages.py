@@ -1,0 +1,94 @@
+"""Vectorized Arrow stages vs the pure-Python reference implementations."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from search_engine_ray.functions.analyze import fnv1a64, tokenize
+from search_engine_ray.functions.hashing import doc_ids_from_urls, fnv1a64_array
+from search_engine_ray.stages.postings import (
+    decode_posting,
+    encode_postings_table,
+)
+from search_engine_ray.stages.tokenize import TokenizePostings, split_and_normalize
+
+
+@given(st.lists(st.text(max_size=80), max_size=30))
+@settings(max_examples=150, deadline=None)
+def test_split_and_normalize_matches_python(texts):
+    row_idx, terms = split_and_normalize(pa.array(texts, type=pa.string()))
+    got = {}
+    for i, t in zip(row_idx, terms.to_pylist()):
+        got.setdefault(int(i), []).append(t)
+    for i, tx in enumerate(texts):
+        assert got.get(i, []) == tokenize(tx)
+
+
+@given(st.lists(st.text(max_size=60), max_size=50))
+@settings(max_examples=150, deadline=None)
+def test_fnv_vectorized_matches_scalar(strings):
+    got = fnv1a64_array(pa.array(strings, type=pa.string()))
+    want = np.array([fnv1a64(s.encode("utf-8")) for s in strings],
+                    dtype=np.uint64)
+    assert np.array_equal(got, want)
+
+
+def test_doc_ids_nonnegative():
+    ids = doc_ids_from_urls(pa.array(["https://a/1", "https://a/2"]))
+    assert (ids >= 0).all()
+    assert ids.dtype == np.int64
+
+
+def test_tokenize_postings_stage():
+    batch = pa.table({
+        "doc_id": pa.array([7, 8], type=pa.int64()),
+        "text": pa.array(["red red blue", "blue green"]),
+    })
+    out = TokenizePostings(n_buckets=4)(batch)
+    rows = {(r["term"], r["doc_id"]): (r["tf"], r["doc_len"])
+            for r in out.to_pylist()}
+    assert rows == {("red", 7): (2, 3), ("blue", 7): (1, 3),
+                    ("blue", 8): (1, 2), ("green", 8): (1, 2)}
+    for r in out.to_pylist():
+        assert r["bucket"] == fnv1a64(r["term"].encode()) % 4
+
+
+def test_encode_decode_postings_roundtrip():
+    rng = np.random.default_rng(42)
+    n_terms, rows = 50, []
+    for t in range(n_terms):
+        docs = np.unique(rng.integers(0, 10_000, rng.integers(1, 40)))
+        for d in docs:
+            rows.append(("term%03d" % t, int(d), int(rng.integers(1, 9)),
+                         int(rng.integers(5, 500))))
+    rng.shuffle(rows)
+    group = pa.table({
+        "term": [r[0] for r in rows],
+        "doc_id": pa.array([r[1] for r in rows], type=pa.int64()),
+        "tf": pa.array([r[2] for r in rows], type=pa.int32()),
+        "doc_len": pa.array([r[3] for r in rows], type=pa.int32()),
+    })
+    seg = encode_postings_table(group)
+    assert seg.num_rows == n_terms
+    want = {}
+    for term, d, tf, dl in rows:
+        want.setdefault(term, []).append((d, tf, dl))
+    for row in seg.to_pylist():
+        ids, tfs, dls = decode_posting(row)
+        expect = sorted(want[row["term"]])
+        assert list(ids) == [e[0] for e in expect]
+        assert list(tfs) == [e[1] for e in expect]
+        assert list(dls) == [e[2] for e in expect]
+        assert row["df"] == len(expect)
+        assert row["total_tf"] == sum(e[1] for e in expect)
+        assert row["max_tf"] == max(e[1] for e in expect)
+
+
+def test_encode_empty_group():
+    group = pa.table({"term": pa.array([], type=pa.string()),
+                      "doc_id": pa.array([], type=pa.int64()),
+                      "tf": pa.array([], type=pa.int32()),
+                      "doc_len": pa.array([], type=pa.int32())})
+    assert encode_postings_table(group).num_rows == 0
