@@ -1,0 +1,178 @@
+#!/usr/bin/env python
+"""Benchmark harness: headline pipelines over $GRAFT_SF_DIR.
+
+Prints ONE JSON line:
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...},
+     "sf": ..., "num_cpus": N}
+
+``--scaling`` runs the flagship index build twice in fresh processes
+(num_cpus=8 and num_cpus=32) on the same pages corpus and reports both
+throughputs plus scaling efficiency ``(T8/T32)/4`` (the sandbox stand-in for
+the north rule's N vs 4N cluster sizes).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+BENCH_PAGES_DIR = "/tmp/serx_bench_pages_100k"
+BENCH_PAGES_N = 100_000
+
+
+def _init(num_cpus: int) -> None:
+    import ray
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=num_cpus, include_dashboard=False,
+                 logging_level="ERROR")
+    from ray.data import DataContext
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+
+
+def _pages_corpus() -> str:
+    from search_engine_ray.sources.pages import synthesize_pages
+    return synthesize_pages(BENCH_PAGES_N, BENCH_PAGES_DIR)
+
+
+def _pages_factory(pages_dir: str):
+    import ray.data
+    from search_engine_ray.stages.extract import ExtractText
+
+    def factory():
+        return (ray.data.read_parquet(pages_dir, columns=["url", "html", "lang"])
+                .map_batches(ExtractText(), batch_format="pyarrow"))
+    return factory
+
+
+def bench_index_build(pages_dir: str, idx_dir: str) -> dict:
+    """Flagship: pages → extract → tokenize → postings segments (fresh)."""
+    from search_engine_ray.pipelines.build import build_index
+    from search_engine_ray.state.checkpoint import IndexConfig
+    shutil.rmtree(idx_dir, ignore_errors=True)
+    t0 = time.time()
+    build_index(_pages_factory(pages_dir), idx_dir,
+                IndexConfig(n_buckets=64), keep_cols=("url",))
+    dt = time.time() - t0
+    return {"sec": dt, "docs_per_sec": BENCH_PAGES_N / dt}
+
+
+def bench_query_latency(idx_dir: str, n_queries: int = 60) -> dict:
+    import numpy as np
+    from search_engine_ray.pipelines.query import QueryEngine
+    qe = QueryEngine(idx_dir, num_searchers=4, use_actors=True)
+    terms = ["market stock price", "german income funds", "euro bank rate",
+             "growth shares investors", "trading index economy",
+             "w00001 w00002", "federal report analyst", "billion percent"]
+    lat = []
+    qe.query(terms[0], k=10)  # warm the actor pool
+    for i in range(n_queries):
+        t0 = time.time()
+        qe.query(terms[i % len(terms)], k=10)
+        lat.append(time.time() - t0)
+    lat = np.asarray(lat)
+    return {"p50": float(np.percentile(lat, 50)),
+            "p95": float(np.percentile(lat, 95))}
+
+
+def main() -> None:
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    _init(NUM_CPUS)
+    from search_engine_ray.pipelines import queries as Q
+
+    pages_dir = _pages_corpus()
+    out: dict[str, float] = {}
+
+    t0 = time.time()
+    build = bench_index_build(pages_dir, "/tmp/serx_bench_idx")
+    out["index_build"] = round(build["sec"], 3)
+
+    lat = bench_query_latency("/tmp/serx_bench_idx")
+    out["bm25_p50"] = round(lat["p50"], 4)
+    out["bm25_p95"] = round(lat["p95"], 4)
+
+    def timed(name, fn):
+        t = time.time()
+        res = fn(SF_DIR)
+        # drive lazy datasets to completion
+        import ray.data
+        if isinstance(res, ray.data.Dataset):
+            res.count()
+        out[name] = round(time.time() - t, 3)
+
+    timed("term_df", Q.q_term_df)
+    timed("top_terms", Q.q_top_terms)
+    timed("dedup_exact", Q.q_dedup_exact)
+    timed("minhash_neardup", Q.q_minhash_neardup)
+    timed("knn_topk", Q.q_knn_topk)
+    timed("lineitem_pricing", Q.q_lineitem_pricing)
+    timed("quality_scores", Q.q_quality_scores)
+
+    total = round(time.time() - t0, 3)
+    print(json.dumps({
+        "metric": "headline pipelines wall time (index build on 100k-page synthetic corpus + BM25 latency + testdata queries)",
+        "value": total,
+        "unit": "sec",
+        "queries": out,
+        "docs_per_sec_index_build": round(build["docs_per_sec"], 1),
+        "sf": SF_DIR,
+        "num_cpus": NUM_CPUS,
+    }))
+    import ray
+    ray.shutdown()
+
+
+def scaling_child(num_cpus: int) -> None:
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    _init(num_cpus)
+    pages_dir = _pages_corpus()
+    res = bench_index_build(pages_dir, f"/tmp/serx_scaling_idx_{num_cpus}")
+    print(json.dumps(res))
+    import ray
+    ray.shutdown()
+
+
+def scaling_main() -> None:
+    # corpus must pre-exist so child runs measure only the build
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    _init(NUM_CPUS)
+    _pages_corpus()
+    import ray
+    ray.shutdown()
+
+    results = {}
+    for n in (8, 32):
+        env = dict(os.environ)
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--scaling-child", str(n)],
+            capture_output=True, text=True, env=env, timeout=3600)
+        line = [l for l in proc.stdout.strip().splitlines() if l.startswith("{")][-1]
+        results[n] = json.loads(line)
+    t8, t32 = results[8]["sec"], results[32]["sec"]
+    eff = (t8 / t32) / 4.0
+    print(json.dumps({
+        "metric": "index-build throughput scaling, num_cpus=8 vs 32 (N vs 4N)",
+        "unit": "docs/sec",
+        "n_docs": BENCH_PAGES_N,
+        "cpus8": {"sec": round(t8, 2),
+                  "docs_per_sec": round(results[8]["docs_per_sec"], 1)},
+        "cpus32": {"sec": round(t32, 2),
+                   "docs_per_sec": round(results[32]["docs_per_sec"], 1)},
+        "speedup_8_to_32": round(t8 / t32, 3),
+        "scaling_efficiency": round(eff, 3),
+    }))
+
+
+if __name__ == "__main__":
+    if "--scaling-child" in sys.argv:
+        scaling_child(int(sys.argv[sys.argv.index("--scaling-child") + 1]))
+    elif "--scaling" in sys.argv:
+        scaling_main()
+    else:
+        main()

@@ -1,0 +1,561 @@
+"""Driver-contract query catalog: Ray pipelines + colocated DuckDB oracles.
+
+Each entry implements one operator from SURVEY.md §2 (or a north-rule /
+training-data extension) as a Ray Data pipeline over the shared testdata
+tables, with — where SQL-expressible — an ANSI-SQL oracle string DuckDB runs
+on the same parquet files.  Column names are identical on both sides (the
+driver's compare is schema- and value-hash-based).
+
+Scale idioms used throughout (these run at sf0.01 for correctness but are
+shaped for 100 TB):
+
+- every read is column-pruned (``read_parquet(columns=[...])``);
+- tokenize emits pre-aggregated ``(term, doc_id, tf)`` rows (map-side
+  combine) before any ``groupby``;
+- small sides (query-term lists, df maps, query vectors) are captured in
+  the UDF / actor ``__init__``, never shuffled;
+- results returned as (lazy) Datasets; only provably-small results are
+  collected.
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data
+from ray.data.aggregate import Count, Max, Mean, Min, Sum
+
+from ..functions.analyze import sql_tokenize_cte, tokenize
+from ..stages.dedup import (MinHashLSH, SimHash, candidate_pairs_from_group,
+                            exact_jaccard, hamming64)
+from ..stages.similarity import CosineScorer, merge_topk
+from ..stages.textstats import Fingerprint, LangId, QualityStats
+from ..stages.tokenize import DocStats, TokenizePostings
+
+# Fixed flagship query over the testdata vocabulary (TESTDATA documents
+# tables share a small synthetic vocabulary: scan/merge/window/sort/...).
+FLAGSHIP_QUERY = "scan merge window fast"
+
+BM25_K1, BM25_B = 1.2, 0.75
+
+
+def _docs(sf_dir: str, columns: list[str]) -> "ray.data.Dataset":
+    return ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                                 columns=columns)
+
+
+def _postings(sf_dir: str) -> "ray.data.Dataset":
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        TokenizePostings(), batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# SQL-checked queries
+# ---------------------------------------------------------------------------
+
+def q_term_df(sf_dir: str):
+    """Per-term document frequency + collection frequency (SURVEY §2.5 A2/A5)."""
+    return (_postings(sf_dir)
+            .groupby("term").aggregate(Count(), Sum("tf"))
+            .rename_columns({"count()": "df", "sum(tf)": "total_tf"}))
+
+
+SQL_TERM_DF = f"""
+WITH toks AS ({sql_tokenize_cte()}),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2)
+SELECT term, count(*) AS df, sum(tf) AS total_tf FROM tf GROUP BY term
+"""
+
+
+def q_doc_lengths(sf_dir: str):
+    """Per-doc token count (BM25 norms side table, SURVEY §2.3 ST2)."""
+    ds = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        DocStats(), batch_format="pyarrow")
+    return ds.filter(expr="doc_len > 0")
+
+
+SQL_DOC_LENGTHS = f"""
+WITH toks AS ({sql_tokenize_cte()})
+SELECT doc_id, count(*) AS doc_len FROM toks GROUP BY doc_id
+"""
+
+
+def q_top_terms(sf_dir: str, k: int = 50):
+    """Top-k frequent terms, deterministic (total_tf desc, term asc)."""
+    agg = (_postings(sf_dir).groupby("term").aggregate(Sum("tf"))
+           .rename_columns({"sum(tf)": "total_tf"}))
+    return agg.sort(["total_tf", "term"], descending=[True, False]).limit(k)
+
+
+SQL_TOP_TERMS = f"""
+WITH toks AS ({sql_tokenize_cte()})
+SELECT term, count(*) AS total_tf FROM toks GROUP BY term
+ORDER BY total_tf DESC, term ASC LIMIT 50
+"""
+
+
+def q_lang_counts(sf_dir: str):
+    return (_docs(sf_dir, ["lang"]).groupby("lang").aggregate(Count())
+            .rename_columns({"count()": "n_docs"}))
+
+
+SQL_LANG_COUNTS = "SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang"
+
+
+def q_source_doc_counts(sf_dir: str):
+    return (_docs(sf_dir, ["source"]).groupby("source").aggregate(Count())
+            .rename_columns({"count()": "n_docs"}))
+
+
+SQL_SOURCE_DOC_COUNTS = (
+    "SELECT source, count(*) AS n_docs FROM documents GROUP BY source")
+
+
+def q_metadata_index(sf_dir: str):
+    """Reference metadata set-indexes (SURVEY §2.5 A3): distinct-doc counts
+    per (field, value) for each metadata field, as one union dataset."""
+    parts = []
+    for fld in ("lang", "source"):
+        ds = (_docs(sf_dir, [fld]).groupby(fld).aggregate(Count())
+              .rename_columns({"count()": "df", fld: "value"})
+              .map_batches(functools.partial(_add_const_col, name="field",
+                                             value=fld),
+                           batch_format="pyarrow"))
+        parts.append(ds)
+    return parts[0].union(*parts[1:]).select_columns(["field", "value", "df"])
+
+
+def _add_const_col(t: pa.Table, *, name: str, value: str) -> pa.Table:
+    return t.append_column(name, pa.array([value] * t.num_rows, type=pa.string()))
+
+
+SQL_METADATA_INDEX = """
+SELECT 'lang' AS field, lang AS value, count(*) AS df FROM documents GROUP BY lang
+UNION ALL
+SELECT 'source' AS field, source AS value, count(*) AS df FROM documents GROUP BY source
+"""
+
+
+def q_dedup_exact(sf_dir: str):
+    """Exact dedup (hash-partition + per-group keeper): one row per distinct
+    text with the minimum docID as keeper."""
+    return (_docs(sf_dir, ["doc_id", "text"])
+            .groupby("text").aggregate(Min("doc_id"), Count())
+            .rename_columns({"min(doc_id)": "keeper_doc_id",
+                             "count()": "n_copies"})
+            .select_columns(["keeper_doc_id", "n_copies"]))
+
+
+SQL_DEDUP_EXACT = """
+SELECT min(doc_id) AS keeper_doc_id, count(*) AS n_copies
+FROM documents GROUP BY text
+"""
+
+
+def q_quality_scores(sf_dir: str):
+    """Quality scoring: token count, mean normalized-token length, digit
+    ratio (training-data text-quality operator)."""
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        QualityStats(), batch_format="pyarrow")
+
+
+SQL_QUALITY_SCORES = f"""
+WITH toks AS ({sql_tokenize_cte()})
+SELECT t.doc_id,
+       count(*) AS n_tokens,
+       round(avg(length(t.term)), 6) AS mean_token_len,
+       round((length(d.text) - length(regexp_replace(d.text, '[0-9]', '', 'g')))
+             * 1.0 / greatest(length(d.text), 1), 6) AS digit_ratio
+FROM toks t JOIN documents d USING (doc_id)
+GROUP BY t.doc_id, d.text
+"""
+
+
+def q_bm25_scores(sf_dir: str):
+    """BM25 scores for the flagship query over ALL matching docs, computed as
+    a dataflow: tokenize → broadcast-filter to query terms → per-row
+    contribution with a broadcast df map → groupby(doc_id) sum."""
+    qterms = sorted(set(tokenize(FLAGSHIP_QUERY)))
+    docs = _docs(sf_dir, ["doc_id", "text"])
+    n_docs = docs.count()
+    lens = docs.map_batches(DocStats(), batch_format="pyarrow")
+    total_tokens = lens.sum("doc_len") or 0
+    avgdl = (total_tokens / n_docs) if n_docs else 1.0
+
+    qset = pa.array(qterms, type=pa.string())
+    matched = _postings(sf_dir).map_batches(
+        lambda t: t.filter(pc.is_in(t["term"], value_set=qset)),
+        batch_format="pyarrow")
+    df_tbl = (matched.groupby("term").aggregate(Count())
+              .rename_columns({"count()": "df"}))
+    df_map = {r["term"]: r["df"] for r in df_tbl.take_all()}   # ≤ |qterms| rows
+
+    def contrib(t: pa.Table) -> pa.Table:
+        tf = t["tf"].to_numpy(zero_copy_only=False).astype(np.float64)
+        dl = t["doc_len"].to_numpy(zero_copy_only=False).astype(np.float64)
+        df = np.asarray([df_map[x] for x in t["term"].to_pylist()], dtype=np.float64)
+        idf = np.log((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+        score = idf * tf * (BM25_K1 + 1.0) / (
+            tf + BM25_K1 * (1.0 - BM25_B + BM25_B * dl / avgdl))
+        return pa.table({"doc_id": t["doc_id"].cast(pa.int64()),
+                         "contrib": pa.array(score, type=pa.float64())})
+
+    scored = (matched.map_batches(contrib, batch_format="pyarrow")
+              .groupby("doc_id").aggregate(Sum("contrib"))
+              .rename_columns({"sum(contrib)": "score"}))
+    return scored.map_batches(
+        lambda t: t.set_column(t.schema.get_field_index("score"), "score",
+                               pc.round(t["score"], 6)),
+        batch_format="pyarrow")
+
+
+def _sql_bm25_scores() -> str:
+    qterms = sorted(set(tokenize(FLAGSHIP_QUERY)))
+    terms_sql = ", ".join(f"'{t}'" for t in qterms)
+    return f"""
+WITH toks AS ({sql_tokenize_cte()}),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*) AS doc_len FROM toks GROUP BY 1),
+stats AS (SELECT (SELECT count(*) FROM documents) AS n,
+                 (SELECT count(*) FROM toks) * 1.0
+                    / (SELECT count(*) FROM documents) AS avgdl),
+qtf AS (SELECT * FROM tf WHERE term IN ({terms_sql})),
+df AS (SELECT term, count(*) AS df FROM qtf GROUP BY term)
+SELECT q.doc_id,
+       round(sum( ln((s.n - f.df + 0.5) / (f.df + 0.5) + 1.0)
+                  * q.tf * ({BM25_K1} + 1.0)
+                  / (q.tf + {BM25_K1} * (1.0 - {BM25_B}
+                                         + {BM25_B} * d.doc_len / s.avgdl)) ), 6)
+         AS score
+FROM qtf q
+JOIN df f USING (term) JOIN dl d USING (doc_id) CROSS JOIN stats s
+GROUP BY q.doc_id
+"""
+
+
+def q_cosine_scores(sf_dir: str):
+    """Cosine similarity of every embedding vs the vec_id=0 vector
+    (brute-force similarity baseline; float64, rounded)."""
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    import pyarrow.parquet as pq
+    qvec = None
+    for b in pq.ParquetFile(path).iter_batches(batch_size=256,
+                                               columns=["vec_id", "embedding"]):
+        m = pc.equal(b["vec_id"], 0)
+        if pc.any(m).as_py():
+            qvec = np.asarray(b.filter(m)["embedding"][0].as_py(), dtype=np.float64)
+            break
+    assert qvec is not None
+    qn = qvec / np.linalg.norm(qvec)
+
+    def score(t: pa.Table) -> pa.Table:
+        from ..stages.similarity import _vectors_from_batch
+        v = _vectors_from_batch(t, "embedding")
+        vn = v / np.maximum(np.linalg.norm(v, axis=1, keepdims=True), 1e-30)
+        return pa.table({"vec_id": t["vec_id"].cast(pa.int64()),
+                         "cos_sim": pa.array(np.round(vn @ qn, 6))})
+
+    return ray.data.read_parquet(path, columns=["vec_id", "embedding"]) \
+        .map_batches(score, batch_format="pyarrow")
+
+
+SQL_COSINE_SCORES = """
+SELECT e.vec_id,
+       round(list_cosine_similarity(e.embedding::DOUBLE[],
+             (SELECT embedding::DOUBLE[] FROM embeddings WHERE vec_id = 0)), 6)
+         AS cos_sim
+FROM embeddings e
+"""
+
+
+def q_event_type_stats(sf_dir: str):
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                               columns=["event_type", "value"])
+    return (ds.groupby("event_type").aggregate(Count(), Sum("value"))
+            .rename_columns({"count()": "n_events", "sum(value)": "total_value"})
+            .map_batches(functools.partial(_round_col, col="total_value"),
+                         batch_format="pyarrow"))
+
+
+def _round_col(t: pa.Table, *, col: str) -> pa.Table:
+    return t.set_column(t.schema.get_field_index(col), col, pc.round(t[col], 6))
+
+
+SQL_EVENT_TYPE_STATS = """
+SELECT event_type, count(*) AS n_events, round(sum(value), 6) AS total_value
+FROM events GROUP BY event_type
+"""
+
+
+def q_user_activity(sf_dir: str):
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                               columns=["user_id", "value", "ts"])
+    return (ds.groupby("user_id").aggregate(Count(), Sum("value"), Max("ts"))
+            .rename_columns({"count()": "n_events", "sum(value)": "total_value",
+                             "max(ts)": "last_ts"})
+            .map_batches(functools.partial(_round_col, col="total_value"),
+                         batch_format="pyarrow"))
+
+
+SQL_USER_ACTIVITY = """
+SELECT user_id, count(*) AS n_events, round(sum(value), 6) AS total_value,
+       max(ts) AS last_ts
+FROM events GROUP BY user_id
+"""
+
+
+def q_lineitem_pricing(sf_dir: str):
+    """TPC-H-Q1-style grouped multi-aggregate (generic relational showcase:
+    map-side combine happens inside Ray's hash aggregate)."""
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_returnflag", "l_linestatus", "l_quantity",
+                 "l_extendedprice", "l_discount"])
+    out = (ds.groupby(["l_returnflag", "l_linestatus"])
+           .aggregate(Sum("l_quantity"), Sum("l_extendedprice"),
+                      Mean("l_discount"), Count())
+           .rename_columns({"sum(l_quantity)": "sum_qty",
+                            "sum(l_extendedprice)": "sum_price",
+                            "mean(l_discount)": "avg_disc",
+                            "count()": "n_rows"}))
+    def _round(t: pa.Table) -> pa.Table:
+        # sum_price is ~5e8: float summation-order noise is ~1e-6 absolute,
+        # so round to cents; the small-magnitude columns round at 1e-6.
+        for c, nd in (("sum_qty", 6), ("sum_price", 2), ("avg_disc", 6)):
+            t = t.set_column(t.schema.get_field_index(c), c, pc.round(t[c], nd))
+        return t
+    return out.map_batches(_round, batch_format="pyarrow")
+
+
+SQL_LINEITEM_PRICING = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 6) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_price,
+       round(avg(l_discount), 6) AS avg_disc,
+       count(*) AS n_rows
+FROM lineitem GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_binary_payload_stats(sf_dir: str):
+    """Opaque-binary plumbing check (multimodal column pattern): byte length
+    of each doc's payload treated as a binary column."""
+    def enc(t: pa.Table) -> pa.Table:
+        payload = t["text"].cast(pa.binary())
+        return pa.table({"doc_id": t["doc_id"].cast(pa.int64()),
+                         "payload_bytes": pc.binary_length(payload).cast(pa.int64())})
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(enc, batch_format="pyarrow")
+
+
+SQL_BINARY_PAYLOAD_STATS = """
+SELECT doc_id, octet_length(encode(text)) AS payload_bytes FROM documents
+"""
+
+
+# ---------------------------------------------------------------------------
+# Rows-only queries (non-SQL-expressible pipelines)
+# ---------------------------------------------------------------------------
+
+_INDEX_CACHE = "/tmp/serx_index_cache"
+
+
+def _collect_table(ds: "ray.data.Dataset", schema: pa.Schema | None = None) -> pa.Table:
+    """Materialize a SMALL dataset to one driver-side Arrow table (only used
+    on provably-small results: candidate pairs, per-batch top-k partials)."""
+    tables = [ray.get(ref) for ref in ds.to_arrow_refs()]
+    tables = [t for t in tables if t.num_rows] or tables[:1]
+    if not tables:
+        return pa.table({}) if schema is None else schema.empty_table()
+    return pa.concat_tables(tables, promote_options="default")
+
+
+def _ensure_index(sf_dir: str) -> str:
+    from .build import build_index
+    from ..state.checkpoint import IndexConfig
+    tag = sf_dir.strip("/").replace("/", "_")
+    idx = os.path.join(_INDEX_CACHE, tag)
+    if not os.path.exists(os.path.join(idx, "manifest.json")):
+        build_index(os.path.join(sf_dir, "documents.parquet"), idx,
+                    IndexConfig(n_buckets=16))
+    return idx
+
+
+def q_bm25_topk(sf_dir: str):
+    """Flagship: segment-index build (cached) + actor-pool BM25 top-10."""
+    from .query import QueryEngine
+    idx = _ensure_index(sf_dir)
+    qe = QueryEngine(idx, num_searchers=4, use_actors=True)
+    res = qe.query(FLAGSHIP_QUERY, k=10)
+    return pa.table({"rank": pa.array(range(len(res)), type=pa.int32()),
+                     "doc_id": pa.array([d for d, _ in res], type=pa.int64()),
+                     "score": pa.array([round(s, 6) for _, s in res])})
+
+
+def q_minhash_neardup(sf_dir: str, *, threshold: float = 0.5):
+    """MinHash+LSH near-dup: signatures → band groupby → candidate pairs →
+    exact shingle-Jaccard verification over only the candidate docs."""
+    docs = _docs(sf_dir, ["doc_id", "text"])
+    bands = docs.map_batches(MinHashLSH(), batch_format="pyarrow")
+    pairs_ds = bands.groupby(["band", "bucket"]).map_groups(
+        candidate_pairs_from_group, batch_format="pyarrow")
+    pairs_tbl = _collect_table(
+        pairs_ds, pa.schema([("doc_a", pa.int64()), ("doc_b", pa.int64())]))
+    if pairs_tbl.num_rows == 0:
+        return pa.table({"doc_a": pa.array([], type=pa.int64()),
+                         "doc_b": pa.array([], type=pa.int64()),
+                         "jaccard": pa.array([], type=pa.float64())})
+    uniq = pairs_tbl.group_by(["doc_a", "doc_b"]).aggregate([])
+    cand_ids = set(uniq["doc_a"].to_pylist()) | set(uniq["doc_b"].to_pylist())
+    id_arr = pa.array(sorted(cand_ids), type=pa.int64())
+    texts = docs.map_batches(
+        lambda t: t.filter(pc.is_in(t["doc_id"], value_set=id_arr)),
+        batch_format="pyarrow").take_all()          # candidates ≪ corpus
+    by_id = {r["doc_id"]: r["text"] for r in texts}
+    pairs = np.stack([uniq["doc_a"].to_numpy(zero_copy_only=False),
+                      uniq["doc_b"].to_numpy(zero_copy_only=False)], axis=1)
+    jac = exact_jaccard(by_id, pairs)
+    keep = jac >= threshold
+    order = np.lexsort((pairs[keep][:, 1], pairs[keep][:, 0]))
+    return pa.table({"doc_a": pa.array(pairs[keep][:, 0][order], type=pa.int64()),
+                     "doc_b": pa.array(pairs[keep][:, 1][order], type=pa.int64()),
+                     "jaccard": pa.array(np.round(jac[keep][order], 6))})
+
+
+def q_simhash_neardup(sf_dir: str, *, max_hamming: int = 3):
+    """SimHash near-dup: 4×16-bit chunk tables → candidate pairs → exact
+    Hamming verification."""
+    docs = _docs(sf_dir, ["doc_id", "text"])
+    sigs = docs.map_batches(SimHash(), batch_format="pyarrow")
+    pair_parts = []
+    for c in range(4):
+        grouped = sigs.select_columns([f"chunk{c}", "doc_id", "simhash"]) \
+            .groupby(f"chunk{c}").map_groups(
+                functools.partial(_simhash_pairs_in_group,
+                                  max_hamming=max_hamming),
+                batch_format="pyarrow")
+        pair_parts.append(grouped)
+    allp = pair_parts[0].union(*pair_parts[1:])
+    empty = pa.schema([("doc_a", pa.int64()), ("doc_b", pa.int64()),
+                       ("hamming", pa.int32())])
+    tbl = _collect_table(allp, empty)
+    if tbl.num_rows == 0:
+        return empty.empty_table()
+    agg = tbl.group_by(["doc_a", "doc_b"]).aggregate([("hamming", "min")])
+    uniq = pa.table({"doc_a": agg["doc_a"], "doc_b": agg["doc_b"],
+                     "hamming": agg["hamming_min"].cast(pa.int32())})
+    idx = pc.sort_indices(uniq, sort_keys=[("doc_a", "ascending"),
+                                           ("doc_b", "ascending")])
+    return uniq.take(idx)
+
+
+def _simhash_pairs_in_group(group: pa.Table, *, max_hamming: int,
+                            max_group: int = 2048) -> pa.Table:
+    ids = group["doc_id"].to_numpy(zero_copy_only=False)
+    sh = group["simhash"].to_numpy(zero_copy_only=False)
+    order = np.argsort(ids, kind="stable")
+    ids, sh = ids[order], sh[order]
+    # dedup docs appearing multiple times in a chunk group
+    first = np.flatnonzero(np.r_[True, np.diff(ids) != 0])
+    ids, sh = ids[first], sh[first]
+    empty = pa.table({"doc_a": pa.array([], type=pa.int64()),
+                      "doc_b": pa.array([], type=pa.int64()),
+                      "hamming": pa.array([], type=pa.int32())})
+    if ids.size < 2:
+        return empty
+    if ids.size > max_group:        # pathological bucket: star expansion
+        a_idx = np.zeros(ids.size - 1, dtype=np.int64)
+        b_idx = np.arange(1, ids.size)
+    else:
+        iu = np.triu_indices(ids.size, k=1)
+        a_idx, b_idx = iu[0], iu[1]
+    d = hamming64(sh[a_idx], sh[b_idx])
+    keep = d <= max_hamming
+    if not keep.any():
+        return empty
+    return pa.table({"doc_a": pa.array(ids[a_idx[keep]], type=pa.int64()),
+                     "doc_b": pa.array(ids[b_idx[keep]], type=pa.int64()),
+                     "hamming": pa.array(d[keep].astype(np.int32), type=pa.int32())})
+
+
+def q_knn_topk(sf_dir: str, *, n_queries: int = 4, k: int = 10):
+    """Brute-force ANN baseline: broadcast query matrix, per-batch partial
+    top-k, small driver merge (num_blocks × k rows)."""
+    import pyarrow.parquet as pq
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    head = next(pq.ParquetFile(path).iter_batches(
+        batch_size=n_queries, columns=["vec_id", "embedding"]))
+    queries = np.asarray(head["embedding"].to_pylist(), dtype=np.float64)
+    ds = ray.data.read_parquet(path, columns=["vec_id", "embedding"])
+    partials = ds.map_batches(CosineScorer(queries, k=k),
+                              batch_format="pyarrow", batch_size=1024)
+    small = _collect_table(partials)
+    out = merge_topk(small, k)
+    return out.set_column(out.schema.get_field_index("cos_sim"), "cos_sim",
+                          pc.round(out["cos_sim"], 6))
+
+
+def q_lang_id_counts(sf_dir: str):
+    """Heuristic language-ID distribution (training-data lang filter)."""
+    return (_docs(sf_dir, ["doc_id", "text"])
+            .map_batches(LangId(), batch_format="pyarrow")
+            .groupby("pred_lang").aggregate(Count())
+            .rename_columns({"count()": "n_docs"}))
+
+
+def q_fingerprints(sf_dir: str):
+    """Order-sensitive rolling document fingerprints."""
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        Fingerprint(), batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Catalog
+# ---------------------------------------------------------------------------
+
+QUERIES = {
+    "term_df": q_term_df,
+    "doc_lengths": q_doc_lengths,
+    "top_terms": q_top_terms,
+    "lang_counts": q_lang_counts,
+    "source_doc_counts": q_source_doc_counts,
+    "metadata_index": q_metadata_index,
+    "dedup_exact": q_dedup_exact,
+    "quality_scores": q_quality_scores,
+    "bm25_scores": q_bm25_scores,
+    "cosine_scores": q_cosine_scores,
+    "event_type_stats": q_event_type_stats,
+    "user_activity": q_user_activity,
+    "lineitem_pricing": q_lineitem_pricing,
+    "binary_payload_stats": q_binary_payload_stats,
+    "bm25_topk": q_bm25_topk,
+    "minhash_neardup": q_minhash_neardup,
+    "simhash_neardup": q_simhash_neardup,
+    "knn_topk": q_knn_topk,
+    "lang_id_counts": q_lang_id_counts,
+    "fingerprints": q_fingerprints,
+}
+
+ORACLE_SQL = {
+    "term_df": SQL_TERM_DF,
+    "doc_lengths": SQL_DOC_LENGTHS,
+    "top_terms": SQL_TOP_TERMS,
+    "lang_counts": SQL_LANG_COUNTS,
+    "source_doc_counts": SQL_SOURCE_DOC_COUNTS,
+    "metadata_index": SQL_METADATA_INDEX,
+    "dedup_exact": SQL_DEDUP_EXACT,
+    "quality_scores": SQL_QUALITY_SCORES,
+    "bm25_scores": _sql_bm25_scores(),
+    "cosine_scores": SQL_COSINE_SCORES,
+    "event_type_stats": SQL_EVENT_TYPE_STATS,
+    "user_activity": SQL_USER_ACTIVITY,
+    "lineitem_pricing": SQL_LINEITEM_PRICING,
+    "binary_payload_stats": SQL_BINARY_PAYLOAD_STATS,
+    # bm25_topk / minhash_neardup / simhash_neardup / knn_topk /
+    # lang_id_counts / fingerprints: stateful or non-SQL-expressible →
+    # rows-only driver check (SURVEY §5 item 4).
+}

@@ -1,0 +1,140 @@
+"""Deterministic synthetic Common-Crawl-style pages corpus (FIXTURES.md §1).
+
+Schema per BASELINE.json ``input_hint``::
+
+    url:string, warc_ts:timestamp[us], html:binary, text:string, lang:string
+
+``text`` is the ground truth; ``html`` is a deterministic wrapper (entity
+escaping of ``& < > " '`` only, plus nav/footer boilerplate the extractor
+must strip).  INVARIANT: ``stages/extract.py`` must reproduce ``text``
+byte-identically per url — property-tested round-trip.
+
+Generation is distributed (``ray.data.range → map_batches``) and
+batching-independent: every doc derives its own Philox stream keyed by
+``(seed, doc_index)``, so the same ``(n_docs, seed)`` always yields the same
+corpus regardless of block sizes or parallelism.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pyarrow as pa
+
+_SITES = 100
+_BASE_TS_US = 1_519_689_600_000_000  # 2018-02-27T00:00:00Z in microseconds
+
+# vocabulary: seeded from the reference sample docs' domain (finance news
+# words) + synthetic tail tokens; ~2% apostrophe and ~1% non-ASCII tokens
+# exercise the CleanValue quirks (SURVEY §2.2 M2).
+_BASE_WORDS = ("the of and to in funds euro german income market stock bank "
+               "rate growth shares investors trading price index economy "
+               "company quarter earnings profit revenue billion million "
+               "percent analyst report federal europe asia global").split()
+_VOCAB = _BASE_WORDS + [f"w{k:05d}" for k in range(10_000 - len(_BASE_WORDS))]
+_QUIRK_APOSTROPHE = ["it's", "o'brien's", "won't", "market's"]
+_QUIRK_NON_ASCII = ["naïve", "zürich", "café"]
+
+_LANGS = ["english", "spanish", "german", "french", "italian", "dutch"]
+_LANG_P = [0.90, 0.03, 0.03, 0.02, 0.01, 0.01]
+
+_HEADER = (b'<html><head><title>%s</title>'
+           b'<meta charset="utf-8"></head><body>'
+           b'<div class="nav"><a href="/">home</a> | <a href="/about">about</a>'
+           b' | <a href="/contact">contact</a></div><article>')
+_FOOTER = (b'</article><footer>&copy; 2018 %s &mdash; all rights reserved.'
+           b'<div class="links"><a href="/terms">terms</a></div></footer>'
+           b'</body></html>')
+
+# escape order matters: & first out, & last back (stages/extract.py inverts)
+_ESCAPES = [("&", "&amp;"), ("<", "&lt;"), (">", "&gt;"),
+            ('"', "&quot;"), ("'", "&#39;")]
+
+
+def escape_html(s: str) -> str:
+    for raw, ent in _ESCAPES:
+        s = s.replace(raw, ent)
+    return s
+
+
+def _doc_row(doc: int, seed: int) -> dict:
+    rng = np.random.Generator(np.random.Philox(key=[seed, doc]))
+    # Zipf-ish site popularity over a fixed site set
+    site = min(int(rng.zipf(1.3)) - 1, _SITES - 1)
+    url = f"https://site{site:03d}.example/p/{doc:07d}"
+    n_words = int(rng.integers(50, 401))
+    # Zipf(1.1) over the vocab, clipped
+    idx = np.minimum(rng.zipf(1.1, size=n_words) - 1, len(_VOCAB) - 1)
+    words = [_VOCAB[i] for i in idx]
+    r = rng.random()
+    if r < 0.02:
+        words[int(rng.integers(0, n_words))] = _QUIRK_APOSTROPHE[
+            int(rng.integers(0, len(_QUIRK_APOSTROPHE)))]
+    elif r < 0.03:
+        words[int(rng.integers(0, n_words))] = _QUIRK_NON_ASCII[
+            int(rng.integers(0, len(_QUIRK_NON_ASCII)))]
+    # paragraphs of ~40 words, joined by \n\n — part of the ground-truth text
+    paras = [" ".join(words[i:i + 40]) for i in range(0, n_words, 40)]
+    text = "\n\n".join(paras)
+    title = " ".join(_VOCAB[i] for i in
+                     np.minimum(rng.zipf(1.1, size=int(rng.integers(3, 13))) - 1,
+                                len(_VOCAB) - 1))
+    lang = _LANGS[int(rng.choice(len(_LANGS), p=_LANG_P))]
+    body = "</p><p>".join(escape_html(p) for p in paras)
+    html = (_HEADER % escape_html(title).encode("utf-8")
+            + b"<p>" + body.encode("utf-8") + b"</p>"
+            + _FOOTER % f"site{site:03d}.example".encode("ascii"))
+    return {"url": url,
+            "warc_ts": _BASE_TS_US + doc * 1_000_000,
+            "html": html,
+            "text": text,
+            "lang": lang,
+            "title": title}
+
+
+PAGES_SCHEMA = pa.schema([
+    ("url", pa.string()),
+    ("warc_ts", pa.timestamp("us")),
+    ("html", pa.binary()),
+    ("text", pa.string()),
+    ("lang", pa.string()),
+    ("title", pa.string()),
+])
+
+
+def pages_batch(ids: np.ndarray, seed: int = 42) -> pa.Table:
+    rows = [_doc_row(int(d), seed) for d in ids]
+    return pa.table({
+        "url": pa.array([r["url"] for r in rows], type=pa.string()),
+        "warc_ts": pa.array([r["warc_ts"] for r in rows],
+                            type=pa.timestamp("us")),
+        "html": pa.array([r["html"] for r in rows], type=pa.binary()),
+        "text": pa.array([r["text"] for r in rows], type=pa.string()),
+        "lang": pa.array([r["lang"] for r in rows], type=pa.string()),
+        "title": pa.array([r["title"] for r in rows], type=pa.string()),
+    })
+
+
+def synthesize_pages(n_docs: int, out_dir: str, *, seed: int = 42,
+                     overwrite: bool = False) -> str:
+    """Write the deterministic pages corpus as partitioned parquet; returns
+    ``out_dir``.  Skips generation when the corpus already exists (marker
+    file records (n_docs, seed))."""
+    import ray.data
+    marker = os.path.join(out_dir, f"_PAGES_{n_docs}_{seed}")
+    if os.path.exists(marker) and not overwrite:
+        return out_dir
+    import shutil
+    shutil.rmtree(out_dir, ignore_errors=True)
+    os.makedirs(out_dir, exist_ok=True)
+
+    def gen(batch: pa.Table) -> pa.Table:
+        return pages_batch(batch["id"].to_numpy(zero_copy_only=False), seed)
+
+    (ray.data.range(n_docs)
+     .map_batches(gen, batch_format="pyarrow", batch_size=2048)
+     .write_parquet(out_dir))
+    with open(marker, "w") as f:
+        f.write("ok")
+    return out_dir

@@ -1,0 +1,245 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard.
+
+Large-scale training-data dedup expressed Ray-Data-first:
+
+- **exact**: ``groupby(text-key)`` with min-docID keeper — one shuffle keyed
+  by content hash (the scale path groups by a 64-bit content hash so the
+  shuffle never moves document text).
+- **MinHash+LSH**: stateless ``map_batches`` computes word-shingle minhash
+  signatures and emits one row per LSH band; a ``groupby(band, bucket)``
+  shuffle colocates collision candidates; candidate pairs are verified with
+  exact shingle Jaccard over only the candidate docs (candidates ≪ corpus).
+- **SimHash**: 64-bit tf-weighted simhash per doc; candidate generation via
+  the standard 4×16-bit chunk tables (any pair within Hamming distance ≤3
+  shares at least one exact chunk), verified by full Hamming distance.
+
+All signature math is numpy over the batch's token stream; nothing loops
+over rows.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from ..functions.hashing import fnv1a64_array
+from .tokenize import split_and_normalize
+
+_MERSENNE61 = np.uint64((1 << 61) - 1)
+
+
+def _minhash_params(num_perm: int, seed: int = 42) -> tuple[np.ndarray, np.ndarray]:
+    rng = np.random.RandomState(seed)
+    a = rng.randint(1, (1 << 61) - 1, size=num_perm, dtype=np.uint64)
+    b = rng.randint(0, (1 << 61) - 1, size=num_perm, dtype=np.uint64)
+    return a, b
+
+
+def shingle_hashes(row_idx: np.ndarray, term_hashes: np.ndarray,
+                   n_rows: int, k: int = 3) -> tuple[np.ndarray, np.ndarray]:
+    """Word k-shingles per doc → (shingle_row_idx, shingle_hash uint64).
+
+    A shingle hash combines k consecutive token hashes with distinct odd
+    multipliers; shingles never cross doc boundaries.  Docs with fewer than
+    k tokens contribute their whole-doc token sequence as one shingle.
+    """
+    n_tok = len(term_hashes)
+    if n_tok == 0:
+        return np.zeros(0, dtype=np.int64), np.zeros(0, dtype=np.uint64)
+    err = np.seterr(over="ignore")
+    try:
+        mults = np.array([0x9E3779B97F4A7C15, 0xC2B2AE3D27D4EB4F,
+                          0x165667B19E3779F9, 0x27D4EB2F165667C5,
+                          0x85EBCA77C2B2AE63][:k], dtype=np.uint64)
+        # windows fully inside one doc: window [i, i+k) valid iff row_idx[i] == row_idx[i+k-1]
+        if n_tok >= k:
+            valid = row_idx[: n_tok - k + 1] == row_idx[k - 1:]
+            acc = np.zeros(n_tok - k + 1, dtype=np.uint64)
+            for j in range(k):
+                acc ^= term_hashes[j: n_tok - k + 1 + j] * mults[j]
+            win_rows = row_idx[: n_tok - k + 1][valid]
+            win_hashes = acc[valid]
+        else:
+            win_rows = np.zeros(0, dtype=np.int64)
+            win_hashes = np.zeros(0, dtype=np.uint64)
+        # short docs (len < k): one shingle = mixed hash of all tokens
+        counts = np.bincount(row_idx, minlength=n_rows)
+        short = np.flatnonzero((counts > 0) & (counts < k))
+        if short.size:
+            starts = np.zeros(n_rows, dtype=np.int64)
+            np.cumsum(counts[:-1], out=starts[1:])
+            sh = np.zeros(short.size, dtype=np.uint64)
+            for j in range(k - 1):
+                sel = counts[short] > j
+                sh[sel] ^= term_hashes[starts[short[sel]] + j] * mults[j]
+            win_rows = np.concatenate([win_rows, short])
+            win_hashes = np.concatenate([win_hashes, sh])
+        return win_rows.astype(np.int64), win_hashes
+    finally:
+        np.seterr(**err)
+
+
+class MinHashLSH:
+    """documents batch → one row per (doc, band): ``(band, bucket, doc_id)``.
+
+    ``num_perm`` minhash permutations split into ``bands`` bands of
+    ``num_perm // bands`` rows; ``bucket`` is the hash of the band's slice of
+    the signature.  Downstream: ``groupby(['band','bucket'])`` colocates LSH
+    collision candidates.
+    """
+
+    def __init__(self, *, text_col: str = "text", id_col: str = "doc_id",
+                 num_perm: int = 64, bands: int = 16, shingle_k: int = 3,
+                 seed: int = 42):
+        assert num_perm % bands == 0
+        self.text_col = text_col
+        self.id_col = id_col
+        self.num_perm = num_perm
+        self.bands = bands
+        self.rows_per_band = num_perm // bands
+        self.shingle_k = shingle_k
+        self.a, self.b = _minhash_params(num_perm, seed)
+
+    def signatures(self, batch: pa.Table) -> tuple[np.ndarray, np.ndarray]:
+        """→ (doc_ids kept, signature matrix [n_kept, num_perm]) for docs
+        with at least one token."""
+        n = batch.num_rows
+        row_idx, terms = split_and_normalize(batch[self.text_col])
+        th = fnv1a64_array(terms)
+        s_rows, s_hashes = shingle_hashes(row_idx, th, n, self.shingle_k)
+        doc_ids = batch[self.id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        if s_rows.size == 0:
+            return np.zeros(0, dtype=np.int64), np.zeros((0, self.num_perm), np.uint64)
+        order = np.argsort(s_rows, kind="stable")
+        s_rows, s_hashes = s_rows[order], s_hashes[order]
+        boundaries = np.flatnonzero(np.r_[True, np.diff(s_rows) != 0])
+        kept_rows = s_rows[boundaries]
+        err = np.seterr(over="ignore")
+        try:
+            x = (s_hashes & _MERSENNE61)
+            sig = np.empty((kept_rows.size, self.num_perm), dtype=np.uint64)
+            for p in range(self.num_perm):
+                hp = (self.a[p] * x + self.b[p]) & _MERSENNE61
+                sig[:, p] = np.minimum.reduceat(hp, boundaries)
+        finally:
+            np.seterr(**err)
+        return doc_ids[kept_rows], sig
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, sig = self.signatures(batch)
+        if ids.size == 0:
+            return pa.table({"band": pa.array([], type=pa.int32()),
+                             "bucket": pa.array([], type=pa.int64()),
+                             "doc_id": pa.array([], type=pa.int64())})
+        err = np.seterr(over="ignore")
+        try:
+            # hash each band's slice: mix the r values with FNV-ish fold
+            buckets = np.empty((ids.size, self.bands), dtype=np.uint64)
+            for band in range(self.bands):
+                sl = sig[:, band * self.rows_per_band:(band + 1) * self.rows_per_band]
+                h = np.full(ids.size, np.uint64(0xCBF29CE484222325))
+                for r in range(self.rows_per_band):
+                    h = (h ^ sl[:, r]) * np.uint64(0x100000001B3)
+                buckets[:, band] = h
+        finally:
+            np.seterr(**err)
+        return pa.table({
+            "band": pa.array(np.tile(np.arange(self.bands, dtype=np.int32),
+                                     ids.size), type=pa.int32()),
+            "bucket": pa.array((buckets.reshape(-1).astype(np.int64)
+                                & 0x7FFFFFFFFFFFFFFF), type=pa.int64()),
+            "doc_id": pa.array(np.repeat(ids, self.bands), type=pa.int64()),
+        })
+
+
+def candidate_pairs_from_group(group: pa.Table,
+                               max_group: int = 2048) -> pa.Table:
+    """``groupby(['band','bucket']).map_groups`` callable: docs sharing an
+    LSH bucket → unique candidate pairs ``(doc_a, doc_b)``, ``doc_a < doc_b``.
+
+    ``max_group`` caps pathological buckets (all-identical spam at web
+    scale): oversized groups emit pairs only against the smallest docID
+    (star expansion) instead of the quadratic all-pairs.
+    """
+    ids = np.unique(group["doc_id"].to_numpy(zero_copy_only=False))
+    if ids.size < 2:
+        return pa.table({"doc_a": pa.array([], type=pa.int64()),
+                         "doc_b": pa.array([], type=pa.int64())})
+    if ids.size > max_group:
+        a = np.full(ids.size - 1, ids[0])
+        b = ids[1:]
+    else:
+        iu = np.triu_indices(ids.size, k=1)
+        a, b = ids[iu[0]], ids[iu[1]]
+    return pa.table({"doc_a": pa.array(a, type=pa.int64()),
+                     "doc_b": pa.array(b, type=pa.int64())})
+
+
+def exact_jaccard(texts_by_id: dict[int, str], pairs: np.ndarray,
+                  k: int = 3) -> np.ndarray:
+    """Exact shingle-set Jaccard for candidate verification (driver-side;
+    candidate docs ≪ corpus)."""
+    shingles: dict[int, set] = {}
+    for doc_id, text in texts_by_id.items():
+        row_idx, terms = split_and_normalize(pa.array([text]))
+        th = fnv1a64_array(terms)
+        _r, sh = shingle_hashes(row_idx, th, 1, k)
+        shingles[doc_id] = set(sh.tolist())
+    out = np.zeros(len(pairs), dtype=np.float64)
+    for i, (a, b) in enumerate(pairs):
+        sa, sb = shingles.get(int(a), set()), shingles.get(int(b), set())
+        union = len(sa | sb)
+        out[i] = (len(sa & sb) / union) if union else 0.0
+    return out
+
+
+class SimHash:
+    """documents batch → ``(doc_id, simhash, chunk0..chunk3)``.
+
+    64-bit tf-weighted simhash; the four 16-bit chunks are the standard
+    candidate keys: any pair with Hamming distance ≤3 agrees exactly on at
+    least one chunk (pigeonhole), so a ``groupby(chunk_i)`` per table finds
+    all such pairs.
+    """
+
+    def __init__(self, *, text_col: str = "text", id_col: str = "doc_id"):
+        self.text_col = text_col
+        self.id_col = id_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        row_idx, terms = split_and_normalize(batch[self.text_col])
+        th = fnv1a64_array(terms)
+        acc = np.zeros((n, 64), dtype=np.int64)
+        if len(th):
+            for bit in range(64):
+                contrib = (((th >> np.uint64(bit)) & np.uint64(1)).astype(np.int64) * 2 - 1)
+                acc[:, bit] = np.bincount(row_idx, weights=contrib, minlength=n)
+        bits = (acc > 0).astype(np.uint64)
+        sh = np.zeros(n, dtype=np.uint64)
+        # 63 bits only, so the stored int64 simhash and the chunk keys are
+        # consistent (no sign-mask divergence on bit 63)
+        for bit in range(63):
+            sh |= bits[:, bit] << np.uint64(bit)
+        cols = {
+            "doc_id": batch[self.id_col].cast(pa.int64()),
+            "simhash": pa.array((sh.astype(np.int64) & 0x7FFFFFFFFFFFFFFF),
+                                type=pa.int64()),
+        }
+        for c in range(4):
+            cols[f"chunk{c}"] = pa.array(
+                ((sh >> np.uint64(16 * c)) & np.uint64(0xFFFF)).astype(np.int32),
+                type=pa.int32())
+        return pa.table(cols)
+
+
+def hamming64(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    x = (a.astype(np.uint64)) ^ (b.astype(np.uint64))
+    cnt = np.zeros(x.shape, dtype=np.int64)
+    while True:
+        nz = x != 0
+        if not nz.any():
+            break
+        cnt[nz] += 1
+        x = x & (x - np.uint64(1))
+    return cnt

@@ -1,0 +1,70 @@
+"""HTML → text extraction, the north-rule "parse" stage.
+
+Reference analogue: the rapidjson DOM parse of raw article files
+(``/root/reference/KaggleFinanceSourceEngine.cpp:202-210``); the north-rule
+input replaces JSON with Common-Crawl-style HTML (``html:binary``), and the
+per-row invariant is **byte-identical extracted text per url** vs the
+corpus generator (``sources/pages.py``).
+
+Fully vectorized: the article body is isolated with two anchored regex
+replaces, paragraph tags become ``\\n\\n`` joins, and the 5-entity escape map
+is inverted with chained ``replace_substring`` — no per-row Python.  The
+extraction contract (entity map + paragraph separator) is frozen here and
+versioned; changing it invalidates built indexes.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+EXTRACT_VERSION = 1
+
+# inverse of sources.pages._ESCAPES, applied in reverse order (& last)
+_UNESCAPES = [("&#39;", "'"), ("&quot;", '"'), ("&gt;", ">"),
+              ("&lt;", "<"), ("&amp;", "&")]
+
+
+def extract_text_array(html: pa.Array | pa.ChunkedArray) -> pa.Array:
+    """``html:binary`` → extracted ``text:string`` (vectorized)."""
+    if isinstance(html, pa.ChunkedArray):
+        html = html.combine_chunks()
+    s = html.cast(pa.string())  # corpus HTML is valid UTF-8 by construction
+    # keep only the <article> body
+    s = pc.replace_substring_regex(s, r"(?s)^.*?<article><p>", "")
+    s = pc.replace_substring_regex(s, r"(?s)</p></article>.*$", "")
+    # paragraph boundaries → ground-truth separator
+    s = pc.replace_substring(s, "</p><p>", "\n\n")
+    for ent, raw in _UNESCAPES:
+        s = pc.replace_substring(s, ent, raw)
+    return s
+
+
+class ExtractText:
+    """``map_batches`` callable: pages batch → ``(url, text, lang, ...)``.
+
+    Drops the heavy ``html`` binary column immediately (SURVEY §7.5 item 6:
+    the shuffle must never carry it) and derives the int63 ``doc_id`` from
+    ``url`` (reference docID = hash of uuid,
+    ``KaggleFinanceSourceEngine.cpp:131-133``).
+    """
+
+    def __init__(self, *, html_col: str = "html", url_col: str = "url",
+                 keep_cols: tuple[str, ...] = ("lang",)):
+        self.html_col = html_col
+        self.url_col = url_col
+        self.keep_cols = keep_cols
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..functions.hashing import doc_ids_from_urls
+        text = extract_text_array(batch[self.html_col])
+        cols = {
+            "doc_id": pa.array(doc_ids_from_urls(batch[self.url_col]),
+                               type=pa.int64()),
+            "url": batch[self.url_col],
+            "text": text,
+        }
+        for c in self.keep_cols:
+            if c in batch.column_names:
+                cols[c] = batch[c]
+        return pa.table(cols)

@@ -1,0 +1,148 @@
+"""Text-analysis batch stages: quality stats, language-ID, fingerprints.
+
+Training-data-pipeline operators layered on the same tokenizer the index
+build uses (``stages/tokenize.py``; delimiters per the reference tokenizer,
+``/root/reference/KaggleFinanceSourceEngine.cpp:212``).  All stages are
+``map_batches`` callables over zero-copy Arrow batches; per-token work is
+vectorized (numpy reductions keyed by batch row index) — no Python loop over
+rows or tokens.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..functions.hashing import fnv1a64_array
+from .tokenize import split_and_normalize
+
+
+class QualityStats:
+    """documents batch → per-doc quality scoring columns.
+
+    Emits ``(doc_id, n_tokens, mean_token_len, digit_ratio)``:
+    token count and mean normalized-token length from the engine tokenizer,
+    digit ratio over the raw text bytes.  Docs with zero tokens are dropped
+    (keeps parity with token-derived SQL oracles).
+    """
+
+    def __init__(self, *, text_col: str = "text", id_col: str = "doc_id"):
+        self.text_col = text_col
+        self.id_col = id_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        texts = batch[self.text_col]
+        row_idx, terms = split_and_normalize(texts)
+        n_tokens = np.bincount(row_idx, minlength=n).astype(np.int64)
+        tok_lens = pc.utf8_length(terms).to_numpy(zero_copy_only=False)
+        len_sum = np.bincount(row_idx, weights=tok_lens, minlength=n)
+        text_len = pc.utf8_length(pc.fill_null(texts, "")).to_numpy(
+            zero_copy_only=False).astype(np.float64)
+        digits = pc.utf8_length(
+            pc.replace_substring_regex(pc.fill_null(texts, ""), "[^0-9]", "")
+        ).to_numpy(zero_copy_only=False).astype(np.float64)
+        keep = n_tokens > 0
+        with np.errstate(divide="ignore", invalid="ignore"):
+            mean_len = np.where(keep, len_sum / np.maximum(n_tokens, 1), 0.0)
+            digit_ratio = np.where(text_len > 0, digits / np.maximum(text_len, 1), 0.0)
+        ids = batch[self.id_col].to_numpy(zero_copy_only=False)[keep]
+        return pa.table({
+            "doc_id": pa.array(ids, type=pa.int64()),
+            "n_tokens": pa.array(n_tokens[keep], type=pa.int64()),
+            "mean_token_len": pa.array(np.round(mean_len[keep], 6)),
+            "digit_ratio": pa.array(np.round(digit_ratio[keep], 6)),
+        })
+
+
+# Small per-language stopword marker sets for the n-gram-free heuristic
+# language identifier (public-domain stopword lists).
+_LANG_MARKERS: dict[str, frozenset[str]] = {
+    "en": frozenset("the and of to in is that it for was with as his on be "
+                    "at by had this have from or one not are but all".split()),
+    "es": frozenset("el la de que y en los del se las por un para con una su "
+                    "al es lo como mas pero sus le ya o este".split()),
+    "de": frozenset("der die und in den von zu das mit sich des auf fur ist "
+                    "im dem nicht ein eine als auch es an werden".split()),
+    "fr": frozenset("le de la et les des en un du une que est pour qui dans "
+                    "par plus pas au sur ne se ce il sont".split()),
+}
+
+
+class LangId:
+    """Heuristic language identification: per-doc marker-stopword hit ratio
+    per language, argmax wins; below ``min_ratio`` → ``"unknown"``.
+
+    Deterministic and vectorized: one ``is_in`` membership pass per language
+    over the batch's tokens, summed per row with ``np.bincount``.
+    """
+
+    def __init__(self, *, text_col: str = "text", id_col: str = "doc_id",
+                 min_ratio: float = 0.05):
+        self.text_col = text_col
+        self.id_col = id_col
+        self.min_ratio = min_ratio
+        self.langs = sorted(_LANG_MARKERS)
+        self.value_sets = {m: pa.array(sorted(_LANG_MARKERS[m]))
+                           for m in self.langs}
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        row_idx, terms = split_and_normalize(batch[self.text_col])
+        n_tokens = np.bincount(row_idx, minlength=n).astype(np.float64)
+        scores = np.zeros((len(self.langs), n), dtype=np.float64)
+        for i, lang in enumerate(self.langs):
+            hit = pc.is_in(terms, value_set=self.value_sets[lang]).to_numpy(
+                zero_copy_only=False)
+            scores[i] = np.bincount(row_idx, weights=hit, minlength=n)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            ratios = scores / np.maximum(n_tokens, 1.0)
+        best = np.argmax(ratios, axis=0)
+        best_ratio = ratios[best, np.arange(n)]
+        lang_arr = np.asarray(self.langs, dtype=object)[best]
+        lang_arr[best_ratio < self.min_ratio] = "unknown"
+        return pa.table({
+            "doc_id": batch[self.id_col].cast(pa.int64()),
+            "pred_lang": pa.array(lang_arr.tolist(), type=pa.string()),
+            "marker_ratio": pa.array(np.round(best_ratio, 6)),
+        })
+
+
+class Fingerprint:
+    """Order-sensitive 64-bit document fingerprint.
+
+    Per doc: FNV-hash each normalized token, rotate hash *i* left by
+    ``i mod 61`` bits (position mixing), XOR-reduce.  Same token multiset in
+    a different order → different fingerprint; fully vectorized via
+    ``np.bitwise_xor.reduceat`` over the batch's token stream.
+    """
+
+    def __init__(self, *, text_col: str = "text", id_col: str = "doc_id"):
+        self.text_col = text_col
+        self.id_col = id_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        row_idx, terms = split_and_normalize(batch[self.text_col])
+        out = np.zeros(n, dtype=np.uint64)
+        if len(terms):
+            h = fnv1a64_array(terms)
+            # position within the doc: global position minus run start
+            starts_of_row = np.zeros(n, dtype=np.int64)
+            counts = np.bincount(row_idx, minlength=n)
+            np.cumsum(counts[:-1], out=starts_of_row[1:])
+            pos = (np.arange(len(h)) - starts_of_row[row_idx]) % 61
+            pos = pos.astype(np.uint64)
+            # rotl; (64-pos)&63 avoids the undefined shift-by-64 at pos==0
+            mixed = (h << pos) | (h >> ((np.uint64(64) - pos) & np.uint64(63)))
+            boundaries = np.flatnonzero(np.r_[True, np.diff(row_idx) != 0])
+            reduced = np.bitwise_xor.reduceat(mixed, boundaries)
+            out[row_idx[boundaries]] = reduced
+        return pa.table({
+            "doc_id": batch[self.id_col].cast(pa.int64()),
+            "fingerprint": pa.array(out.astype(np.int64) & 0x7FFFFFFFFFFFFFFF,
+                                    type=pa.int64()),
+            "n_tokens": pa.array(np.bincount(row_idx, minlength=n),
+                                 type=pa.int64()),
+        })

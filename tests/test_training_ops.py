@@ -1,0 +1,165 @@
+"""Training-data operator stages: dedup, similarity, text stats."""
+
+import numpy as np
+import pyarrow as pa
+
+from search_engine_ray.stages.dedup import (MinHashLSH, SimHash,
+                                            candidate_pairs_from_group,
+                                            exact_jaccard, hamming64,
+                                            shingle_hashes)
+from search_engine_ray.stages.similarity import (CosineScorer, HyperplaneLSH,
+                                                 merge_topk)
+from search_engine_ray.stages.textstats import Fingerprint, LangId, QualityStats
+from search_engine_ray.functions.hashing import fnv1a64_array
+from search_engine_ray.stages.tokenize import split_and_normalize
+
+
+def _doc_table(texts, ids=None):
+    ids = ids if ids is not None else list(range(len(texts)))
+    return pa.table({"doc_id": pa.array(ids, type=pa.int64()),
+                     "text": pa.array(texts, type=pa.string())})
+
+
+class TestMinHash:
+    def test_identical_docs_same_signature(self):
+        t = _doc_table(["alpha beta gamma delta epsilon zeta"] * 2 +
+                       ["totally different words entirely here now"])
+        ids, sig = MinHashLSH().signatures(t)
+        assert np.array_equal(sig[0], sig[1])
+        assert not np.array_equal(sig[0], sig[2])
+
+    def test_similar_docs_high_estimated_jaccard(self):
+        base = "the quick brown fox jumps over the lazy dog again and again"
+        near = base + " extra"
+        ids, sig = MinHashLSH(num_perm=128, bands=32).signatures(_doc_table([base, near]))
+        est = (sig[0] == sig[1]).mean()
+        pairs = np.array([[0, 1]])
+        true = exact_jaccard({0: base, 1: near}, pairs)[0]
+        assert abs(est - true) < 0.25
+
+    def test_lsh_rows_shape(self):
+        mh = MinHashLSH(num_perm=64, bands=16)
+        out = mh(_doc_table(["one two three four", "five six seven eight"]))
+        assert out.num_rows == 2 * 16
+        assert out.column_names == ["band", "bucket", "doc_id"]
+
+    def test_candidate_pairs(self):
+        g = pa.table({"band": [0, 0, 0], "bucket": [1, 1, 1],
+                      "doc_id": pa.array([30, 10, 20], type=pa.int64())})
+        p = candidate_pairs_from_group(g)
+        assert sorted(zip(p["doc_a"].to_pylist(), p["doc_b"].to_pylist())) == \
+            [(10, 20), (10, 30), (20, 30)]
+
+    def test_shingles_respect_doc_boundaries(self):
+        texts = ["a b c d", "c d a b"]
+        row_idx, terms = split_and_normalize(pa.array(texts))
+        th = fnv1a64_array(terms)
+        rows, hashes = shingle_hashes(row_idx, th, 2, k=3)
+        # doc0 windows: abc,bcd ; doc1: cda,dab — no cross-doc window equality
+        assert rows.tolist() == [0, 0, 1, 1]
+        assert len(set(hashes.tolist())) == 4
+
+
+class TestSimHash:
+    def test_identical_same_hash_and_chunks(self):
+        t = _doc_table(["hello world foo bar"] * 2)
+        out = SimHash()(t)
+        assert out["simhash"][0].as_py() == out["simhash"][1].as_py()
+
+    def test_hamming(self):
+        a = np.array([0b1011, 0], dtype=np.int64)
+        b = np.array([0b0010, 7], dtype=np.int64)
+        assert hamming64(a, b).tolist() == [2, 3]
+
+    def test_near_docs_low_hamming(self):
+        words = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+                 "lam mu nu xi omicron pi rho sigma tau upsilon").split()
+        a = " ".join(words * 3)
+        b = " ".join(words * 3) + " extra"
+        c = " ".join(f"z{w}q" for w in words)
+        out = SimHash()(_doc_table([a, b, c]))
+        sh = np.asarray(out["simhash"].to_pylist(), dtype=np.int64)
+        assert hamming64(sh[:1], sh[1:2])[0] <= 6
+        assert hamming64(sh[:1], sh[2:3])[0] > 10
+
+
+class TestSimilarity:
+    def test_cosine_topk_exact(self):
+        rng = np.random.RandomState(0)
+        vecs = rng.standard_normal((50, 8))
+        tbl = pa.table({"vec_id": pa.array(range(50), type=pa.int64()),
+                        "embedding": pa.array([list(map(float, v)) for v in vecs])})
+        scorer = CosineScorer(vecs[:2], k=5)
+        merged = merge_topk(scorer(tbl), 5)
+        # brute-force reference
+        vn = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+        for q in range(2):
+            sims = vn @ vn[q]
+            want = np.lexsort((np.arange(50), -sims))[:5]
+            got = merged.filter(pa.compute.equal(merged["query_idx"], q))
+            assert got["vec_id"].to_pylist() == want.tolist()
+            assert got["vec_id"].to_pylist()[0] == q  # self is nearest
+
+    def test_partial_topk_merge_across_batches(self):
+        rng = np.random.RandomState(1)
+        vecs = rng.standard_normal((100, 4))
+        scorer = CosineScorer(vecs[:1], k=10)
+        t1 = pa.table({"vec_id": pa.array(range(50), type=pa.int64()),
+                       "embedding": pa.array([list(map(float, v)) for v in vecs[:50]])})
+        t2 = pa.table({"vec_id": pa.array(range(50, 100), type=pa.int64()),
+                       "embedding": pa.array([list(map(float, v)) for v in vecs[50:]])})
+        merged = merge_topk(pa.concat_tables([scorer(t1), scorer(t2)]), 10)
+        vn = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+        want = np.lexsort((np.arange(100), -(vn @ vn[0])))[:10]
+        assert merged["vec_id"].to_pylist() == want.tolist()
+
+    def test_hyperplane_lsh_buckets_near_vectors_together(self):
+        rng = np.random.RandomState(2)
+        v = rng.standard_normal((1, 16))
+        near = v + rng.standard_normal((1, 16)) * 1e-3
+        far = -v
+        tbl = pa.table({"vec_id": pa.array([0, 1, 2], type=pa.int64()),
+                        "embedding": pa.array([list(map(float, x[0]))
+                                               for x in (v, near, far)])})
+        out = HyperplaneLSH(dim=16)(tbl)
+        df = out.to_pandas()
+        for t in range(4):
+            sub = df[df.table_id == t].set_index("vec_id")["bucket"]
+            assert sub[0] == sub[1]
+            assert sub[0] != sub[2]
+
+
+class TestTextStats:
+    def test_quality_stats(self):
+        t = _doc_table(["one two three 42", ""])
+        out = QualityStats()(t)
+        assert out.num_rows == 1  # empty doc dropped
+        r = out.to_pylist()[0]
+        assert r["n_tokens"] == 4
+        assert abs(r["mean_token_len"] - (3 + 3 + 5 + 2) / 4) < 1e-9
+        assert abs(r["digit_ratio"] - 2 / 16) < 1e-9
+
+    def test_lang_id(self):
+        t = _doc_table(["the cat and the dog are in the house with all of them",
+                        "el perro y el gato en la casa de los padres con una",
+                        "zzz qqq www"])
+        out = LangId()(t).to_pylist()
+        assert out[0]["pred_lang"] == "en"
+        assert out[1]["pred_lang"] == "es"
+        assert out[2]["pred_lang"] == "unknown"
+
+    def test_fingerprint_order_sensitive(self):
+        t = _doc_table(["alpha beta gamma", "gamma beta alpha", "alpha beta gamma"])
+        out = Fingerprint()(t)["fingerprint"].to_pylist()
+        assert out[0] == out[2]
+        assert out[0] != out[1]
+
+    def test_fingerprint_batching_independent(self):
+        texts = [f"w{i} common words here w{i+1}" for i in range(20)]
+        whole = Fingerprint()(_doc_table(texts))["fingerprint"].to_pylist()
+        parts = []
+        for i in range(0, 20, 7):
+            parts += Fingerprint()(_doc_table(texts[i:i+7],
+                                              ids=list(range(i, min(i+7, 20)))))[
+                "fingerprint"].to_pylist()
+        assert whole == parts
