@@ -7,21 +7,25 @@ shard each.  Ray Data restatement:
 
     read_parquet (column-pruned)
       → map_batches(TokenizePostings)        # stateless vectorized tasks
-      → [resume filter: drop finished buckets BEFORE the shuffle]
-      → groupby("bucket").map_groups(EncodeBucketWriter)   # THE shuffle
-      → per-bucket atomic segment write + _DONE marker
+      → [resume filter: drop finished partitions BEFORE the shuffle]
+      → groupby("part").map_groups(EncodePartitionWriter)   # THE shuffle
+      → per-partition atomic segment write + _DONE marker
+      → termstats pass: re-read segment (term, df) columns → groupby(term)
+        → global df/total_tf table (BM25 global stats for doc-sharded serving)
 
-plus a second column-pruned pass for the docstore / BM25 norms
-(``DocStats``) and a tiny global aggregate for ``docstats.json``.
+plus a pass for the docstore / BM25 norms (``DocStats``) and a tiny global
+aggregate for ``docstats.json``.
 
 Scale notes:
-- ``n_buckets`` is the partition knob: each bucket's postings are encoded in
-  one ``map_groups`` call, so size ``n_buckets`` such that
-  (total postings)/n_buckets fits a worker heap (hundreds at web scale; 32
-  here).  Buckets ≫ workers keeps the reduce stage load-balanced.
-- The tokenize stage emits ONE row per distinct (doc, term) — the map-side
+- the (shard, bucket) grid is the partition knob: each partition's postings
+  are encoded in one ``map_groups`` call, so size ``n_doc_shards ×
+  n_buckets`` such that (total postings)/n_partitions fits a worker heap;
+  partitions ≫ workers keeps the reduce stage load-balanced.
+- the tokenize stage emits ONE row per distinct (doc, term) — the map-side
   combine — so the shuffle volume is bounded by Σ per-doc vocabulary, not
   token count.
+- the termstats pass reads only the tiny (term, df, total_tf) columns of the
+  already-written segments — it never re-touches postings binaries.
 - ``html``-bearing inputs must drop the binary column before the shuffle
   (we read only the id/text columns — pruned at the read).
 """
@@ -29,15 +33,17 @@ Scale notes:
 from __future__ import annotations
 
 import os
+import shutil
 from typing import Callable, Iterable
 
 import pyarrow as pa
 import pyarrow.compute as pc
 
 import ray.data
+from ray.data.aggregate import Sum
 
 from ..functions.analyze import ENGLISH_STOPWORDS
-from ..stages.postings import EncodeBucketWriter
+from ..stages.postings import EncodePartitionWriter
 from ..stages.tokenize import DocStats, TokenizePostings
 from ..state import checkpoint as ckpt
 from ..state.checkpoint import IndexConfig
@@ -80,8 +86,8 @@ def build_index(source: str | DatasetFactory, index_dir: str,
         ckpt.write_docstats(index_dir, n_docs=lens.count(),
                             total_tokens=lens.sum("doc_len") or 0)
 
-    # ---- pass B: postings shuffle, finished buckets filtered pre-shuffle ----
-    pending = ckpt.pending_buckets(index_dir, cfg.n_buckets)
+    # ---- pass B: postings shuffle, finished partitions filtered pre-shuffle ----
+    pending = ckpt.pending_partitions(index_dir, cfg)
     if pending:
         seg_dir = ckpt.segments_dir(index_dir)
         os.makedirs(seg_dir, exist_ok=True)
@@ -89,23 +95,38 @@ def build_index(source: str | DatasetFactory, index_dir: str,
         postings = ds.map_batches(
             TokenizePostings(text_col=cfg.text_col, id_col=cfg.id_col,
                              stopwords=stopwords, stem=cfg.stem,
-                             n_buckets=cfg.n_buckets),
+                             n_buckets=cfg.n_buckets,
+                             n_doc_shards=cfg.n_doc_shards),
             batch_format="pyarrow", batch_size=batch_size,
             concurrency=tokenize_concurrency)
-        if len(pending) < cfg.n_buckets:
+        if len(pending) < cfg.n_partitions:
             want = pa.array(pending, type=pa.int32())
             postings = postings.map_batches(
-                lambda t: t.filter(pc.is_in(t["bucket"], value_set=want)),
+                lambda t: t.filter(pc.is_in(t["part"], value_set=want)),
                 batch_format="pyarrow")
-        writer = EncodeBucketWriter(seg_dir)
+        writer = EncodePartitionWriter(seg_dir, cfg.n_buckets)
 
-        def encode_bucket(group: pa.Table) -> pa.Table:
+        def encode_partition(group: pa.Table) -> pa.Table:
             return writer(group)
 
-        metrics_ds = postings.groupby("bucket").map_groups(
-            encode_bucket, batch_format="pyarrow")
-        metrics_ds.materialize()  # small (≤ n_buckets rows); drives execution
+        metrics_ds = postings.groupby("part").map_groups(
+            encode_partition, batch_format="pyarrow")
+        metrics_ds.materialize()  # small (≤ n_partitions rows); drives execution
 
-    metrics = ckpt.bucket_metrics(index_dir, cfg.n_buckets)
+    # ---- pass C: global term stats (df summed across doc shards) ----
+    ts_dir = ckpt.termstats_dir(index_dir)
+    if pending or not os.path.exists(ts_dir):
+        seg_meta = ray.data.read_parquet(ckpt.segments_dir(index_dir),
+                                         columns=["term", "df", "total_tf"])
+        stats = (seg_meta.groupby("term")
+                 .aggregate(Sum("df"), Sum("total_tf"))
+                 .rename_columns({"sum(df)": "df", "sum(total_tf)": "total_tf"}))
+        tmp_dir = ts_dir + ".tmp"
+        shutil.rmtree(tmp_dir, ignore_errors=True)
+        stats.write_parquet(tmp_dir)
+        shutil.rmtree(ts_dir, ignore_errors=True)
+        os.replace(tmp_dir, ts_dir)
+
+    metrics = ckpt.partition_metrics(index_dir, cfg)
     ckpt.write_manifest(index_dir, cfg, metrics)
     return ckpt.read_manifest(index_dir)

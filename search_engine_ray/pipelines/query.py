@@ -1,35 +1,40 @@
-"""BM25 top-k query serving over the segment index.
+"""BM25 top-k query serving over the doc-sharded segment index.
 
 Reference analogue: ``SearchEngine::HandleQuery``
 (``/root/reference/SearchEngine.h:103-381``) probes the in-heap index maps
 and ranks by raw tf sums.  Here (north rule) the index lives in Parquet
-segments partitioned by term-hash bucket; query serving is a **stateful actor
-pool**: each ``SegmentSearcher`` pins its buckets' term dictionary + packed
-postings in memory once (``__init__``), queries fan out only to the actors
-whose buckets own the probed terms (fixing the reference inefficiency of
-scanning every shard per probe, ``SearchEngine.h:137-141``), and per-actor
-partial scores merge on the driver with a deterministic
-(-score, doc_id) tie-break — the reference's unstable tie order
-(``SearchEngine.h:342-381``) made deterministic, per SURVEY.md §2.6 O1.
+segments on a (doc-shard × term-bucket) grid; query serving is a **stateful
+actor pool of document-shard searchers**: each :class:`SegmentSearcher` pins
+its shards' term dictionary + packed postings in memory once (``__init__``),
+every query fans out to all shard actors, each computes COMPLETE BM25 scores
+for its disjoint document set (global df/avgdl from the build's termstats
+pass) and returns only its local top-k, and the driver merges ``k × actors``
+rows — bounded fan-in at any corpus size, unlike term-partitioned serving
+whose per-query merge grows with df.  (This also fixes the reference
+inefficiency of scanning every value_index shard per probe,
+``SearchEngine.h:137-141``.)
 
 Scoring: textbook BM25 (k1=1.2, b=0.75), ``idf = ln((N-df+0.5)/(df+0.5)+1)``,
-float64, query terms processed in sorted order so score sums are
-deterministic under any partitioning.  Query semantics are pure OR-union,
-matching the reference (SURVEY.md §2.7 — no conjunctive evaluation).
+float64.  Each doc lives in exactly one shard, so its score is assembled in
+one actor from a deterministic sorted-term order → rank/score-identical to
+the single-process oracle under any partitioning, with the deterministic
+(-score, doc_id) tie-break (the reference's unstable tie order,
+``SearchEngine.h:342-381``, made deterministic per SURVEY.md §2.6 O1).
+Query semantics are pure OR-union, matching the reference (SURVEY §2.7).
 """
 
 from __future__ import annotations
 
+import glob
 import os
-from collections import defaultdict
 
 import numpy as np
+import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
 import ray
 
 from ..functions.analyze import ENGLISH_STOPWORDS, tokenize
-from ..functions.analyze import fnv1a64
 from ..functions.varint import delta_decode, varint_decode
 from ..state import checkpoint as ckpt
 
@@ -39,13 +44,14 @@ def bm25_idf(n_docs: int, df: np.ndarray | float) -> np.ndarray | float:
 
 
 class SegmentSearcher:
-    """Holds the postings of a set of buckets in memory; answers term probes.
+    """Holds the postings of a set of DOC SHARDS in memory; answers queries
+    with complete per-doc scores for its shards' documents.
 
     Plain class — wrapped in ``ray.remote`` by :class:`QueryEngine` for the
     actor-pool deployment, instantiable directly for in-process tests.
     """
 
-    def __init__(self, index_dir: str, buckets: list[int],
+    def __init__(self, index_dir: str, shards: list[int],
                  field: str = "text"):
         stats = ckpt.read_docstats(index_dir)
         man = ckpt.read_manifest(index_dir)
@@ -53,50 +59,102 @@ class SegmentSearcher:
         self.avgdl = stats["avgdl"] or 1.0
         self.k1 = man["config"]["bm25_k1"]
         self.b = man["config"]["bm25_b"]
-        self.terms: dict[str, int] = {}
-        ids_col, tfs_col, dls_col, df_col = [], [], [], []
-        for b in buckets:
-            path = os.path.join(ckpt.bucket_dir(index_dir, b), "postings.parquet")
-            if not os.path.exists(path):
-                continue
-            t = pq.read_table(path)
-            t = t.filter(np.asarray(
-                [f == field for f in t["field"].to_pylist()], dtype=bool)) \
-                if "field" in t.column_names else t
-            base = len(ids_col)
-            for i, term in enumerate(t["term"].to_pylist()):
-                self.terms[term] = base + i
-            ids_col.extend(t["doc_ids"].to_pylist())
-            tfs_col.extend(t["tfs"].to_pylist())
-            dls_col.extend(t["doc_lens"].to_pylist())
-            df_col.extend(t["df"].to_pylist())
+        # term → list of slots (one per shard holding the term)
+        self.terms: dict[str, list[int]] = {}
+        ids_col, tfs_col, dls_col = [], [], []
+        local_terms = set()
+        for s in shards:
+            pattern = os.path.join(ckpt.shard_dir(index_dir, s),
+                                   "bucket=*", "postings.parquet")
+            for path in sorted(glob.glob(pattern)):
+                t = pq.read_table(path)
+                if "field" in t.column_names:
+                    t = t.filter(pc.equal(t["field"], field))
+                base = len(ids_col)
+                for i, term in enumerate(t["term"].to_pylist()):
+                    self.terms.setdefault(term, []).append(base + i)
+                    local_terms.add(term)
+                ids_col.extend(t["doc_ids"].to_pylist())
+                tfs_col.extend(t["tfs"].to_pylist())
+                dls_col.extend(t["doc_lens"].to_pylist())
         self._ids = ids_col
         self._tfs = tfs_col
         self._dls = dls_col
-        self._df = np.asarray(df_col, dtype=np.int64)
+        # GLOBAL df for scoring: read the termstats table filtered to this
+        # searcher's vocabulary (per-shard vocab ≪ global vocab at scale).
+        self.global_df: dict[str, int] = {}
+        ts_dir = ckpt.termstats_dir(index_dir)
+        if os.path.exists(ts_dir):
+            ts = pq.read_table(ts_dir, columns=["term", "df"])
+            terms_arr, df_arr = ts["term"].to_pylist(), ts["df"].to_pylist()
+            for term, df in zip(terms_arr, df_arr):
+                if term in local_terms:
+                    self.global_df[term] = int(df)
+        # local docID dictionary: sorted global docIDs of this searcher's
+        # shards (from the docstore, filtered to owned shards).  Posting
+        # lists are mapped to dense int32 local ids so per-query score
+        # accumulation is one C-speed np.bincount instead of a sort-merge.
+        n_shards_total = man["config"]["n_doc_shards"]
+        own = set(shards)
+        store = pq.read_table(os.path.join(index_dir, "docstore"),
+                              columns=["doc_id"])
+        all_ids = store["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        mask = np.isin(all_ids % n_shards_total, list(own))
+        self._docs = np.unique(all_ids[mask])
+        # decode-once cache: term → (local int32 ids, bm25 contributions);
+        # BM25 per posting depends only on (tf, dl, df) — all fixed at build
+        # time — so the per-term score vector is decoded+scored once and
+        # every query is bincount+top-k.  LRU-bounded for web-scale shards
+        # where the full decoded index exceeds the heap.
+        from collections import OrderedDict
+        self._score_cache: OrderedDict[str, tuple[np.ndarray, np.ndarray]] = \
+            OrderedDict()
+        self._cache_max_terms = 100_000
 
-    def search(self, terms: list[str]) -> tuple[np.ndarray, np.ndarray]:
-        """OR-union BM25 partials for this actor's terms →
-        (doc_ids int64, partial_scores float64), doc_ids unique ascending."""
-        parts_ids, parts_scores = [], []
-        for term in sorted(set(terms)):
-            slot = self.terms.get(term)
-            if slot is None:
-                continue
+    def _term_scores(self, term: str) -> tuple[np.ndarray, np.ndarray] | None:
+        cached = self._score_cache.get(term)
+        if cached is not None:
+            self._score_cache.move_to_end(term)
+            return cached
+        slots = self.terms.get(term)
+        if not slots:
+            return None
+        idf = bm25_idf(self.n_docs, float(self.global_df.get(term, 0)))
+        ids_parts, score_parts = [], []
+        for slot in slots:
             doc_ids = delta_decode(self._ids[slot]).astype(np.int64)
             tf = varint_decode(self._tfs[slot]).astype(np.float64)
             dl = varint_decode(self._dls[slot]).astype(np.float64)
-            idf = bm25_idf(self.n_docs, float(self._df[slot]))
             denom = tf + self.k1 * (1.0 - self.b + self.b * dl / self.avgdl)
-            parts_ids.append(doc_ids)
-            parts_scores.append(idf * tf * (self.k1 + 1.0) / denom)
-        if not parts_ids:
+            ids_parts.append(np.searchsorted(self._docs, doc_ids).astype(np.int32))
+            score_parts.append(idf * tf * (self.k1 + 1.0) / denom)
+        entry = (np.concatenate(ids_parts), np.concatenate(score_parts))
+        self._score_cache[term] = entry
+        if len(self._score_cache) > self._cache_max_terms:
+            self._score_cache.popitem(last=False)
+        return entry
+
+    def search(self, terms: list[str], k: int = 10
+               ) -> tuple[np.ndarray, np.ndarray]:
+        """OR-union BM25 over this searcher's docs → local top-k
+        (doc_ids int64, scores float64), ordered by (-score, doc_id)."""
+        parts = [p for p in (self._term_scores(t) for t in sorted(set(terms)))
+                 if p is not None]
+        if not parts:
             return (np.zeros(0, dtype=np.int64), np.zeros(0, dtype=np.float64))
-        return merge_partials(np.concatenate(parts_ids),
-                              np.concatenate(parts_scores))
+        dense = np.bincount(np.concatenate([p[0] for p in parts]),
+                            weights=np.concatenate([p[1] for p in parts]),
+                            minlength=len(self._docs))
+        hits = np.flatnonzero(dense > 0.0)   # BM25 contributions are > 0
+        if hits.size > 4 * k > 0:
+            # exact prefilter: keep every doc scoring >= the k-th largest
+            # (ties at the boundary included), then tie-break-sort the rest
+            thresh = np.partition(dense[hits], hits.size - k)[hits.size - k]
+            hits = hits[dense[hits] >= thresh]
+        return top_k(self._docs[hits], dense[hits], k)
 
     def df_of(self, terms: list[str]) -> dict[str, int]:
-        return {t: int(self._df[self.terms[t]]) for t in terms if t in self.terms}
+        return {t: self.global_df[t] for t in terms if t in self.global_df}
 
 
 def merge_partials(doc_ids: np.ndarray,
@@ -116,10 +174,10 @@ def top_k(doc_ids: np.ndarray, scores: np.ndarray,
 
 
 class QueryEngine:
-    """Driver-side facade: query parsing, term→bucket routing, partial merge.
+    """Driver-side facade: query parsing, shard fan-out, top-k merge.
 
     ``use_actors=True`` deploys ``num_searchers`` Ray actors, each owning a
-    contiguous slice of buckets (state loaded once, reused across queries);
+    slice of doc shards (state loaded once, reused across queries);
     ``use_actors=False`` runs the same code in-process (tests, tiny corpora).
     """
 
@@ -128,44 +186,31 @@ class QueryEngine:
         self.index_dir = index_dir
         man = ckpt.read_manifest(index_dir)
         self.cfg = man["config"]
-        self.n_buckets = self.cfg["n_buckets"]
+        n_shards = self.cfg["n_doc_shards"]
         self.stopwords = ENGLISH_STOPWORDS if self.cfg["stopwords"] else None
         self.stem = self.cfg["stem"]
         self.use_actors = use_actors
-        num_searchers = min(num_searchers, self.n_buckets)
-        slices = [list(range(self.n_buckets))[i::num_searchers]
+        num_searchers = min(num_searchers, n_shards)
+        slices = [list(range(n_shards))[i::num_searchers]
                   for i in range(num_searchers)]
-        self.owner = {}
-        for s, bs in enumerate(slices):
-            for b in bs:
-                self.owner[b] = s
         if use_actors:
             remote = ray.remote(SegmentSearcher)
-            self.searchers = [remote.remote(index_dir, bs) for bs in slices]
+            self.searchers = [remote.remote(index_dir, sl) for sl in slices]
         else:
-            self.searchers = [SegmentSearcher(index_dir, bs) for bs in slices]
-
-    def _route(self, terms: list[str]) -> dict[int, list[str]]:
-        by_searcher: dict[int, list[str]] = defaultdict(list)
-        for t in sorted(set(terms)):
-            b = fnv1a64(t.encode("utf-8")) % self.n_buckets
-            by_searcher[self.owner[b]].append(t)
-        return by_searcher
+            self.searchers = [SegmentSearcher(index_dir, sl) for sl in slices]
 
     def query(self, text: str, k: int = 10) -> list[tuple[int, float]]:
         terms = tokenize(text, stopwords=self.stopwords, stem=self.stem)
         if not terms:
             return []
-        routed = sorted(self._route(terms).items())
         if self.use_actors:
-            partials = ray.get([self.searchers[s].search.remote(ts)
-                                for s, ts in routed])
+            partials = ray.get([s.search.remote(terms, k)
+                                for s in self.searchers])
         else:
-            partials = [self.searchers[s].search(ts) for s, ts in routed]
-        ids = np.concatenate([p[0] for p in partials]) if partials else np.zeros(0, np.int64)
-        sc = np.concatenate([p[1] for p in partials]) if partials else np.zeros(0)
+            partials = [s.search(terms, k) for s in self.searchers]
+        ids = np.concatenate([p[0] for p in partials])
+        sc = np.concatenate([p[1] for p in partials])
         if ids.size == 0:
             return []
-        ids, sc = merge_partials(ids, sc)
         ids, sc = top_k(ids, sc, k)
         return [(int(d), float(s)) for d, s in zip(ids, sc)]

@@ -120,25 +120,30 @@ def decode_posting(row: dict) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
             varint_decode(row["doc_lens"]))
 
 
-class EncodeBucketWriter:
-    """``groupby('bucket').map_groups`` callable: encode one bucket and write
-    it as an atomic segment partition (tmp file + rename + done-marker), the
-    north-rule checkpoint unit.  Returns one metrics row per bucket.
-    """
+class EncodePartitionWriter:
+    """``groupby('part').map_groups`` callable: encode one (doc-shard,
+    term-bucket) partition and write it atomically (tmp file + rename +
+    ``_DONE`` marker) — the north-rule checkpoint unit.  Returns one metrics
+    row per partition."""
 
-    def __init__(self, out_dir: str):
+    def __init__(self, out_dir: str, n_buckets: int):
         self.out_dir = out_dir
+        self.n_buckets = n_buckets
 
     def __call__(self, group: pa.Table) -> pa.Table:
-        bucket = int(group["bucket"][0].as_py()) if group.num_rows else -1
-        seg = encode_postings_table(group.drop_columns(["bucket"]))
-        part_dir = os.path.join(self.out_dir, f"bucket={bucket:05d}")
+        part = int(group["part"][0].as_py()) if group.num_rows else -1
+        shard, bucket = part // self.n_buckets, part % self.n_buckets
+        seg = encode_postings_table(group.drop_columns(["part"]))
+        part_dir = os.path.join(self.out_dir, f"shard={shard:03d}",
+                                f"bucket={bucket:05d}")
         os.makedirs(part_dir, exist_ok=True)
         tmp = os.path.join(part_dir, f".tmp-{uuid.uuid4().hex}.parquet")
         pq.write_table(seg, tmp, compression="zstd")
         final = os.path.join(part_dir, "postings.parquet")
         os.replace(tmp, final)
         metrics = {
+            "part": part,
+            "shard": shard,
             "bucket": bucket,
             "n_terms": seg.num_rows,
             "n_postings": int(pa.compute.sum(seg["df"]).as_py() or 0),

@@ -83,7 +83,10 @@ def count_tf(row_idx: np.ndarray, terms: pa.Array,
 
 
 class TokenizePostings:
-    """``map_batches`` callable: documents batch → ``(term, doc_id, tf, bucket)``.
+    """``map_batches`` callable: documents batch → ``(term, doc_id, tf,
+    doc_len, part)`` where ``part = (doc_id % n_doc_shards) * n_buckets +
+    term_hash % n_buckets`` — the single shuffle key for the (doc-shard,
+    term-bucket) partition grid (see ``state/checkpoint.py``).
 
     Stateless w.r.t. data but holds compiled configuration; used as an actor
     pool so stopword sets / config are built once per actor (north-rule ST5).
@@ -91,12 +94,13 @@ class TokenizePostings:
 
     def __init__(self, *, text_col: str = "text", id_col: str = "doc_id",
                  stopwords: frozenset[str] | None = None, stem: bool = False,
-                 n_buckets: int = 32):
+                 n_buckets: int = 32, n_doc_shards: int = 1):
         self.text_col = text_col
         self.id_col = id_col
         self.stopwords = stopwords
         self.stem = stem
         self.n_buckets = n_buckets
+        self.n_doc_shards = n_doc_shards
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         doc_ids = batch[self.id_col].to_numpy(zero_copy_only=False).astype(np.int64)
@@ -107,7 +111,7 @@ class TokenizePostings:
                              "doc_id": pa.array([], type=pa.int64()),
                              "tf": pa.array([], type=pa.int32()),
                              "doc_len": pa.array([], type=pa.int32()),
-                             "bucket": pa.array([], type=pa.int32())})
+                             "part": pa.array([], type=pa.int32())})
         doc_len = np.bincount(row_idx, minlength=batch.num_rows)
         tok = pa.table({"term": terms,
                         "row": pa.array(row_idx, type=pa.int64())})
@@ -115,13 +119,15 @@ class TokenizePostings:
         rows = agg["row"].to_numpy(zero_copy_only=False)
         term_col = agg["term"].combine_chunks() if isinstance(agg["term"], pa.ChunkedArray) \
             else agg["term"]
-        bucket = (fnv1a64_array(term_col) % np.uint64(self.n_buckets)).astype(np.int32)
+        bucket = (fnv1a64_array(term_col) % np.uint64(self.n_buckets)).astype(np.int64)
+        shard = doc_ids[rows] % self.n_doc_shards
+        part = (shard * self.n_buckets + bucket).astype(np.int32)
         return pa.table({
             "term": term_col,
             "doc_id": pa.array(doc_ids[rows], type=pa.int64()),
             "tf": agg["count_all"].cast(pa.int32()),
             "doc_len": pa.array(doc_len[rows], type=pa.int32()),
-            "bucket": pa.array(bucket, type=pa.int32()),
+            "part": pa.array(part, type=pa.int32()),
         })
 
 

@@ -5,19 +5,33 @@ The reference rebuilds its whole in-memory database on every run
 and refills).  The north rule requires the opposite: segment builds stream,
 each partition commits atomically (tmp file + rename + ``_DONE`` marker with
 metrics), and an interrupted build resumes by skipping finished partitions
-BEFORE the shuffle (the pending-bucket filter is pushed into the tokenize
-stage, so finished buckets' rows never enter the groupby).
+BEFORE the shuffle (the pending-partition filter is pushed into the tokenize
+stage, so finished partitions' rows never enter the groupby).
+
+Partitioning is two-level (the serving/building split of real engines):
+
+- ``shard``   = doc_id % n_doc_shards — **document shard**, the query-serving
+  unit: one stateful searcher actor owns shard(s) and computes complete
+  scores for its docs, returning only top-k (bounded fan-in at any scale).
+- ``bucket``  = term_hash % n_buckets — **term bucket** within a shard, the
+  build/checkpoint unit: one ``map_groups`` call encodes one (shard, bucket)
+  partition (the rebuild's ``word % filling_thread_count_``,
+  ``KaggleFinanceSourceEngine.cpp:296``).
+
+``part = shard * n_buckets + bucket`` is the single shuffle key.
 
 Layout::
 
     index_dir/
-      manifest.json            # config + per-bucket metrics, written last
-      docstats.json            # N, avgdl, total_tokens  (BM25 globals)
-      docstore/ *.parquet      # doc_id, doc_len, url/lang passthroughs
+      manifest.json              # config + per-partition metrics, written last
+      docstats.json              # N, avgdl, total_tokens  (BM25 globals)
+      docstore/ *.parquet        # doc_id, doc_len, url/lang passthroughs
+      termstats/ *.parquet       # term, df, total_tf — GLOBAL term stats
+                                 #   (aggregated across shards after segments)
       segments/
-        bucket=00000/
-          postings.parquet     # SEGMENT_SCHEMA (stages/postings.py)
-          _DONE                # json metrics; presence = partition committed
+        shard=000/bucket=00000/
+          postings.parquet       # SEGMENT_SCHEMA (stages/postings.py)
+          _DONE                  # json metrics; presence = partition committed
 """
 
 from __future__ import annotations
@@ -29,7 +43,8 @@ from dataclasses import asdict, dataclass, field
 
 @dataclass
 class IndexConfig:
-    n_buckets: int = 32
+    n_buckets: int = 16
+    n_doc_shards: int = 4
     text_col: str = "text"
     id_col: str = "doc_id"
     stopwords: bool = False
@@ -39,29 +54,54 @@ class IndexConfig:
     bm25_b: float = 0.75
     extra: dict = field(default_factory=dict)
 
+    @property
+    def n_partitions(self) -> int:
+        return self.n_buckets * self.n_doc_shards
+
+
+def part_id(shard: int, bucket: int, n_buckets: int) -> int:
+    return shard * n_buckets + bucket
+
+
+def split_part(part: int, n_buckets: int) -> tuple[int, int]:
+    return part // n_buckets, part % n_buckets
+
 
 def segments_dir(index_dir: str) -> str:
     return os.path.join(index_dir, "segments")
 
 
-def bucket_dir(index_dir: str, bucket: int) -> str:
-    return os.path.join(segments_dir(index_dir), f"bucket={bucket:05d}")
+def termstats_dir(index_dir: str) -> str:
+    return os.path.join(index_dir, "termstats")
 
 
-def done_buckets(index_dir: str, n_buckets: int) -> list[int]:
-    return [b for b in range(n_buckets)
-            if os.path.exists(os.path.join(bucket_dir(index_dir, b), "_DONE"))]
+def shard_dir(index_dir: str, shard: int) -> str:
+    return os.path.join(segments_dir(index_dir), f"shard={shard:03d}")
 
 
-def pending_buckets(index_dir: str, n_buckets: int) -> list[int]:
-    done = set(done_buckets(index_dir, n_buckets))
-    return [b for b in range(n_buckets) if b not in done]
+def partition_dir(index_dir: str, shard: int, bucket: int) -> str:
+    return os.path.join(shard_dir(index_dir, shard), f"bucket={bucket:05d}")
 
 
-def bucket_metrics(index_dir: str, n_buckets: int) -> list[dict]:
+def done_partitions(index_dir: str, cfg: IndexConfig) -> list[int]:
     out = []
-    for b in done_buckets(index_dir, n_buckets):
-        with open(os.path.join(bucket_dir(index_dir, b), "_DONE")) as f:
+    for s in range(cfg.n_doc_shards):
+        for b in range(cfg.n_buckets):
+            if os.path.exists(os.path.join(partition_dir(index_dir, s, b), "_DONE")):
+                out.append(part_id(s, b, cfg.n_buckets))
+    return out
+
+
+def pending_partitions(index_dir: str, cfg: IndexConfig) -> list[int]:
+    done = set(done_partitions(index_dir, cfg))
+    return [p for p in range(cfg.n_partitions) if p not in done]
+
+
+def partition_metrics(index_dir: str, cfg: IndexConfig) -> list[dict]:
+    out = []
+    for p in done_partitions(index_dir, cfg):
+        s, b = split_part(p, cfg.n_buckets)
+        with open(os.path.join(partition_dir(index_dir, s, b), "_DONE")) as f:
             out.append(json.load(f))
     return out
 
@@ -81,7 +121,7 @@ def read_docstats(index_dir: str) -> dict:
 
 def write_manifest(index_dir: str, config: IndexConfig, metrics: list[dict]) -> None:
     _atomic_json(os.path.join(index_dir, "manifest.json"),
-                 {"config": asdict(config), "buckets": metrics})
+                 {"config": asdict(config), "partitions": metrics})
 
 
 def read_manifest(index_dir: str) -> dict:

@@ -15,13 +15,15 @@ QUERIES = ["table row merge", "spark", "window agg sort", "customer filter",
            "dup", "the a big", "nosuchterm", "hash hash join",
            "it's O'Brien", "naïve café table"]
 
+CFG = dict(n_buckets=8, n_doc_shards=3)
+
 
 @pytest.fixture(scope="module")
 def built_index(ray_session, sf_small, tmp_path_factory):
     from search_engine_ray.pipelines.build import build_index
     idx = str(tmp_path_factory.mktemp("idx") / "sf_small")
     man = build_index(os.path.join(sf_small, "documents.parquet"), idx,
-                      IndexConfig(n_buckets=8), keep_cols=("lang",))
+                      IndexConfig(**CFG), keep_cols=("lang",))
     return idx, man
 
 
@@ -34,9 +36,9 @@ def oracle(sf_small):
 
 def test_manifest_complete(built_index):
     idx, man = built_index
-    assert len(man["buckets"]) == 8
-    assert all(os.path.exists(os.path.join(ckpt.bucket_dir(idx, b), "_DONE"))
-               for b in range(8))
+    cfg = IndexConfig(**CFG)
+    assert len(man["partitions"]) == cfg.n_partitions
+    assert ckpt.pending_partitions(idx, cfg) == []
 
 
 def test_docstats_match_oracle(built_index, oracle):
@@ -46,13 +48,32 @@ def test_docstats_match_oracle(built_index, oracle):
     assert stats["avgdl"] == pytest.approx(oracle.avgdl)
 
 
-def test_df_match_oracle(built_index, oracle):
+def test_global_df_match_oracle(built_index, oracle):
     from search_engine_ray.pipelines.query import SegmentSearcher
     idx, _ = built_index
-    s = SegmentSearcher(idx, list(range(8)))
+    s = SegmentSearcher(idx, list(range(CFG["n_doc_shards"])))
     assert set(s.terms) == set(oracle.postings)
     for term in oracle.postings:
-        assert s.df_of([term])[term] == oracle.df(term)
+        assert s.df_of([term])[term] == oracle.df(term), term
+
+
+def test_doc_sharding_is_disjoint_and_complete(built_index, oracle):
+    from search_engine_ray.pipelines.query import SegmentSearcher
+    from search_engine_ray.functions.varint import delta_decode
+    idx, _ = built_index
+    seen: set[int] = set()
+    total = 0
+    for shard in range(CFG["n_doc_shards"]):
+        s = SegmentSearcher(idx, [shard])
+        shard_docs: set[int] = set()
+        for slots in s.terms.values():
+            for slot in slots:
+                shard_docs.update(delta_decode(s._ids[slot]).tolist())
+        assert not (seen & shard_docs)
+        seen |= shard_docs
+        total += len(shard_docs)
+    assert seen == set(oracle.doc_len) - \
+        {d for d, l in oracle.doc_len.items() if l == 0}
 
 
 @pytest.mark.parametrize("use_actors", [False, True])
@@ -60,7 +81,7 @@ def test_bm25_rank_and_score_identical(built_index, oracle, use_actors,
                                        ray_session):
     from search_engine_ray.pipelines.query import QueryEngine
     idx, _ = built_index
-    qe = QueryEngine(idx, num_searchers=3, use_actors=use_actors)
+    qe = QueryEngine(idx, num_searchers=2, use_actors=use_actors)
     for q in QUERIES:
         got = qe.query(q, k=10)
         want = oracle.bm25(q, k=10)
@@ -69,31 +90,36 @@ def test_bm25_rank_and_score_identical(built_index, oracle, use_actors,
             assert gs == pytest.approx(ws, abs=1e-9), q
 
 
-def test_resume_skips_finished_buckets(ray_session, sf_small, tmp_path):
+def test_resume_skips_finished_partitions(ray_session, sf_small, tmp_path):
     from search_engine_ray.pipelines.build import build_index
+    cfg = IndexConfig(**CFG)
     idx = str(tmp_path / "resume")
     src = os.path.join(sf_small, "documents.parquet")
-    build_index(src, idx, IndexConfig(n_buckets=8))
+    build_index(src, idx, cfg)
 
-    # wreck half the buckets: delete markers + files
-    for b in range(4):
-        shutil.rmtree(ckpt.bucket_dir(idx, b))
-    mtimes = {b: os.path.getmtime(os.path.join(ckpt.bucket_dir(idx, b),
-                                               "postings.parquet"))
-              for b in range(4, 8)}
-    assert ckpt.pending_buckets(idx, 8) == [0, 1, 2, 3]
+    # wreck shard 0 (all its buckets): delete markers + files
+    wrecked = [ckpt.part_id(0, b, cfg.n_buckets) for b in range(cfg.n_buckets)]
+    shutil.rmtree(ckpt.shard_dir(idx, 0))
+    survivors = {}
+    for s in range(1, cfg.n_doc_shards):
+        for b in range(cfg.n_buckets):
+            p = os.path.join(ckpt.partition_dir(idx, s, b), "postings.parquet")
+            survivors[p] = os.path.getmtime(p)
+    assert ckpt.pending_partitions(idx, cfg) == wrecked
 
-    man = build_index(src, idx, IndexConfig(n_buckets=8))
-    assert len(man["buckets"]) == 8
+    man = build_index(src, idx, cfg)
+    assert len(man["partitions"]) == cfg.n_partitions
     # finished partitions were NOT recomputed
-    for b in range(4, 8):
-        assert os.path.getmtime(os.path.join(ckpt.bucket_dir(idx, b),
-                                             "postings.parquet")) == mtimes[b]
+    for p, mtime in survivors.items():
+        assert os.path.getmtime(p) == mtime
 
     # and the resumed index equals a fresh build
     idx2 = str(tmp_path / "fresh")
-    build_index(src, idx2, IndexConfig(n_buckets=8))
-    for b in range(8):
-        t1 = pq.read_table(os.path.join(ckpt.bucket_dir(idx, b), "postings.parquet"))
-        t2 = pq.read_table(os.path.join(ckpt.bucket_dir(idx2, b), "postings.parquet"))
-        assert t1.equals(t2)
+    build_index(src, idx2, cfg)
+    for s in range(cfg.n_doc_shards):
+        for b in range(cfg.n_buckets):
+            t1 = pq.read_table(os.path.join(ckpt.partition_dir(idx, s, b),
+                                            "postings.parquet"))
+            t2 = pq.read_table(os.path.join(ckpt.partition_dir(idx2, s, b),
+                                            "postings.parquet"))
+            assert t1.equals(t2)

@@ -46,13 +46,15 @@ def test_tokenize_postings_stage():
         "doc_id": pa.array([7, 8], type=pa.int64()),
         "text": pa.array(["red red blue", "blue green"]),
     })
-    out = TokenizePostings(n_buckets=4)(batch)
+    out = TokenizePostings(n_buckets=4, n_doc_shards=2)(batch)
     rows = {(r["term"], r["doc_id"]): (r["tf"], r["doc_len"])
             for r in out.to_pylist()}
     assert rows == {("red", 7): (2, 3), ("blue", 7): (1, 3),
                     ("blue", 8): (1, 2), ("green", 8): (1, 2)}
     for r in out.to_pylist():
-        assert r["bucket"] == fnv1a64(r["term"].encode()) % 4
+        # part = shard * n_buckets + bucket
+        assert r["part"] == (r["doc_id"] % 2) * 4 + \
+            fnv1a64(r["term"].encode()) % 4
 
 
 def test_encode_decode_postings_roundtrip():
