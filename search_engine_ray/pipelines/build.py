@@ -62,11 +62,17 @@ def build_index(source: str | DatasetFactory, index_dir: str,
                 config: IndexConfig | None = None, *,
                 keep_cols: Iterable[str] = (),
                 batch_size: int = 8192,
-                tokenize_concurrency: int | None = None) -> dict:
+                tokenize_concurrency: int | None = None,
+                postings_stage=None,
+                postings_columns: list[str] | None = None) -> dict:
     """Build (or resume) the index at ``index_dir``. Returns the manifest.
 
     ``source`` is a parquet path/dir or a zero-arg Dataset factory (the
     factory is called once per pass; passes read disjoint column sets).
+    ``postings_stage`` overrides the per-batch posting-row emitter (e.g.
+    ``FieldedPostings`` for the multi-field reference index); it must emit
+    a ``part`` column consistent with the config's partition grid, and
+    ``postings_columns`` names the input columns it needs.
     """
     cfg = config or IndexConfig()
     os.makedirs(index_dir, exist_ok=True)
@@ -91,13 +97,13 @@ def build_index(source: str | DatasetFactory, index_dir: str,
     if pending:
         seg_dir = ckpt.segments_dir(index_dir)
         os.makedirs(seg_dir, exist_ok=True)
-        ds = _resolve(source, [cfg.id_col, cfg.text_col])
+        stage = postings_stage or TokenizePostings(
+            text_col=cfg.text_col, id_col=cfg.id_col,
+            stopwords=stopwords, stem=cfg.stem,
+            n_buckets=cfg.n_buckets, n_doc_shards=cfg.n_doc_shards)
+        ds = _resolve(source, postings_columns or [cfg.id_col, cfg.text_col])
         postings = ds.map_batches(
-            TokenizePostings(text_col=cfg.text_col, id_col=cfg.id_col,
-                             stopwords=stopwords, stem=cfg.stem,
-                             n_buckets=cfg.n_buckets,
-                             n_doc_shards=cfg.n_doc_shards),
-            batch_format="pyarrow", batch_size=batch_size,
+            stage, batch_format="pyarrow", batch_size=batch_size,
             concurrency=tokenize_concurrency)
         if len(pending) < cfg.n_partitions:
             want = pa.array(pending, type=pa.int32())
@@ -116,9 +122,10 @@ def build_index(source: str | DatasetFactory, index_dir: str,
     # ---- pass C: global term stats (df summed across doc shards) ----
     ts_dir = ckpt.termstats_dir(index_dir)
     if pending or not os.path.exists(ts_dir):
-        seg_meta = ray.data.read_parquet(ckpt.segments_dir(index_dir),
-                                         columns=["term", "df", "total_tf"])
-        stats = (seg_meta.groupby("term")
+        seg_meta = ray.data.read_parquet(
+            ckpt.segments_dir(index_dir),
+            columns=["field", "term", "df", "total_tf"])
+        stats = (seg_meta.groupby(["field", "term"])
                  .aggregate(Sum("df"), Sum("total_tf"))
                  .rename_columns({"sum(df)": "df", "sum(total_tf)": "total_tf"}))
         tmp_dir = ts_dir + ".tmp"
@@ -130,3 +137,32 @@ def build_index(source: str | DatasetFactory, index_dir: str,
     metrics = ckpt.partition_metrics(index_dir, cfg)
     ckpt.write_manifest(index_dir, cfg, metrics)
     return ckpt.read_manifest(index_dir)
+
+
+# default column mapping for the articles-shaped pages corpus
+# (sources/pages.py; reference fields at KaggleFinanceSourceEngine.cpp:213-254)
+REFERENCE_TEXT_FIELDS = {"text": "text", "title": "title"}
+REFERENCE_METADATA_FIELDS = {"site": "site", "author": "author",
+                             "country": "country", "language": "lang",
+                             "person": "persons", "location": "locations",
+                             "organization": "organizations"}
+
+
+def build_reference_index(source: str | DatasetFactory, index_dir: str,
+                          config: IndexConfig | None = None, *,
+                          text_fields: dict[str, str] | None = None,
+                          metadata_fields: dict[str, str] | None = None,
+                          **kwargs) -> dict:
+    """Multi-field index with the reference's full field set: tokenized
+    text+title postings plus the 7 metadata set-indexes (SURVEY §1.2)."""
+    from ..stages.tokenize import FieldedPostings
+    cfg = config or IndexConfig()
+    tf = text_fields or REFERENCE_TEXT_FIELDS
+    mf = metadata_fields or REFERENCE_METADATA_FIELDS
+    stage = FieldedPostings(
+        id_col=cfg.id_col, text_fields=tf, metadata_fields=mf,
+        stopwords=ENGLISH_STOPWORDS if cfg.stopwords else None,
+        stem=cfg.stem, n_buckets=cfg.n_buckets, n_doc_shards=cfg.n_doc_shards)
+    cols = [cfg.id_col] + sorted(set(tf.values()) | set(mf.values()))
+    return build_index(source, index_dir, cfg, postings_stage=stage,
+                       postings_columns=cols, **kwargs)

@@ -69,3 +69,67 @@ def build_oracle(rows: list[tuple[int, str]], *, stopwords: bool = False,
     for doc_id, text in rows:
         idx.add(doc_id, text)
     return idx
+
+
+class ReferenceOracle:
+    """Single-process reimplementation of the reference's full multi-field
+    index + ``HandleQuery`` ranking (``/root/reference/SearchEngine.h:
+    103-381``, ``KaggleFinanceSourceEngine.cpp:213-254``): tokenized
+    text/title tf indexes, 7 metadata set-indexes with the CleanMetaData
+    empty-string quirk, OR-union accumulators and the 9-level comparator
+    with deterministic ascending-docID tie-break."""
+
+    TEXT = ("text", "title")
+    METADATA = ("site", "author", "country", "language",
+                "person", "location", "organization")
+
+    def __init__(self):
+        self.index: dict[str, dict[str, dict[int, int]]] = \
+            {f: defaultdict(dict) for f in self.TEXT + self.METADATA}
+
+    def add(self, doc_id: int, *, text: str = "", title: str = "",
+            site: str = "", author: str = "", country: str = "",
+            language: str = "", persons: list[str] = (),
+            locations: list[str] = (), organizations: list[str] = ()) -> None:
+        from ..functions.analyze import clean_metadata
+        for field, value in (("text", text), ("title", title)):
+            for term, tf in Counter(tokenize(value)).items():
+                self.index[field][term][doc_id] = tf
+        meta_values = {"site": [site], "author": [author],
+                       "country": [country], "language": [language],
+                       "person": list(persons), "location": list(locations),
+                       "organization": list(organizations)}
+        for field, values in meta_values.items():
+            for v in values:
+                self.index[field][clean_metadata(v)][doc_id] = 1
+
+    def handle_query(self, probes: list[tuple[str, str]],
+                     k: int = 10) -> list[int]:
+        acc: dict[int, dict] = {}
+        cols = ("text_wc", "title_wc", "person_count", "org_count",
+                "author_count", "site_flag", "language_flag",
+                "location_flag", "country_flag")
+        for field, term in sorted(set(probes)):
+            plist = self.index.get(field, {}).get(term)
+            if not plist:
+                continue
+            for doc_id, tf in plist.items():
+                a = acc.setdefault(doc_id, {c: 0 for c in cols})
+                if field == "text":
+                    a["text_wc"] += tf
+                elif field == "title":
+                    a["title_wc"] += tf
+                elif field == "person":
+                    a["person_count"] += 1
+                elif field == "organization":
+                    a["org_count"] += 1
+                elif field == "author":
+                    a["author_count"] += 1
+                else:
+                    a[f"{'language' if field == 'language' else field}_flag"] = 1
+        ranked = sorted(acc.items(), key=lambda kv: (
+            -kv[1]["language_flag"], -kv[1]["site_flag"],
+            -kv[1]["country_flag"], -kv[1]["location_flag"],
+            -kv[1]["title_wc"], -kv[1]["org_count"], -kv[1]["person_count"],
+            -kv[1]["author_count"], -kv[1]["text_wc"], kv[0]))
+        return [d for d, _ in ranked[:k]]

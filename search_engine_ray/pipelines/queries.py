@@ -361,7 +361,7 @@ SELECT doc_id, octet_length(encode(text)) AS payload_bytes FROM documents
 # Rows-only queries (non-SQL-expressible pipelines)
 # ---------------------------------------------------------------------------
 
-_INDEX_CACHE = "/tmp/serx_index_cache_v2"
+_INDEX_CACHE = "/tmp/serx_index_cache_v3"
 
 
 def _collect_table(ds: "ray.data.Dataset", schema: pa.Schema | None = None) -> pa.Table:

@@ -59,8 +59,9 @@ class SegmentSearcher:
         self.avgdl = stats["avgdl"] or 1.0
         self.k1 = man["config"]["bm25_k1"]
         self.b = man["config"]["bm25_b"]
-        # term → list of slots (one per shard holding the term)
-        self.terms: dict[str, list[int]] = {}
+        self.field = field  # BM25-scored text field
+        # (field, term) → list of slots (one per shard×bucket run)
+        self.terms: dict[tuple[str, str], list[int]] = {}
         ids_col, tfs_col, dls_col = [], [], []
         local_terms = set()
         for s in shards:
@@ -68,12 +69,13 @@ class SegmentSearcher:
                                    "bucket=*", "postings.parquet")
             for path in sorted(glob.glob(pattern)):
                 t = pq.read_table(path)
-                if "field" in t.column_names:
-                    t = t.filter(pc.equal(t["field"], field))
                 base = len(ids_col)
-                for i, term in enumerate(t["term"].to_pylist()):
-                    self.terms.setdefault(term, []).append(base + i)
-                    local_terms.add(term)
+                fields = (t["field"].to_pylist() if "field" in t.column_names
+                          else [field] * t.num_rows)
+                for i, (f, term) in enumerate(zip(fields, t["term"].to_pylist())):
+                    self.terms.setdefault((f, term), []).append(base + i)
+                    if f == field:
+                        local_terms.add(term)
                 ids_col.extend(t["doc_ids"].to_pylist())
                 tfs_col.extend(t["tfs"].to_pylist())
                 dls_col.extend(t["doc_lens"].to_pylist())
@@ -85,7 +87,12 @@ class SegmentSearcher:
         self.global_df: dict[str, int] = {}
         ts_dir = ckpt.termstats_dir(index_dir)
         if os.path.exists(ts_dir):
-            ts = pq.read_table(ts_dir, columns=["term", "df"])
+            cols = ["term", "df"]
+            has_field = "field" in pq.read_schema(
+                glob.glob(os.path.join(ts_dir, "*.parquet"))[0]).names
+            ts = pq.read_table(ts_dir, columns=cols + (["field"] if has_field else []))
+            if has_field:
+                ts = ts.filter(pc.equal(ts["field"], field))
             terms_arr, df_arr = ts["term"].to_pylist(), ts["df"].to_pylist()
             for term, df in zip(terms_arr, df_arr):
                 if term in local_terms:
@@ -111,22 +118,27 @@ class SegmentSearcher:
             OrderedDict()
         self._cache_max_terms = 100_000
 
+    def _decode_slot(self, slot: int) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """One posting run → (local int32 ids, tf float64, doc_len float64)."""
+        doc_ids = delta_decode(self._ids[slot]).astype(np.int64)
+        tf = varint_decode(self._tfs[slot]).astype(np.float64)
+        dl = varint_decode(self._dls[slot]).astype(np.float64)
+        return (np.searchsorted(self._docs, doc_ids).astype(np.int32), tf, dl)
+
     def _term_scores(self, term: str) -> tuple[np.ndarray, np.ndarray] | None:
         cached = self._score_cache.get(term)
         if cached is not None:
             self._score_cache.move_to_end(term)
             return cached
-        slots = self.terms.get(term)
+        slots = self.terms.get((self.field, term))
         if not slots:
             return None
         idf = bm25_idf(self.n_docs, float(self.global_df.get(term, 0)))
         ids_parts, score_parts = [], []
         for slot in slots:
-            doc_ids = delta_decode(self._ids[slot]).astype(np.int64)
-            tf = varint_decode(self._tfs[slot]).astype(np.float64)
-            dl = varint_decode(self._dls[slot]).astype(np.float64)
+            local_ids, tf, dl = self._decode_slot(slot)
             denom = tf + self.k1 * (1.0 - self.b + self.b * dl / self.avgdl)
-            ids_parts.append(np.searchsorted(self._docs, doc_ids).astype(np.int32))
+            ids_parts.append(local_ids)
             score_parts.append(idf * tf * (self.k1 + 1.0) / denom)
         entry = (np.concatenate(ids_parts), np.concatenate(score_parts))
         self._score_cache[term] = entry
@@ -155,6 +167,62 @@ class SegmentSearcher:
 
     def df_of(self, terms: list[str]) -> dict[str, int]:
         return {t: self.global_df[t] for t in terms if t in self.global_df}
+
+    # ---- reference-ranking evaluation (SURVEY §2.5 A4 + §2.6 O1) ----
+
+    # accumulator layout: field → (kind, column); comparator order below
+    _REF_FIELDS = {"text": ("sum_tf", "text_wc"),
+                   "title": ("sum_tf", "title_wc"),
+                   "person": ("count", "person_count"),
+                   "organization": ("count", "org_count"),
+                   "author": ("count", "author_count"),
+                   "site": ("flag", "site_flag"),
+                   "language": ("flag", "language_flag"),
+                   "location": ("flag", "location_flag"),
+                   "country": ("flag", "country_flag")}
+
+    def search_reference(self, probes: list[tuple[str, str]], k: int = 10
+                         ) -> dict[str, np.ndarray]:
+        """Reference ``HandleQuery`` semantics over this searcher's docs
+        (``/root/reference/SearchEngine.h:134-338``): OR-union accumulators
+        per doc — tf sums for text/title, match counters for person/org/
+        author, booleans for site/language/location/country — ranked by the
+        9-level comparator (``SearchEngine.h:342-381``) with the added
+        deterministic ascending-docID tie-break.  Returns the local top-k
+        accumulator columns (docs disjoint across shards → exact)."""
+        n = len(self._docs)
+        acc = {col: np.zeros(n, dtype=np.int64)
+               for _, col in self._REF_FIELDS.values()}
+        matched = np.zeros(n, dtype=bool)
+        for field, term in sorted(set(probes)):
+            spec = self._REF_FIELDS.get(field)
+            slots = self.terms.get((field, term))
+            if spec is None or not slots:
+                continue
+            kind, col = spec
+            for slot in slots:
+                local_ids, tf, _dl = self._decode_slot(slot)
+                matched[local_ids] = True
+                if kind == "sum_tf":
+                    acc[col] += np.bincount(local_ids, weights=tf,
+                                            minlength=n).astype(np.int64)
+                elif kind == "count":
+                    acc[col][local_ids] += 1
+                else:  # flag
+                    acc[col][local_ids] = 1
+        sel = np.flatnonzero(matched)
+        if sel.size == 0:
+            return {"doc_id": np.zeros(0, dtype=np.int64),
+                    **{c: np.zeros(0, dtype=np.int64) for c in acc}}
+        cols = {c: acc[c][sel] for c in acc}
+        docs = self._docs[sel]
+        order = np.lexsort((
+            docs, -cols["text_wc"], -cols["author_count"],
+            -cols["person_count"], -cols["org_count"], -cols["title_wc"],
+            -cols["location_flag"], -cols["country_flag"], -cols["site_flag"],
+            -cols["language_flag"]))[:k]
+        return {"doc_id": docs[order],
+                **{c: cols[c][order] for c in cols}}
 
 
 def merge_partials(doc_ids: np.ndarray,
@@ -214,3 +282,36 @@ class QueryEngine:
             return []
         ids, sc = top_k(ids, sc, k)
         return [(int(d), float(s)) for d, s in zip(ids, sc)]
+
+    def reference_query(self, raw: str, k: int = 10, *,
+                        strict_compat: bool = False) -> list[int]:
+        """Reference-grammar query (``values: .. | title: .. | people: ..``)
+        ranked by the reference's 9-level comparator; returns docIDs."""
+        from ..functions.analyze import clean_metadata, normalize_token
+        from ..functions.queryparse import TEXT_CATEGORIES, parse_query
+        compiled: list[tuple[str, str]] = []
+        for p in parse_query(raw, strict_compat=strict_compat):
+            if p.category in TEXT_CATEGORIES:
+                term = normalize_token(p.term)
+                if term is None:
+                    continue
+            else:
+                term = clean_metadata(p.term)
+            compiled.append((p.field, term))
+        if not compiled:
+            return []
+        if self.use_actors:
+            partials = ray.get([s.search_reference.remote(compiled, k)
+                                for s in self.searchers])
+        else:
+            partials = [s.search_reference(compiled, k) for s in self.searchers]
+        merged = {c: np.concatenate([p[c] for p in partials])
+                  for c in partials[0]}
+        if merged["doc_id"].size == 0:
+            return []
+        order = np.lexsort((
+            merged["doc_id"], -merged["text_wc"], -merged["author_count"],
+            -merged["person_count"], -merged["org_count"], -merged["title_wc"],
+            -merged["location_flag"], -merged["country_flag"],
+            -merged["site_flag"], -merged["language_flag"]))[:k]
+        return [int(d) for d in merged["doc_id"][order]]

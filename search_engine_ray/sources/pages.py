@@ -39,6 +39,16 @@ _QUIRK_NON_ASCII = ["naïve", "zürich", "café"]
 _LANGS = ["english", "spanish", "german", "french", "italian", "dutch"]
 _LANG_P = [0.90, 0.03, 0.03, 0.02, 0.01, 0.01]
 
+# articles-shaped metadata pools (FIXTURES.md §1b); ~1% of metadata values
+# carry non-ASCII bytes to exercise the CleanMetaData empty-string quirk
+# (/root/reference/KaggleFinanceSourceEngine.cpp:162-164,217-220)
+_AUTHORS = [f"author {i:03d}" for i in range(500)]
+_COUNTRIES = ["US", "GB", "DE", "FR", "ES", "IT", "NL", "JP"]
+_COUNTRY_P = [0.40, 0.15, 0.12, 0.10, 0.08, 0.07, 0.05, 0.03]
+_PERSONS = [f"person {i:03d}" for i in range(300)] + ["josé pérez", "björn über"]
+_LOCATIONS = [f"city {i:03d}" for i in range(200)] + ["zürich", "são paulo"]
+_ORGS = [f"org {i:03d} inc" for i in range(250)] + ["café corp"]
+
 _HEADER = (b'<html><head><title>%s</title>'
            b'<meta charset="utf-8"></head><body>'
            b'<div class="nav"><a href="/">home</a> | <a href="/about">about</a>'
@@ -85,12 +95,25 @@ def _doc_row(doc: int, seed: int) -> dict:
     html = (_HEADER % escape_html(title).encode("utf-8")
             + b"<p>" + body.encode("utf-8") + b"</p>"
             + _FOOTER % f"site{site:03d}.example".encode("ascii"))
+    # articles-shaped metadata (FIXTURES §1b) — drawn AFTER the text fields
+    # so adding them kept html/text byte-stable across generator versions
+    author = _AUTHORS[min(int(rng.zipf(1.3)) - 1, len(_AUTHORS) - 1)]
+    country = _COUNTRIES[int(rng.choice(len(_COUNTRIES), p=_COUNTRY_P))]
+    def _pick(pool):
+        k = int(rng.integers(0, 6))
+        return [pool[int(i)] for i in rng.integers(0, len(pool), size=k)]
     return {"url": url,
             "warc_ts": _BASE_TS_US + doc * 1_000_000,
             "html": html,
             "text": text,
             "lang": lang,
-            "title": title}
+            "title": title,
+            "site": f"site{site:03d}.example",
+            "author": author,
+            "country": country,
+            "persons": _pick(_PERSONS),
+            "locations": _pick(_LOCATIONS),
+            "organizations": _pick(_ORGS)}
 
 
 PAGES_SCHEMA = pa.schema([
@@ -100,20 +123,22 @@ PAGES_SCHEMA = pa.schema([
     ("text", pa.string()),
     ("lang", pa.string()),
     ("title", pa.string()),
+    ("site", pa.string()),
+    ("author", pa.string()),
+    ("country", pa.string()),
+    ("persons", pa.list_(pa.string())),
+    ("locations", pa.list_(pa.string())),
+    ("organizations", pa.list_(pa.string())),
 ])
 
 
 def pages_batch(ids: np.ndarray, seed: int = 42) -> pa.Table:
     rows = [_doc_row(int(d), seed) for d in ids]
-    return pa.table({
-        "url": pa.array([r["url"] for r in rows], type=pa.string()),
-        "warc_ts": pa.array([r["warc_ts"] for r in rows],
-                            type=pa.timestamp("us")),
-        "html": pa.array([r["html"] for r in rows], type=pa.binary()),
-        "text": pa.array([r["text"] for r in rows], type=pa.string()),
-        "lang": pa.array([r["lang"] for r in rows], type=pa.string()),
-        "title": pa.array([r["title"] for r in rows], type=pa.string()),
-    })
+    cols = {}
+    for field in PAGES_SCHEMA:
+        cols[field.name] = pa.array([r[field.name] for r in rows],
+                                    type=field.type)
+    return pa.table(cols, schema=PAGES_SCHEMA)
 
 
 def synthesize_pages(n_docs: int, out_dir: str, *, seed: int = 42,

@@ -131,6 +131,116 @@ class TokenizePostings:
         })
 
 
+def clean_metadata_array(values: pa.Array | pa.ChunkedArray) -> pa.Array:
+    """Vectorized reference ``CleanMetaData``
+    (``/root/reference/KaggleFinanceSourceEngine.cpp:155-173``): strip ``'``,
+    ASCII-lowercase; a value containing ANY non-ASCII byte maps to the EMPTY
+    STRING — and is still indexed under ``""`` (the reference quirk)."""
+    if isinstance(values, pa.ChunkedArray):
+        values = values.combine_chunks()
+    values = pc.fill_null(values, "")
+    non_ascii = pc.match_substring_regex(values, "[^\\x00-\\x7F]")
+    cleaned = pc.ascii_lower(pc.replace_substring(values, "'", ""))
+    return pc.if_else(non_ascii, "", cleaned)
+
+
+class FieldedPostings:
+    """``map_batches`` callable for the multi-field reference index: emits
+    ``(field, term, doc_id, tf, doc_len, part)`` rows.
+
+    - **text fields** (reference ``value_index`` / ``title_index``,
+      ``SourceEngine.h:23-24``): tokenized, per-doc tf counts, per-field
+      ``doc_len``.
+    - **metadata fields** (the 7 set-indexes, ``SourceEngine.h:25-31``):
+      ``CleanMetaData`` normalization, set semantics (tf=1, duplicates
+      collapse), empty-string key preserved; list<string> columns (persons/
+      locations/organizations entities) are flattened per doc.
+    """
+
+    def __init__(self, *, id_col: str = "doc_id",
+                 text_fields: dict[str, str] | None = None,
+                 metadata_fields: dict[str, str] | None = None,
+                 stopwords: frozenset[str] | None = None, stem: bool = False,
+                 n_buckets: int = 16, n_doc_shards: int = 4):
+        self.id_col = id_col
+        self.text_fields = text_fields or {"text": "text"}
+        self.metadata_fields = metadata_fields or {}
+        self.stopwords = stopwords
+        self.stem = stem
+        self.n_buckets = n_buckets
+        self.n_doc_shards = n_doc_shards
+
+    def _part(self, terms: pa.Array, doc_ids: np.ndarray) -> pa.Array:
+        bucket = (fnv1a64_array(terms) % np.uint64(self.n_buckets)).astype(np.int64)
+        shard = doc_ids % self.n_doc_shards
+        return pa.array((shard * self.n_buckets + bucket).astype(np.int32),
+                        type=pa.int32())
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        doc_ids = batch[self.id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        n = batch.num_rows
+        outs = []
+        for field_name, col in self.text_fields.items():
+            row_idx, terms = split_and_normalize(
+                batch[col], stopwords=self.stopwords, stem=self.stem)
+            if len(terms) == 0:
+                continue
+            doc_len = np.bincount(row_idx, minlength=n)
+            tok = pa.table({"term": terms,
+                            "row": pa.array(row_idx, type=pa.int64())})
+            agg = tok.group_by(["term", "row"]).aggregate([([], "count_all")])
+            rows = agg["row"].to_numpy(zero_copy_only=False)
+            term_col = agg["term"].combine_chunks() \
+                if isinstance(agg["term"], pa.ChunkedArray) else agg["term"]
+            outs.append(pa.table({
+                "field": pa.array([field_name] * len(rows), type=pa.string()),
+                "term": term_col,
+                "doc_id": pa.array(doc_ids[rows], type=pa.int64()),
+                "tf": agg["count_all"].cast(pa.int32()),
+                "doc_len": pa.array(doc_len[rows], type=pa.int32()),
+                "part": self._part(term_col, doc_ids[rows]),
+            }))
+        for field_name, col in self.metadata_fields.items():
+            arr = batch[col]
+            if isinstance(arr, pa.ChunkedArray):
+                arr = arr.combine_chunks()
+            if pa.types.is_list(arr.type) or pa.types.is_large_list(arr.type):
+                counts = pc.list_value_length(pc.fill_null(arr, [])) \
+                    .to_numpy(zero_copy_only=False)
+                row_idx = np.repeat(np.arange(n, dtype=np.int64), counts)
+                flat = pc.list_flatten(arr)
+            else:
+                row_idx = np.arange(n, dtype=np.int64)
+                flat = arr
+            terms = clean_metadata_array(flat)
+            # set semantics: distinct (term, doc)
+            tok = pa.table({"term": terms,
+                            "row": pa.array(row_idx, type=pa.int64())})
+            agg = tok.group_by(["term", "row"]).aggregate([])
+            if agg.num_rows == 0:
+                continue
+            rows = agg["row"].to_numpy(zero_copy_only=False)
+            term_col = agg["term"].combine_chunks() \
+                if isinstance(agg["term"], pa.ChunkedArray) else agg["term"]
+            outs.append(pa.table({
+                "field": pa.array([field_name] * len(rows), type=pa.string()),
+                "term": term_col,
+                "doc_id": pa.array(doc_ids[rows], type=pa.int64()),
+                "tf": pa.array(np.ones(len(rows), dtype=np.int32), type=pa.int32()),
+                "doc_len": pa.array(np.zeros(len(rows), dtype=np.int32),
+                                    type=pa.int32()),
+                "part": self._part(term_col, doc_ids[rows]),
+            }))
+        if not outs:
+            return pa.table({"field": pa.array([], type=pa.string()),
+                             "term": pa.array([], type=pa.string()),
+                             "doc_id": pa.array([], type=pa.int64()),
+                             "tf": pa.array([], type=pa.int32()),
+                             "doc_len": pa.array([], type=pa.int32()),
+                             "part": pa.array([], type=pa.int32())})
+        return pa.concat_tables(outs)
+
+
 class DocStats:
     """``map_batches`` callable: documents batch → ``(doc_id, doc_len)`` plus
     pass-through metadata columns — the docstore / BM25-norms side table

@@ -52,7 +52,7 @@ def test_global_df_match_oracle(built_index, oracle):
     from search_engine_ray.pipelines.query import SegmentSearcher
     idx, _ = built_index
     s = SegmentSearcher(idx, list(range(CFG["n_doc_shards"])))
-    assert set(s.terms) == set(oracle.postings)
+    assert {t for (f, t) in s.terms if f == "text"} == set(oracle.postings)
     for term in oracle.postings:
         assert s.df_of([term])[term] == oracle.df(term), term
 
