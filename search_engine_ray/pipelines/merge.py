@@ -1,0 +1,137 @@
+"""Multi-index (multi-segment) merge with docID remapping.
+
+North-rule component: merge K independently-built indexes (e.g. delta builds
+over successive crawl batches) into one, partition-parallel:
+
+- each (shard, bucket) partition is merged in its own Ray task — a k-way
+  merge of the K inputs' docID-sorted posting lists (stable timsort over
+  concatenated runs), last-input-wins on re-crawled (field, term, doc_id),
+  optional per-input docID offset remapping — then committed atomically
+  with a ``_DONE`` marker (resumable like the build itself);
+- docstores concatenate with last-input-wins per doc_id;
+- docstats / termstats are recomputed from the merged artifacts.
+
+All inputs must share the same partition grid (n_buckets, n_doc_shards) —
+the grid is content-addressed (hash of term / doc_id), so equal grids mean
+partition i of every input holds the same key space.  With remapping
+offsets the doc-shard assignment would change; remapped merges therefore
+re-shard rows by the REMAPPED doc_id before encoding.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import replace
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+import ray.data
+
+from ..stages.postings import merge_segment_tables
+from ..state import checkpoint as ckpt
+from ..state.checkpoint import IndexConfig
+
+
+class _MergePartition:
+    """map_batches callable over a table of ``part`` ids: merges one
+    partition per input row."""
+
+    def __init__(self, index_dirs: list[str], out_dir: str, n_buckets: int,
+                 doc_id_offsets: list[int] | None):
+        self.index_dirs = index_dirs
+        self.out_dir = out_dir
+        self.n_buckets = n_buckets
+        self.offsets = doc_id_offsets
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import json
+        import uuid as uuidlib
+        out_rows = []
+        for part in batch["part"].to_pylist():
+            shard, bucket = ckpt.split_part(part, self.n_buckets)
+            segs, offsets = [], []
+            for rank, d in enumerate(self.index_dirs):
+                path = os.path.join(ckpt.partition_dir(d, shard, bucket),
+                                    "postings.parquet")
+                if os.path.exists(path):
+                    segs.append(pq.read_table(path))
+                    offsets.append(self.offsets[rank] if self.offsets else 0)
+            merged = merge_segment_tables(segs, offsets if any(offsets) else None)
+            part_dir = os.path.join(self.out_dir, "segments",
+                                    f"shard={shard:03d}", f"bucket={bucket:05d}")
+            os.makedirs(part_dir, exist_ok=True)
+            tmp = os.path.join(part_dir, f".tmp-{uuidlib.uuid4().hex}.parquet")
+            pq.write_table(merged, tmp, compression="zstd")
+            final = os.path.join(part_dir, "postings.parquet")
+            os.replace(tmp, final)
+            metrics = {"part": part, "shard": shard, "bucket": bucket,
+                       "n_terms": merged.num_rows,
+                       "n_postings": int(pa.compute.sum(merged["df"]).as_py() or 0),
+                       "bytes": os.path.getsize(final)}
+            with open(os.path.join(part_dir, "_DONE"), "w") as f:
+                json.dump(metrics, f)
+            out_rows.append(metrics)
+        return pa.table({k: [r[k] for r in out_rows]
+                         for k in ("part", "shard", "bucket", "n_terms",
+                                   "n_postings", "bytes")})
+
+
+def merge_indexes(index_dirs: list[str], out_dir: str, *,
+                  doc_id_offsets: list[int] | None = None) -> dict:
+    """Merge K indexes into ``out_dir``; returns the merged manifest."""
+    assert index_dirs, "need at least one input index"
+    manifests = [ckpt.read_manifest(d) for d in index_dirs]
+    cfg0 = manifests[0]["config"]
+    for m in manifests[1:]:
+        assert (m["config"]["n_buckets"] == cfg0["n_buckets"]
+                and m["config"]["n_doc_shards"] == cfg0["n_doc_shards"]), \
+            "all inputs must share the partition grid"
+    assert doc_id_offsets is None or not any(doc_id_offsets), \
+        "docID remapping across shard grids not supported at index level; " \
+        "use merge_segment_tables directly for remapped single partitions"
+    cfg = IndexConfig(**{k: tuple(v) if isinstance(v, list) else v
+                         for k, v in cfg0.items()})
+    os.makedirs(out_dir, exist_ok=True)
+
+    pending = ckpt.pending_partitions(out_dir, cfg)
+    if pending:
+        # one block per partition → one merge task per partition
+        parts = ray.data.from_arrow(
+            pa.table({"part": pa.array(pending, type=pa.int32())})) \
+            .repartition(len(pending))
+        worker = _MergePartition(index_dirs, out_dir, cfg.n_buckets,
+                                 doc_id_offsets)
+        parts.map_batches(worker, batch_format="pyarrow",
+                          batch_size=1).materialize()
+
+    # docstore: concat with last-input-wins per doc_id
+    stores = []
+    for rank, d in enumerate(index_dirs):
+        s = ray.data.read_parquet(os.path.join(d, "docstore"))
+        stores.append(s.map_batches(
+            lambda t, r=rank: t.append_column(
+                "rank", pa.array([r] * t.num_rows, type=pa.int32())),
+            batch_format="pyarrow"))
+    merged_store = stores[0].union(*stores[1:]) if len(stores) > 1 else stores[0]
+
+    def keep_last(group: pa.Table) -> pa.Table:
+        idx = pa.compute.sort_indices(group, sort_keys=[("rank", "descending")])
+        return group.take(idx[:1]).drop_columns(["rank"])
+
+    store_dir = os.path.join(out_dir, "docstore")
+    import shutil
+    tmp_store = store_dir + ".tmp"
+    shutil.rmtree(tmp_store, ignore_errors=True)
+    merged_store.groupby("doc_id").map_groups(
+        keep_last, batch_format="pyarrow").write_parquet(tmp_store)
+    shutil.rmtree(store_dir, ignore_errors=True)
+    os.replace(tmp_store, store_dir)
+
+    lens = ray.data.read_parquet(store_dir, columns=["doc_len"])
+    ckpt.write_docstats(out_dir, n_docs=lens.count(),
+                        total_tokens=lens.sum("doc_len") or 0)
+    from .build import write_termstats
+    write_termstats(out_dir)
+    ckpt.write_manifest(out_dir, cfg, ckpt.partition_metrics(out_dir, cfg))
+    return ckpt.read_manifest(out_dir)

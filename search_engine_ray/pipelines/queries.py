@@ -513,6 +513,36 @@ def q_fingerprints(sf_dir: str):
         Fingerprint(), batch_format="pyarrow")
 
 
+def q_media_frame_stats(sf_dir: str | None = None, *, n_videos: int = 64):
+    """Multimodal pipeline plumbing: deterministic fake videos → actor-pool
+    frame sampling → per-frame image decode stats → per-video aggregate.
+    (``sf_dir`` unused — media payloads are synthesized; the testdata tables
+    carry no binary media column.)"""
+    from ..stages.multimodal import (DecodeImageStats, SampleVideoFrames,
+                                     make_fake_video)
+
+    def synth(batch: pa.Table) -> pa.Table:
+        ids = batch["id"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "doc_id": pa.array(ids, type=pa.int64()),
+            "video": pa.array([make_fake_video(3 + int(i) % 5, seed=int(i))
+                               for i in ids], type=pa.binary()),
+        })
+
+    ds = (ray.data.range(n_videos)
+          .map_batches(synth, batch_format="pyarrow", batch_size=16)
+          .map_batches(SampleVideoFrames(stride=2), batch_format="pyarrow",
+                       batch_size=16)
+          .map_batches(DecodeImageStats(image_col="frame"),
+                       batch_format="pyarrow", batch_size=64))
+    return (ds.groupby("doc_id")
+            .aggregate(Count(), Mean("mean_pixel"))
+            .rename_columns({"count()": "n_frames",
+                             "mean(mean_pixel)": "avg_frame_mean"})
+            .map_batches(functools.partial(_round_col, col="avg_frame_mean"),
+                         batch_format="pyarrow"))
+
+
 # ---------------------------------------------------------------------------
 # Catalog
 # ---------------------------------------------------------------------------
@@ -538,6 +568,7 @@ QUERIES = {
     "knn_topk": q_knn_topk,
     "lang_id_counts": q_lang_id_counts,
     "fingerprints": q_fingerprints,
+    "media_frame_stats": q_media_frame_stats,
 }
 
 ORACLE_SQL = {

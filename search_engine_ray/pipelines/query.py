@@ -29,6 +29,7 @@ import glob
 import os
 
 import numpy as np
+import pyarrow as pa
 import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
@@ -62,7 +63,7 @@ class SegmentSearcher:
         self.field = field  # BM25-scored text field
         # (field, term) → list of slots (one per shard×bucket run)
         self.terms: dict[tuple[str, str], list[int]] = {}
-        ids_col, tfs_col, dls_col = [], [], []
+        ids_col, tfs_col = [], []
         local_terms = set()
         for s in shards:
             pattern = os.path.join(ckpt.shard_dir(index_dir, s),
@@ -78,12 +79,14 @@ class SegmentSearcher:
                         local_terms.add(term)
                 ids_col.extend(t["doc_ids"].to_pylist())
                 tfs_col.extend(t["tfs"].to_pylist())
-                dls_col.extend(t["doc_lens"].to_pylist())
         self._ids = ids_col
         self._tfs = tfs_col
-        self._dls = dls_col
-        # GLOBAL df for scoring: read the termstats table filtered to this
-        # searcher's vocabulary (per-shard vocab ≪ global vocab at scale).
+        # GLOBAL df for scoring (summed across ALL doc shards).  Preferred
+        # source is the materialized termstats table (written by
+        # merge_indexes / write_termstats — the right artifact at extreme
+        # vocab scale); otherwise aggregate from the segment files' tiny
+        # (field, term, df) columns — parquet column pruning skips the
+        # posting binaries, so this reads ~the global term dictionary.
         self.global_df: dict[str, int] = {}
         ts_dir = ckpt.termstats_dir(index_dir)
         if os.path.exists(ts_dir):
@@ -93,10 +96,23 @@ class SegmentSearcher:
             ts = pq.read_table(ts_dir, columns=cols + (["field"] if has_field else []))
             if has_field:
                 ts = ts.filter(pc.equal(ts["field"], field))
-            terms_arr, df_arr = ts["term"].to_pylist(), ts["df"].to_pylist()
-            for term, df in zip(terms_arr, df_arr):
+            for term, df in zip(ts["term"].to_pylist(), ts["df"].to_pylist()):
                 if term in local_terms:
                     self.global_df[term] = int(df)
+        else:
+            parts = []
+            pattern = os.path.join(ckpt.segments_dir(index_dir), "shard=*",
+                                   "bucket=*", "postings.parquet")
+            for path in sorted(glob.glob(pattern)):
+                t = pq.read_table(path, columns=["field", "term", "df"])
+                parts.append(t.filter(pc.equal(t["field"], field)))
+            if parts:
+                allp = pa.concat_tables(parts)
+                agg = allp.group_by("term").aggregate([("df", "sum")])
+                for term, df in zip(agg["term"].to_pylist(),
+                                    agg["df_sum"].to_pylist()):
+                    if term in local_terms:
+                        self.global_df[term] = int(df)
         # local docID dictionary: sorted global docIDs of this searcher's
         # shards (from the docstore, filtered to owned shards).  Posting
         # lists are mapped to dense int32 local ids so per-query score
@@ -104,10 +120,15 @@ class SegmentSearcher:
         n_shards_total = man["config"]["n_doc_shards"]
         own = set(shards)
         store = pq.read_table(os.path.join(index_dir, "docstore"),
-                              columns=["doc_id"])
+                              columns=["doc_id", "doc_len"])
         all_ids = store["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        all_lens = store["doc_len"].to_numpy(zero_copy_only=False).astype(np.int64)
         mask = np.isin(all_ids % n_shards_total, list(own))
-        self._docs = np.unique(all_ids[mask])
+        order = np.argsort(all_ids[mask], kind="stable")
+        self._docs = all_ids[mask][order]
+        # BM25 doc-length norms, aligned with the local docID dictionary
+        # (normalized out of the postings — see stages/postings.py)
+        self._doc_len = all_lens[mask][order].astype(np.float64)
         # decode-once cache: term → (local int32 ids, bm25 contributions);
         # BM25 per posting depends only on (tf, dl, df) — all fixed at build
         # time — so the per-term score vector is decoded+scored once and
@@ -122,8 +143,8 @@ class SegmentSearcher:
         """One posting run → (local int32 ids, tf float64, doc_len float64)."""
         doc_ids = delta_decode(self._ids[slot]).astype(np.int64)
         tf = varint_decode(self._tfs[slot]).astype(np.float64)
-        dl = varint_decode(self._dls[slot]).astype(np.float64)
-        return (np.searchsorted(self._docs, doc_ids).astype(np.int32), tf, dl)
+        local = np.searchsorted(self._docs, doc_ids).astype(np.int32)
+        return (local, tf, self._doc_len[local])
 
     def _term_scores(self, term: str) -> tuple[np.ndarray, np.ndarray] | None:
         cached = self._score_cache.get(term)

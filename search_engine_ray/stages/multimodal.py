@@ -1,0 +1,193 @@
+"""Multimodal (image / audio / video) operators over opaque binary columns.
+
+Pattern for 100 TB media pipelines: the payload is an opaque ``binary``
+column with typed metadata columns beside it; decode / resize / feature
+extraction / frame sampling are **actor-pool** ``map_batches`` stages
+(codec state initialised once per actor in ``__init__``), run with SMALL
+``batch_size`` so batch × concurrency fits the worker heap.
+
+The real codec libraries (PIL / torchaudio / ffmpeg) are not in this
+container, so the decode kernels are gated: ``backend="real"`` raises
+``NotImplementedError`` unless the library import succeeds, and
+``backend="fake"`` (default, used by tests/benches) operates on the
+deterministic FAKE container formats below — the Ray-side plumbing
+(schemas, actor signatures, batch sizing, output layout) is real and
+tested either way.
+
+FAKE container formats (little-endian):
+
+- image  ``FIMG``: magic(4) | uint16 w | uint16 h | uint8 channels | pixels
+  (w*h*channels uint8, row-major)
+- audio  ``FAUD``: magic(4) | uint32 sample_rate | int16 samples[]
+- video  ``FVID``: magic(4) | uint16 n_frames | n_frames × (uint32 len,
+  FIMG blob)
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+import pyarrow as pa
+
+
+# ---------------------------------------------------------------------------
+# synthetic payload generators (deterministic; tests and benches)
+# ---------------------------------------------------------------------------
+
+def make_fake_image(w: int, h: int, channels: int = 3, seed: int = 0) -> bytes:
+    rng = np.random.Generator(np.random.Philox(
+        key=[seed, (w << 32) | (h << 16) | channels]))
+    pixels = rng.integers(0, 256, size=w * h * channels, dtype=np.uint8)
+    return b"FIMG" + struct.pack("<HHB", w, h, channels) + pixels.tobytes()
+
+
+def make_fake_audio(n_samples: int, sample_rate: int = 16000,
+                    seed: int = 0) -> bytes:
+    rng = np.random.Generator(np.random.Philox(key=[seed, n_samples]))
+    samples = rng.integers(-2000, 2000, size=n_samples, dtype=np.int16)
+    return b"FAUD" + struct.pack("<I", sample_rate) + samples.tobytes()
+
+
+def make_fake_video(n_frames: int, w: int = 16, h: int = 12,
+                    seed: int = 0) -> bytes:
+    out = [b"FVID", struct.pack("<H", n_frames)]
+    for i in range(n_frames):
+        f = make_fake_image(w, h, 3, seed=seed * 1000 + i)
+        out.append(struct.pack("<I", len(f)))
+        out.append(f)
+    return b"".join(out)
+
+
+def _decode_fake_image(blob: bytes) -> np.ndarray:
+    assert blob[:4] == b"FIMG", "not a FIMG payload"
+    w, h, c = struct.unpack("<HHB", blob[4:9])
+    return np.frombuffer(blob[9:9 + w * h * c], dtype=np.uint8).reshape(h, w, c)
+
+
+def _check_backend(backend: str, lib: str) -> None:
+    if backend == "fake":
+        return
+    raise NotImplementedError(
+        f"backend={backend!r} needs {lib}, which is not available in this "
+        f"environment; the Ray plumbing is identical — swap the kernel in")
+
+
+# ---------------------------------------------------------------------------
+# actor-pool stages
+# ---------------------------------------------------------------------------
+
+class DecodeImageStats:
+    """images batch ``(id, image:binary)`` → ``(id, width, height, channels,
+    mean_pixel)``.  Deploy as ``map_batches(DecodeImageStats(), concurrency=N,
+    batch_size=64)`` — media batches stay small (SURVEY memory-aware rule)."""
+
+    def __init__(self, *, backend: str = "fake", image_col: str = "image",
+                 id_col: str = "doc_id"):
+        _check_backend(backend, "PIL")
+        self.image_col = image_col
+        self.id_col = id_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        widths, heights, chans, means = [], [], [], []
+        for blob in batch[self.image_col].to_pylist():
+            px = _decode_fake_image(blob)
+            h, w, c = px.shape
+            widths.append(w); heights.append(h); chans.append(c)
+            means.append(float(px.mean()))
+        return pa.table({
+            "doc_id": batch[self.id_col].cast(pa.int64()),
+            "width": pa.array(widths, type=pa.int32()),
+            "height": pa.array(heights, type=pa.int32()),
+            "channels": pa.array(chans, type=pa.int32()),
+            "mean_pixel": pa.array(np.round(means, 6), type=pa.float64()),
+        })
+
+
+class ResizeImage:
+    """images batch → same schema with the payload resized to
+    ``(out_w, out_h)`` (fake kernel: nearest-neighbour index sampling —
+    deterministic, shape-correct)."""
+
+    def __init__(self, out_w: int, out_h: int, *, backend: str = "fake",
+                 image_col: str = "image", id_col: str = "doc_id"):
+        _check_backend(backend, "PIL")
+        self.out_w, self.out_h = out_w, out_h
+        self.image_col = image_col
+        self.id_col = id_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out = []
+        for blob in batch[self.image_col].to_pylist():
+            px = _decode_fake_image(blob)
+            h, w, c = px.shape
+            yi = (np.arange(self.out_h) * h // self.out_h)
+            xi = (np.arange(self.out_w) * w // self.out_w)
+            res = px[yi][:, xi]
+            out.append(b"FIMG" + struct.pack("<HHB", self.out_w, self.out_h, c)
+                       + res.tobytes())
+        return pa.table({
+            "doc_id": batch[self.id_col].cast(pa.int64()),
+            "image": pa.array(out, type=pa.binary()),
+        })
+
+
+class AudioFeatures:
+    """audio batch ``(id, audio:binary)`` → ``(id, sample_rate, duration_s,
+    rms)``."""
+
+    def __init__(self, *, backend: str = "fake", audio_col: str = "audio",
+                 id_col: str = "doc_id"):
+        _check_backend(backend, "torchaudio/soundfile")
+        self.audio_col = audio_col
+        self.id_col = id_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        srs, durs, rms = [], [], []
+        for blob in batch[self.audio_col].to_pylist():
+            assert blob[:4] == b"FAUD"
+            (sr,) = struct.unpack("<I", blob[4:8])
+            samples = np.frombuffer(blob[8:], dtype=np.int16).astype(np.float64)
+            srs.append(sr)
+            durs.append(len(samples) / sr if sr else 0.0)
+            rms.append(float(np.sqrt(np.mean(samples ** 2))) if samples.size else 0.0)
+        return pa.table({
+            "doc_id": batch[self.id_col].cast(pa.int64()),
+            "sample_rate": pa.array(srs, type=pa.int32()),
+            "duration_s": pa.array(np.round(durs, 6), type=pa.float64()),
+            "rms": pa.array(np.round(rms, 6), type=pa.float64()),
+        })
+
+
+class SampleVideoFrames:
+    """video batch ``(id, video:binary)`` → one row per sampled frame
+    ``(id, frame_idx, frame:binary)`` — every ``stride``-th frame, the
+    flat-map layout downstream image stages consume directly."""
+
+    def __init__(self, stride: int = 2, *, backend: str = "fake",
+                 video_col: str = "video", id_col: str = "doc_id"):
+        _check_backend(backend, "ffmpeg")
+        self.stride = stride
+        self.video_col = video_col
+        self.id_col = id_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids_out, idx_out, frames_out = [], [], []
+        ids = batch[self.id_col].to_pylist()
+        for row, blob in enumerate(batch[self.video_col].to_pylist()):
+            assert blob[:4] == b"FVID"
+            (n_frames,) = struct.unpack("<H", blob[4:6])
+            off = 6
+            for i in range(n_frames):
+                (flen,) = struct.unpack("<I", blob[off:off + 4])
+                off += 4
+                if i % self.stride == 0:
+                    ids_out.append(ids[row])
+                    idx_out.append(i)
+                    frames_out.append(blob[off:off + flen])
+                off += flen
+        return pa.table({
+            "doc_id": pa.array(ids_out, type=pa.int64()),
+            "frame_idx": pa.array(idx_out, type=pa.int32()),
+            "frame": pa.array(frames_out, type=pa.binary()),
+        })

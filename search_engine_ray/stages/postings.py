@@ -35,8 +35,10 @@ SEGMENT_SCHEMA = pa.schema([
     ("max_tf", pa.int32()),      # per-term tf upper bound (MaxScore pruning)
     ("doc_ids", pa.binary()),    # delta+varint, ascending docID
     ("tfs", pa.binary()),        # varint, aligned with doc_ids
-    ("doc_lens", pa.binary()),   # varint, aligned; BM25 norms carried in-segment
 ])
+# BM25 doc-length norms live in the docstore (one value per doc), not in the
+# postings — carrying them per posting tripled encode work and segment bytes;
+# the searcher joins them through its local docID dictionary at score time.
 
 
 def _binary_from_slices(packed: bytes, byte_offsets: np.ndarray) -> pa.Array:
@@ -48,9 +50,10 @@ def _binary_from_slices(packed: bytes, byte_offsets: np.ndarray) -> pa.Array:
 
 
 def encode_postings_table(group: pa.Table) -> pa.Table:
-    """One bucket's ``(term, field?, doc_id, tf, doc_len)`` rows → SEGMENT_SCHEMA.
+    """One partition's ``(term, field?, doc_id, tf)`` rows → SEGMENT_SCHEMA.
 
-    Fully vectorized; no per-term Python loop.
+    Fully vectorized; no per-term Python loop.  A ``doc_len`` column, if
+    present (doc rows from the single-pass build), is ignored.
     """
     n = group.num_rows
     empty_cols = {name: pa.array([], type=typ)
@@ -64,7 +67,6 @@ def encode_postings_table(group: pa.Table) -> pa.Table:
     term = group["term"].combine_chunks()
     doc_id = group["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
     tf = group["tf"].to_numpy(zero_copy_only=False).astype(np.uint64)
-    doc_len = group["doc_len"].to_numpy(zero_copy_only=False).astype(np.uint64)
 
     # canonical order: (field, term, doc_id) ascending
     dic_f = field.dictionary_encode()
@@ -73,7 +75,7 @@ def encode_postings_table(group: pa.Table) -> pa.Table:
     t_codes = dic_t.indices.to_numpy(zero_copy_only=False).astype(np.int64)
     order = np.lexsort((doc_id, t_codes, f_codes))
     f_codes, t_codes = f_codes[order], t_codes[order]
-    doc_id, tf, doc_len = doc_id[order], tf[order], doc_len[order]
+    doc_id, tf = doc_id[order], tf[order]
 
     # term-run boundaries over the sorted rows
     newrun = np.empty(n, dtype=bool)
@@ -92,7 +94,6 @@ def encode_postings_table(group: pa.Table) -> pa.Table:
 
     packed_ids, sz_ids = varint_encode_with_sizes(deltas)
     packed_tfs, sz_tfs = varint_encode_with_sizes(tf)
-    packed_dls, sz_dls = varint_encode_with_sizes(doc_len)
 
     def offsets(sizes: np.ndarray) -> np.ndarray:
         csum = np.zeros(n + 1, dtype=np.int64)
@@ -109,15 +110,181 @@ def encode_postings_table(group: pa.Table) -> pa.Table:
         "max_tf": pa.array(max_tf, type=pa.int32()),
         "doc_ids": _binary_from_slices(packed_ids, offsets(sz_ids)),
         "tfs": _binary_from_slices(packed_tfs, offsets(sz_tfs)),
-        "doc_lens": _binary_from_slices(packed_dls, offsets(sz_dls)),
     }, schema=SEGMENT_SCHEMA)
 
 
-def decode_posting(row: dict) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
-    """Segment row → (doc_ids asc, tfs, doc_lens) as uint64 arrays."""
+def decode_posting(row: dict) -> tuple[np.ndarray, np.ndarray]:
+    """Segment row → (doc_ids asc, tfs) as uint64 arrays."""
     return (delta_decode(row["doc_ids"]),
-            varint_decode(row["tfs"]),
-            varint_decode(row["doc_lens"]))
+            varint_decode(row["tfs"]))
+
+
+def decode_segment_to_rows(seg: pa.Table) -> pa.Table:
+    """SEGMENT_SCHEMA table → flat ``(field, term, doc_id, tf)`` rows (the
+    encode input layout), vectorized per posting list."""
+    ids, tfs = [], []
+    df = seg["df"].to_numpy(zero_copy_only=False)
+    for i in range(seg.num_rows):
+        d, t = decode_posting({
+            "doc_ids": seg["doc_ids"][i].as_py(),
+            "tfs": seg["tfs"][i].as_py()})
+        ids.append(d); tfs.append(t)
+    n_per = df.astype(np.int64)
+    field_rep = np.repeat(np.arange(seg.num_rows), n_per)
+    fields = seg["field"].take(pa.array(field_rep))
+    terms = seg["term"].take(pa.array(field_rep))
+    cat = (np.concatenate(ids) if ids else np.zeros(0, np.uint64),
+           np.concatenate(tfs) if tfs else np.zeros(0, np.uint64))
+    return pa.table({
+        "field": fields.combine_chunks() if isinstance(fields, pa.ChunkedArray) else fields,
+        "term": terms.combine_chunks() if isinstance(terms, pa.ChunkedArray) else terms,
+        "doc_id": pa.array(cat[0].astype(np.int64), type=pa.int64()),
+        "tf": pa.array(cat[1].astype(np.int32), type=pa.int32()),
+    })
+
+
+def merge_segment_tables(segs: list[pa.Table],
+                         doc_id_offsets: list[int] | None = None) -> pa.Table:
+    """K-way merge of segment partitions into one SEGMENT_SCHEMA table.
+
+    Inputs are docID-sorted posting lists; the merged list is produced by a
+    stable sort over the concatenated runs (numpy's stable sort is timsort —
+    it detects and merges the pre-sorted runs, i.e. this IS the k-way merge,
+    vectorized).  When the same (field, term, doc_id) appears in several
+    inputs (re-crawled doc in a delta build), the LAST input wins.
+    ``doc_id_offsets`` optionally remaps each input's docID space by a fixed
+    offset (north-rule "docID remapping" for locally-numbered segments).
+    """
+    rows = []
+    for rank, seg in enumerate(segs):
+        r = decode_segment_to_rows(seg)
+        if doc_id_offsets is not None and doc_id_offsets[rank]:
+            r = r.set_column(r.schema.get_field_index("doc_id"), "doc_id",
+                             pa.array(r["doc_id"].to_numpy(zero_copy_only=False)
+                                      + doc_id_offsets[rank], type=pa.int64()))
+        rows.append(r.append_column(
+            "rank", pa.array(np.full(r.num_rows, rank, dtype=np.int32))))
+    if not rows:
+        return SEGMENT_SCHEMA.empty_table()
+    flat = pa.concat_tables(rows)
+    # last-input-wins dedup on (field, term, doc_id)
+    fld = flat["field"].combine_chunks().dictionary_encode()
+    trm = flat["term"].combine_chunks().dictionary_encode()
+    f = fld.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    t = trm.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    d = flat["doc_id"].to_numpy(zero_copy_only=False)
+    rk = flat["rank"].to_numpy(zero_copy_only=False)
+    order = np.lexsort((rk, d, t, f))  # rank last-key: highest rank last
+    f, t, d = f[order], t[order], d[order]
+    keep = np.ones(len(order), dtype=bool)
+    if len(order) > 1:
+        same = (f[1:] == f[:-1]) & (t[1:] == t[:-1]) & (d[1:] == d[:-1])
+        keep[:-1][same] = False  # keep the last (highest-rank) duplicate
+    kept = flat.take(pa.array(order[keep]))
+    return encode_postings_table(kept.drop_columns(["rank"]))
+
+
+class FragmentSpiller:
+    """``map_batches`` stage implementing the map side of a FILESYSTEM
+    exchange (external shuffle): each batch's posting rows are split by
+    ``part`` and appended as parquet fragments under
+    ``tmp_dir/part=P/frag-<h>.parquet``; doc rows (part == -1) are spilled to
+    ``docstore_tmp``.  Only a tiny metrics row returns through the object
+    store.
+
+    Rationale: on a single node, Ray's sort-based shuffle funnels the full
+    posting stream through one plasma store three times (materialize, sort
+    map out, reduce in) — a serializing resource that caps throughput
+    regardless of CPU count.  Spilling through the page-cache-backed
+    filesystem is parallel per task, the way external shuffle services work;
+    on a multi-node cluster the object store scales per node and the
+    ``groupby`` exchange is equivalent.  Fragment names are derived from the
+    batch's first docID, so task retries overwrite idempotently.
+    """
+
+    def __init__(self, tmp_dir: str, docstore_tmp: str | None):
+        self.tmp_dir = tmp_dir
+        self.docstore_tmp = docstore_tmp
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({"n_rows": pa.array([0], type=pa.int64())})
+        first_doc = int(batch["doc_id"][0].as_py())
+        tag = f"{first_doc & 0xFFFFFFFFFFFF:012x}"
+        part_col = batch["part"].to_numpy(zero_copy_only=False)
+        if self.docstore_tmp is not None:
+            doc_rows = batch.filter(pa.compute.equal(batch["part"], -1))
+            if doc_rows.num_rows:
+                drop = [c for c in ("term", "tf", "part", "field")
+                        if c in doc_rows.column_names]
+                os.makedirs(self.docstore_tmp, exist_ok=True)
+                tmp = os.path.join(self.docstore_tmp, f".tmp-{tag}.parquet")
+                pq.write_table(doc_rows.drop_columns(drop), tmp,
+                               compression="zstd")
+                os.replace(tmp, os.path.join(self.docstore_tmp,
+                                             f"frag-{tag}.parquet"))
+        postings = batch.filter(pa.compute.greater_equal(batch["part"], 0))
+        postings = postings.select(
+            [c for c in ("field", "term", "doc_id", "tf", "part")
+             if c in postings.column_names])
+        # one stable sort + run slicing instead of a filter scan per part
+        pvals = postings["part"].to_numpy(zero_copy_only=False)
+        order = np.argsort(pvals, kind="stable")
+        postings = postings.take(pa.array(order))
+        pvals = pvals[order]
+        starts = np.flatnonzero(np.r_[True, np.diff(pvals) != 0])
+        ends = np.append(starts[1:], len(pvals))
+        for s, e in zip(starts, ends):
+            p = int(pvals[s])
+            d = os.path.join(self.tmp_dir, f"part={p:05d}")
+            os.makedirs(d, exist_ok=True)
+            tmp = os.path.join(d, f".tmp-{tag}.parquet")
+            pq.write_table(postings.slice(s, e - s).drop_columns(["part"]),
+                           tmp, compression="lz4")
+            os.replace(tmp, os.path.join(d, f"frag-{tag}.parquet"))
+        return pa.table({"n_rows": pa.array([batch.num_rows], type=pa.int64())})
+
+
+class FragmentEncoder:
+    """Reduce side of the filesystem exchange: one task per pending
+    partition reads its fragments, encodes, and commits atomically."""
+
+    def __init__(self, tmp_dir: str, out_dir: str, n_buckets: int):
+        self.tmp_dir = tmp_dir
+        self.out_dir = out_dir
+        self.n_buckets = n_buckets
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import glob as _glob
+        out = []
+        for part in batch["part"].to_pylist():
+            frags = sorted(_glob.glob(os.path.join(
+                self.tmp_dir, f"part={part:05d}", "frag-*.parquet")))
+            rows = (pa.concat_tables([pq.read_table(f) for f in frags])
+                    if frags else None)
+            shard, bucket = part // self.n_buckets, part % self.n_buckets
+            seg = encode_postings_table(rows) if rows is not None else \
+                encode_postings_table(pa.table(
+                    {"term": pa.array([], type=pa.string()),
+                     "doc_id": pa.array([], type=pa.int64()),
+                     "tf": pa.array([], type=pa.int32())}))
+            part_dir = os.path.join(self.out_dir, f"shard={shard:03d}",
+                                    f"bucket={bucket:05d}")
+            os.makedirs(part_dir, exist_ok=True)
+            tmp = os.path.join(part_dir, f".tmp-{uuid.uuid4().hex}.parquet")
+            pq.write_table(seg, tmp, compression="zstd")
+            final = os.path.join(part_dir, "postings.parquet")
+            os.replace(tmp, final)
+            metrics = {"part": part, "shard": shard, "bucket": bucket,
+                       "n_terms": seg.num_rows,
+                       "n_postings": int(pa.compute.sum(seg["df"]).as_py() or 0),
+                       "bytes": os.path.getsize(final)}
+            with open(os.path.join(part_dir, "_DONE"), "w") as f:
+                json.dump(metrics, f)
+            out.append(metrics)
+        return pa.table({k: [r[k] for r in out]
+                         for k in ("part", "shard", "bucket", "n_terms",
+                                   "n_postings", "bytes")})
 
 
 class EncodePartitionWriter:

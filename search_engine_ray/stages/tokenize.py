@@ -94,41 +94,86 @@ class TokenizePostings:
 
     def __init__(self, *, text_col: str = "text", id_col: str = "doc_id",
                  stopwords: frozenset[str] | None = None, stem: bool = False,
-                 n_buckets: int = 32, n_doc_shards: int = 1):
+                 n_buckets: int = 32, n_doc_shards: int = 1,
+                 emit_doc_rows: bool = False, keep_cols: tuple[str, ...] = (),
+                 hot_terms: frozenset[str] | None = None, salt: int = 8):
         self.text_col = text_col
         self.id_col = id_col
         self.stopwords = stopwords
         self.stem = stem
         self.n_buckets = n_buckets
         self.n_doc_shards = n_doc_shards
+        self.emit_doc_rows = emit_doc_rows
+        self.keep_cols = keep_cols
+        # head-term skew salting (SURVEY §7.5 item 2): a hot term's postings
+        # spread over ``salt`` term-buckets WITHIN its doc shard (bucket =
+        # (hash(term) + doc_id % salt) % n_buckets), bounding any single
+        # partition's share of a Zipf head term.  Correctness is unaffected:
+        # a shard searcher loads all its buckets and merges a term's slot
+        # runs, so a term may legally live in several buckets.
+        self.hot_terms = hot_terms
+        self.salt = salt
+
+    def _bucket(self, term_col: pa.Array, doc_ids: np.ndarray) -> np.ndarray:
+        bucket = (fnv1a64_array(term_col) % np.uint64(self.n_buckets)).astype(np.int64)
+        if self.hot_terms:
+            hot = pc.is_in(term_col, value_set=pa.array(sorted(self.hot_terms))) \
+                .to_numpy(zero_copy_only=False)
+            if hot.any():
+                bucket[hot] = (bucket[hot] + doc_ids[hot] % self.salt) % self.n_buckets
+        return bucket
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         doc_ids = batch[self.id_col].to_numpy(zero_copy_only=False).astype(np.int64)
         row_idx, terms = split_and_normalize(
             batch[self.text_col], stopwords=self.stopwords, stem=self.stem)
-        if len(terms) == 0:
-            return pa.table({"term": pa.array([], type=pa.string()),
-                             "doc_id": pa.array([], type=pa.int64()),
-                             "tf": pa.array([], type=pa.int32()),
-                             "doc_len": pa.array([], type=pa.int32()),
-                             "part": pa.array([], type=pa.int32())})
         doc_len = np.bincount(row_idx, minlength=batch.num_rows)
-        tok = pa.table({"term": terms,
-                        "row": pa.array(row_idx, type=pa.int64())})
-        agg = tok.group_by(["term", "row"]).aggregate([([], "count_all")])
-        rows = agg["row"].to_numpy(zero_copy_only=False)
-        term_col = agg["term"].combine_chunks() if isinstance(agg["term"], pa.ChunkedArray) \
-            else agg["term"]
-        bucket = (fnv1a64_array(term_col) % np.uint64(self.n_buckets)).astype(np.int64)
-        shard = doc_ids[rows] % self.n_doc_shards
-        part = (shard * self.n_buckets + bucket).astype(np.int32)
-        return pa.table({
-            "term": term_col,
-            "doc_id": pa.array(doc_ids[rows], type=pa.int64()),
-            "tf": agg["count_all"].cast(pa.int32()),
-            "doc_len": pa.array(doc_len[rows], type=pa.int32()),
-            "part": pa.array(part, type=pa.int32()),
-        })
+        if len(terms) == 0:
+            out = None
+        else:
+            tok = pa.table({"term": terms,
+                            "row": pa.array(row_idx, type=pa.int64())})
+            agg = tok.group_by(["term", "row"]).aggregate([([], "count_all")])
+            rows = agg["row"].to_numpy(zero_copy_only=False)
+            term_col = agg["term"].combine_chunks() \
+                if isinstance(agg["term"], pa.ChunkedArray) else agg["term"]
+            bucket = self._bucket(term_col, doc_ids[rows])
+            shard = doc_ids[rows] % self.n_doc_shards
+            part = (shard * self.n_buckets + bucket).astype(np.int32)
+            out = pa.table({
+                "term": term_col,
+                "doc_id": pa.array(doc_ids[rows], type=pa.int64()),
+                "tf": agg["count_all"].cast(pa.int32()),
+                "doc_len": pa.array(doc_len[rows], type=pa.int32()),
+                "part": pa.array(part, type=pa.int32()),
+            })
+        empty = pa.table({"term": pa.array([], type=pa.string()),
+                          "doc_id": pa.array([], type=pa.int64()),
+                          "tf": pa.array([], type=pa.int32()),
+                          "doc_len": pa.array([], type=pa.int32()),
+                          "part": pa.array([], type=pa.int32())})
+        if not self.emit_doc_rows:
+            return out if out is not None else empty
+        # single-pass build: one extra row per input doc (part = -1) carries
+        # the docstore payload through the same stream — no second
+        # read+extract pass (see pipelines/build.py)
+        n = batch.num_rows
+        doc_rows = {
+            "term": pa.nulls(n, type=pa.string()),
+            "doc_id": pa.array(doc_ids, type=pa.int64()),
+            "tf": pa.array(np.zeros(n, dtype=np.int32), type=pa.int32()),
+            "doc_len": pa.array(doc_len.astype(np.int32), type=pa.int32()),
+            "part": pa.array(np.full(n, -1, dtype=np.int32), type=pa.int32()),
+        }
+        tables = [out] if out is not None else []
+        base = out if out is not None else empty
+        for c in self.keep_cols:
+            doc_rows[c] = batch[c].combine_chunks() \
+                if isinstance(batch[c], pa.ChunkedArray) else batch[c]
+            base = base.append_column(
+                c, pa.nulls(base.num_rows, type=batch[c].type))
+        tables = ([base] if out is not None else []) + [pa.table(doc_rows)]
+        return pa.concat_tables(tables, promote_options="default")
 
 
 def clean_metadata_array(values: pa.Array | pa.ChunkedArray) -> pa.Array:
@@ -161,7 +206,8 @@ class FieldedPostings:
                  text_fields: dict[str, str] | None = None,
                  metadata_fields: dict[str, str] | None = None,
                  stopwords: frozenset[str] | None = None, stem: bool = False,
-                 n_buckets: int = 16, n_doc_shards: int = 4):
+                 n_buckets: int = 16, n_doc_shards: int = 4,
+                 emit_doc_rows: bool = False, keep_cols: tuple[str, ...] = ()):
         self.id_col = id_col
         self.text_fields = text_fields or {"text": "text"}
         self.metadata_fields = metadata_fields or {}
@@ -169,6 +215,11 @@ class FieldedPostings:
         self.stem = stem
         self.n_buckets = n_buckets
         self.n_doc_shards = n_doc_shards
+        self.emit_doc_rows = emit_doc_rows
+        self.keep_cols = keep_cols
+        # the BM25-normed field: "text" if present, else the first text field
+        self.main_field = ("text" if "text" in self.text_fields
+                          else next(iter(self.text_fields), None))
 
     def _part(self, terms: pa.Array, doc_ids: np.ndarray) -> pa.Array:
         bucket = (fnv1a64_array(terms) % np.uint64(self.n_buckets)).astype(np.int64)
@@ -180,9 +231,12 @@ class FieldedPostings:
         doc_ids = batch[self.id_col].to_numpy(zero_copy_only=False).astype(np.int64)
         n = batch.num_rows
         outs = []
+        main_doc_len = np.zeros(n, dtype=np.int64)
         for field_name, col in self.text_fields.items():
             row_idx, terms = split_and_normalize(
                 batch[col], stopwords=self.stopwords, stem=self.stem)
+            if field_name == self.main_field:
+                main_doc_len = np.bincount(row_idx, minlength=n)
             if len(terms) == 0:
                 continue
             doc_len = np.bincount(row_idx, minlength=n)
@@ -231,14 +285,29 @@ class FieldedPostings:
                                     type=pa.int32()),
                 "part": self._part(term_col, doc_ids[rows]),
             }))
+        empty = pa.table({"field": pa.array([], type=pa.string()),
+                          "term": pa.array([], type=pa.string()),
+                          "doc_id": pa.array([], type=pa.int64()),
+                          "tf": pa.array([], type=pa.int32()),
+                          "doc_len": pa.array([], type=pa.int32()),
+                          "part": pa.array([], type=pa.int32())})
+        if self.emit_doc_rows:
+            doc_rows = {
+                "field": pa.nulls(n, type=pa.string()),
+                "term": pa.nulls(n, type=pa.string()),
+                "doc_id": pa.array(doc_ids, type=pa.int64()),
+                "tf": pa.array(np.zeros(n, dtype=np.int32), type=pa.int32()),
+                "doc_len": pa.array(main_doc_len.astype(np.int32),
+                                    type=pa.int32()),
+                "part": pa.array(np.full(n, -1, dtype=np.int32), type=pa.int32()),
+            }
+            for c in self.keep_cols:
+                doc_rows[c] = batch[c].combine_chunks() \
+                    if isinstance(batch[c], pa.ChunkedArray) else batch[c]
+            outs.append(pa.table(doc_rows))
         if not outs:
-            return pa.table({"field": pa.array([], type=pa.string()),
-                             "term": pa.array([], type=pa.string()),
-                             "doc_id": pa.array([], type=pa.int64()),
-                             "tf": pa.array([], type=pa.int32()),
-                             "doc_len": pa.array([], type=pa.int32()),
-                             "part": pa.array([], type=pa.int32())})
-        return pa.concat_tables(outs)
+            return empty
+        return pa.concat_tables(outs, promote_options="default")
 
 
 class DocStats:

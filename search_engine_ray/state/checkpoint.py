@@ -52,6 +52,12 @@ class IndexConfig:
     fields: tuple[str, ...] = ("text",)
     bm25_k1: float = 1.2
     bm25_b: float = 0.75
+    # head-term skew salting: sample-estimate df, spread terms whose df
+    # fraction exceeds ``hot_df_fraction`` over ``salt`` buckets (recorded in
+    # hotterms.json + the manifest so resume routes identically)
+    salt_hot_terms: bool = True
+    hot_df_fraction: float = 0.25
+    salt: int = 8
     extra: dict = field(default_factory=dict)
 
     @property

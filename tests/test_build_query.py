@@ -90,6 +90,60 @@ def test_bm25_rank_and_score_identical(built_index, oracle, use_actors,
             assert gs == pytest.approx(ws, abs=1e-9), q
 
 
+def test_groupby_exchange_builds_identical_index(ray_session, sf_small,
+                                                 built_index, tmp_path):
+    """The object-store groupby exchange and the filesystem exchange commit
+    byte-identical partitions."""
+    import pyarrow.parquet as _pq
+    from search_engine_ray.pipelines.build import build_index
+    idx_fs, _ = built_index
+    idx_gb = str(tmp_path / "gb")
+    cfg = IndexConfig(**CFG)
+    build_index(os.path.join(sf_small, "documents.parquet"), idx_gb, cfg,
+                keep_cols=("lang",), exchange="groupby")
+    for s in range(cfg.n_doc_shards):
+        for b in range(cfg.n_buckets):
+            t1 = _pq.read_table(os.path.join(ckpt.partition_dir(idx_fs, s, b),
+                                             "postings.parquet"))
+            t2 = _pq.read_table(os.path.join(ckpt.partition_dir(idx_gb, s, b),
+                                             "postings.parquet"))
+            assert t1.equals(t2), (s, b)
+    assert ckpt.read_docstats(idx_fs) == ckpt.read_docstats(idx_gb)
+
+
+def test_salted_head_terms_spread_and_score_identically(ray_session, sf_small,
+                                                        oracle, tmp_path):
+    """Head-term salting (SURVEY §7.5 item 2): hot terms spread over several
+    buckets within a shard; searchers merge the runs, so ranking is
+    unchanged; salted terms are recorded in the manifest."""
+    import glob as _glob
+    import pyarrow.parquet as _pq
+    from search_engine_ray.pipelines.build import build_index
+    from search_engine_ray.pipelines.query import QueryEngine
+    idx = str(tmp_path / "salted")
+    src = os.path.join(sf_small, "documents.parquet")
+    man = build_index(src, idx, IndexConfig(
+        n_buckets=8, n_doc_shards=2, hot_df_fraction=0.10, salt=4))
+    salted = man["config"]["extra"]["salted_terms"]
+    assert salted, "31-word corpus must have head terms above 10% df"
+
+    # a salted term's postings live in >1 bucket of a shard
+    buckets_of = {}
+    for path in _glob.glob(os.path.join(idx, "segments", "shard=000",
+                                        "bucket=*", "postings.parquet")):
+        for t in _pq.read_table(path, columns=["term"])["term"].to_pylist():
+            buckets_of.setdefault(t, set()).add(path)
+    assert any(len(buckets_of.get(t, set())) > 1 for t in salted)
+
+    qe = QueryEngine(idx, num_searchers=2, use_actors=False)
+    for q in ["the fast sort", "table row merge", salted[0]]:
+        got = qe.query(q, k=10)
+        want = oracle.bm25(q, k=10)
+        assert [d for d, _ in got] == [d for d, _ in want], q
+        for (_, gs), (_, ws) in zip(got, want):
+            assert gs == pytest.approx(ws, abs=1e-9)
+
+
 def test_resume_skips_finished_partitions(ray_session, sf_small, tmp_path):
     from search_engine_ray.pipelines.build import build_index
     cfg = IndexConfig(**CFG)

@@ -1,0 +1,56 @@
+"""Spot-check of the driver contract: Ray queries vs DuckDB oracles at
+sf0.001 (full 20-query sweep lives in tools/check_contract.py)."""
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pytest
+
+SF = "/root/testdata/sf0.001"
+TABLES = ["documents", "embeddings", "events", "lineitem"]
+KEYS = ["term_df", "dedup_exact", "bm25_scores", "cosine_scores",
+        "lineitem_pricing"]
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * "
+                    f"FROM read_parquet('{SF}/{t}.parquet')")
+    return con
+
+
+def _canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    for c in df.columns:
+        if df[c].dtype == object:
+            df[c] = df[c].astype(str)
+        elif np.issubdtype(df[c].dtype, np.floating):
+            df[c] = np.round(df[c].astype(np.float64), 6) + 0.0
+    return df.sort_values(list(df.columns), ignore_index=True)
+
+
+@pytest.mark.parametrize("key", KEYS)
+def test_query_matches_oracle(key, duck, ray_session):
+    import __ray_entry__ as entrymod
+    fn = entrymod.queries()[key]
+    sql = entrymod.oracle_sql()[key]
+    res = fn(SF)
+    import ray
+    import ray.data
+    import pyarrow as pa
+    if isinstance(res, ray.data.Dataset):
+        tables = [t for t in (ray.get(r) for r in res.to_arrow_refs())
+                  if t.num_rows]
+        got = pa.concat_tables(tables, promote_options="default").to_pandas()
+    elif isinstance(res, pa.Table):
+        got = res.to_pandas()
+    else:
+        got = res
+    want = duck.execute(sql).fetchdf()
+    got, want = _canon(got), _canon(want)
+    assert list(got.columns) == list(want.columns)
+    assert len(got) == len(want)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False,
+                                  check_exact=False, atol=1e-6, rtol=0)

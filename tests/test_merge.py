@@ -1,0 +1,123 @@
+"""Multi-index k-way merge: postings-level and index-level (SURVEY §7 north
+rule: 'multi-segment merge uses a k-way merge of sorted posting lists with
+docID remapping')."""
+
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from search_engine_ray.stages.postings import (decode_posting,
+                                               decode_segment_to_rows,
+                                               encode_postings_table,
+                                               merge_segment_tables)
+
+
+def _seg(rows):
+    """rows: (term, doc_id, tf, doc_len)"""
+    return encode_postings_table(pa.table({
+        "term": [r[0] for r in rows],
+        "doc_id": pa.array([r[1] for r in rows], type=pa.int64()),
+        "tf": pa.array([r[2] for r in rows], type=pa.int32()),
+        "doc_len": pa.array([r[3] for r in rows], type=pa.int32()),
+    }))
+
+
+class TestSegmentMerge:
+    def test_decode_roundtrip(self):
+        seg = _seg([("a", 5, 2, 10), ("a", 9, 1, 7), ("b", 5, 3, 10)])
+        rows = decode_segment_to_rows(seg)
+        got = sorted(zip(rows["term"].to_pylist(), rows["doc_id"].to_pylist(),
+                         rows["tf"].to_pylist()))
+        assert got == [("a", 5, 2), ("a", 9, 1), ("b", 5, 3)]
+
+    def test_interleaved_doc_ids_merge_sorted(self):
+        s1 = _seg([("a", 1, 1, 5), ("a", 5, 2, 6), ("a", 9, 1, 7)])
+        s2 = _seg([("a", 2, 4, 8), ("a", 6, 1, 9)])
+        merged = merge_segment_tables([s1, s2])
+        assert merged.num_rows == 1
+        ids, tfs = decode_posting(merged.to_pylist()[0])
+        assert list(ids) == [1, 2, 5, 6, 9]
+        assert list(tfs) == [1, 4, 2, 1, 1]
+        assert merged["df"][0].as_py() == 5
+
+    def test_last_input_wins_on_recrawl(self):
+        s1 = _seg([("a", 5, 2, 10), ("b", 5, 7, 10)])
+        s2 = _seg([("a", 5, 9, 12)])          # doc 5 re-crawled
+        merged = merge_segment_tables([s1, s2])
+        by_term = {r["term"]: r for r in merged.to_pylist()}
+        ids, tfs = decode_posting(by_term["a"])
+        assert list(ids) == [5] and list(tfs) == [9]   # s2 wins
+        ids, tfs = decode_posting(by_term["b"])
+        assert list(tfs) == [7]                        # untouched field
+
+    def test_doc_id_remapping(self):
+        s1 = _seg([("a", 0, 1, 5), ("a", 1, 1, 5)])
+        s2 = _seg([("a", 0, 2, 6), ("a", 1, 2, 6)])
+        merged = merge_segment_tables([s1, s2], doc_id_offsets=[0, 100])
+        ids, tfs = decode_posting(merged.to_pylist()[0])
+        assert list(ids) == [0, 1, 100, 101]
+        assert list(tfs) == [1, 1, 2, 2]
+
+    def test_empty_inputs(self):
+        assert merge_segment_tables([]).num_rows == 0
+        s1 = _seg([("a", 1, 1, 5)])
+        assert merge_segment_tables([s1]).equals(s1)
+
+
+@pytest.fixture(scope="module")
+def two_indexes(ray_session, tmp_path_factory):
+    """Two delta builds over disjoint halves of sf0.001 documents."""
+    from search_engine_ray.pipelines.build import build_index
+    from search_engine_ray.state.checkpoint import IndexConfig
+    root = tmp_path_factory.mktemp("merge")
+    src = "/root/testdata/sf0.001/documents.parquet"
+    t = pq.read_table(src, columns=["doc_id", "text"])
+    half = t.num_rows // 2
+    p1, p2 = str(root / "half1.parquet"), str(root / "half2.parquet")
+    pq.write_table(t.slice(0, half), p1)
+    pq.write_table(t.slice(half), p2)
+    # salting off: each delta build samples its own hot set, which is legal
+    # (searchers merge a term's runs across buckets) but would break the
+    # byte-identity comparison against the monolithic build below
+    cfg = IndexConfig(n_buckets=4, n_doc_shards=2, salt_hot_terms=False)
+    i1, i2 = str(root / "idx1"), str(root / "idx2")
+    build_index(p1, i1, cfg)
+    build_index(p2, i2, cfg)
+    full = str(root / "idx_full")
+    build_index(src, full, cfg)
+    return i1, i2, full, str(root / "merged"), t
+
+
+def test_merged_index_equals_full_build(two_indexes, ray_session):
+    from search_engine_ray.pipelines.merge import merge_indexes
+    from search_engine_ray.pipelines.query import QueryEngine
+    from search_engine_ray.pipelines.oracle import build_oracle
+    from search_engine_ray.state import checkpoint as ckpt
+    i1, i2, full, out, t = two_indexes
+    man = merge_indexes([i1, i2], out)
+    assert len(man["partitions"]) == 8
+
+    # postings byte-identical to the from-scratch full build
+    cfg = ckpt.IndexConfig(n_buckets=4, n_doc_shards=2)
+    for s in range(2):
+        for b in range(4):
+            pm = pq.read_table(os.path.join(ckpt.partition_dir(out, s, b),
+                                            "postings.parquet"))
+            pf = pq.read_table(os.path.join(ckpt.partition_dir(full, s, b),
+                                            "postings.parquet"))
+            assert pm.equals(pf), (s, b)
+
+    assert ckpt.read_docstats(out) == ckpt.read_docstats(full)
+
+    # query rank/score identity on the merged index
+    orc = build_oracle(list(zip(t["doc_id"].to_pylist(), t["text"].to_pylist())))
+    qe = QueryEngine(out, num_searchers=2, use_actors=False)
+    for q in ["table row merge", "spark dup", "the a window"]:
+        got = qe.query(q, k=10)
+        want = orc.bm25(q, k=10)
+        assert [d for d, _ in got] == [d for d, _ in want], q
+        for (_, gs), (_, ws) in zip(got, want):
+            assert gs == pytest.approx(ws, abs=1e-9)

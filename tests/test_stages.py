@@ -78,11 +78,10 @@ def test_encode_decode_postings_roundtrip():
     for term, d, tf, dl in rows:
         want.setdefault(term, []).append((d, tf, dl))
     for row in seg.to_pylist():
-        ids, tfs, dls = decode_posting(row)
+        ids, tfs = decode_posting(row)
         expect = sorted(want[row["term"]])
         assert list(ids) == [e[0] for e in expect]
         assert list(tfs) == [e[1] for e in expect]
-        assert list(dls) == [e[2] for e in expect]
         assert row["df"] == len(expect)
         assert row["total_tf"] == sum(e[1] for e in expect)
         assert row["max_tf"] == max(e[1] for e in expect)
