@@ -1,0 +1,225 @@
+"""Command-line surface mirroring the reference's ``main`` driver
+(``/root/reference/main.cpp:12-58``): build (``ParseSources``), one-shot
+query (``--search``), database dump (``--print-database``), interactive REPL
+(``--ui`` with ``query`` / ``see N`` / ``parse`` / ``exit``), plus the
+north-rule additions (merge, pruned BM25, reference-grammar queries).
+
+This module owns the Ray session (guarded init) — the library never calls
+``ray.init``.  Usable as a ``ray job submit -- python -m
+search_engine_ray.cli build ...`` entrypoint.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+
+def _ensure_ray(num_cpus: int | None = None) -> None:
+    import ray
+    if not ray.is_initialized():
+        kwargs = {"address": "local", "include_dashboard": False,
+                  "logging_level": "ERROR"}
+        if num_cpus:
+            kwargs["num_cpus"] = num_cpus
+        ray.init(**kwargs)
+    from ray.data import DataContext
+    DataContext.get_current().enable_progress_bars = False
+
+
+def docstore_lookup(index_dir: str, doc_id: int) -> dict | None:
+    """Point-get against the docstore dimension table (reference
+    ``DisplaySource`` re-opens the source file by path,
+    ``KaggleFinanceSourceEngine.cpp:99-116``; here the docstore carries the
+    stored metadata)."""
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+    ds = pq.read_table(os.path.join(index_dir, "docstore"))
+    hit = ds.filter(pc.equal(ds["doc_id"], doc_id))
+    return hit.to_pylist()[0] if hit.num_rows else None
+
+
+def cmd_build(args) -> int:
+    _ensure_ray(args.num_cpus)
+    from .pipelines.build import build_index, build_reference_index
+    from .state.checkpoint import IndexConfig
+    cfg = IndexConfig(n_buckets=args.buckets, n_doc_shards=args.shards,
+                      text_col=args.text_col, id_col=args.id_col,
+                      stopwords=args.stopwords, stem=args.stem)
+    builder = build_reference_index if args.fielded else build_index
+    man = builder(args.source, args.index, cfg,
+                  keep_cols=tuple(args.keep_cols.split(","))
+                  if args.keep_cols else ())
+    done = len(man["partitions"])
+    print(f"built {args.index}: {done}/{cfg.n_partitions} partitions committed")
+    return 0 if done == cfg.n_partitions else 1
+
+
+def cmd_query(args) -> int:
+    _ensure_ray(args.num_cpus)
+    from .pipelines.query import QueryEngine
+    qe = QueryEngine(args.index, num_searchers=args.searchers)
+    if args.reference:
+        for rank, doc_id in enumerate(qe.reference_query(args.query, k=args.k)):
+            print(f"{rank:2d}  doc={doc_id}")
+    else:
+        for rank, (doc_id, score) in enumerate(
+                qe.query(args.query, k=args.k, prune=args.prune)):
+            print(f"{rank:2d}  doc={doc_id}  bm25={score:.6f}")
+    return 0
+
+
+def cmd_print_database(args) -> int:
+    """S4: console dump of the inverted index (``main.cpp:35-45``)."""
+    import pyarrow.parquet as pq
+    from .stages.postings import decode_posting
+    from .state import checkpoint as ckpt
+    man = ckpt.read_manifest(args.index)
+    cfg = man["config"]
+    shown = 0
+    for s in range(cfg["n_doc_shards"]):
+        for b in range(cfg["n_buckets"]):
+            path = os.path.join(ckpt.partition_dir(args.index, s, b),
+                                "postings.parquet")
+            if not os.path.exists(path):
+                continue
+            for row in pq.read_table(path).to_pylist():
+                ids, tfs = decode_posting(row)
+                postings = ", ".join(f"{d}:{t}" for d, t in
+                                     zip(ids[:8], tfs[:8]))
+                more = "" if len(ids) <= 8 else f", …(+{len(ids) - 8})"
+                print(f"[shard {s} bucket {b}] {row['field']}:{row['term']} "
+                      f"df={row['df']} -> {{{postings}{more}}}")
+                shown += 1
+                if args.limit and shown >= args.limit:
+                    return 0
+    return 0
+
+
+def cmd_show(args) -> int:
+    """S5: display one document's stored record by docID."""
+    row = docstore_lookup(args.index, args.doc_id)
+    if row is None:
+        print(f"doc {args.doc_id}: not found", file=sys.stderr)
+        return 1
+    print(json.dumps(row, default=str, indent=1))
+    return 0
+
+
+def cmd_merge(args) -> int:
+    _ensure_ray(args.num_cpus)
+    from .pipelines.merge import merge_indexes
+    man = merge_indexes(args.inputs, args.into)
+    print(f"merged {len(args.inputs)} indexes -> {args.into} "
+          f"({len(man['partitions'])} partitions)")
+    return 0
+
+
+def cmd_ui(args) -> int:
+    """Reference REPL (``SearchEngine.h:44-100``): ``query …`` ranks and
+    shows the top 10 (O2), ``see N`` displays result N's stored record,
+    ``parse PATH`` rebuilds the index, ``exit`` quits."""
+    _ensure_ray(args.num_cpus)
+    from .pipelines.query import QueryEngine
+    qe = QueryEngine(args.index, num_searchers=args.searchers)
+    last: list[int] = []
+    print("commands: query <text> | see <n> | parse <source> | exit")
+    for line in sys.stdin:
+        line = line.strip()
+        if not line:
+            continue
+        cmd, _, rest = line.partition(" ")
+        if cmd == "exit":
+            break
+        if cmd == "query":
+            results = qe.query(rest, k=10)
+            last = [d for d, _ in results]
+            for rank, (doc_id, score) in enumerate(results):
+                row = docstore_lookup(args.index, doc_id) or {}
+                label = row.get("url", row.get("lang", ""))
+                print(f"{rank:2d}  doc={doc_id}  bm25={score:.4f}  {label}")
+        elif cmd == "see":
+            try:
+                doc = last[int(rest)]
+            except (ValueError, IndexError):
+                print("usage: see <rank from last query>")
+                continue
+            print(json.dumps(docstore_lookup(args.index, doc), default=str,
+                             indent=1))
+        elif cmd == "parse":
+            from .pipelines.build import build_index
+            from .state import checkpoint as ckpt
+            import shutil
+            # reference semantics: parse wipes and rebuilds
+            # (KaggleFinanceSourceEngine.cpp:118-129)
+            shutil.rmtree(args.index, ignore_errors=True)
+            cfgd = {k: v for k, v in (qe.cfg or {}).items()
+                    if k in ("n_buckets", "n_doc_shards")}
+            build_index(rest, args.index, ckpt.IndexConfig(**cfgd))
+            qe = QueryEngine(args.index, num_searchers=args.searchers)
+            print(f"rebuilt {args.index} from {rest}")
+        else:
+            print("commands: query <text> | see <n> | parse <source> | exit")
+    return 0
+
+
+def make_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="search_engine_ray")
+    p.add_argument("--num-cpus", type=int, default=None)
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    b = sub.add_parser("build", help="build (or resume) an index")
+    b.add_argument("--source", required=True)
+    b.add_argument("--index", required=True)
+    b.add_argument("--buckets", type=int, default=16)
+    b.add_argument("--shards", type=int, default=4)
+    b.add_argument("--text-col", default="text")
+    b.add_argument("--id-col", default="doc_id")
+    b.add_argument("--keep-cols", default="")
+    b.add_argument("--stopwords", action="store_true")
+    b.add_argument("--stem", action="store_true")
+    b.add_argument("--fielded", action="store_true",
+                   help="multi-field reference index (title+metadata)")
+    b.set_defaults(fn=cmd_build)
+
+    q = sub.add_parser("query", help="one-shot query (reference --search)")
+    q.add_argument("--index", required=True)
+    q.add_argument("query")
+    q.add_argument("-k", type=int, default=10)
+    q.add_argument("--searchers", type=int, default=4)
+    q.add_argument("--prune", action="store_true")
+    q.add_argument("--reference", action="store_true",
+                   help="category grammar + 9-level reference ranking")
+    q.set_defaults(fn=cmd_query)
+
+    d = sub.add_parser("print-database", help="dump the inverted index (S4)")
+    d.add_argument("--index", required=True)
+    d.add_argument("--limit", type=int, default=50)
+    d.set_defaults(fn=cmd_print_database)
+
+    s = sub.add_parser("show", help="display one stored doc (S5)")
+    s.add_argument("--index", required=True)
+    s.add_argument("--doc-id", type=int, required=True)
+    s.set_defaults(fn=cmd_show)
+
+    m = sub.add_parser("merge", help="k-way merge of indexes")
+    m.add_argument("--into", required=True)
+    m.add_argument("inputs", nargs="+")
+    m.set_defaults(fn=cmd_merge)
+
+    u = sub.add_parser("ui", help="interactive REPL (reference --ui)")
+    u.add_argument("--index", required=True)
+    u.add_argument("--searchers", type=int, default=4)
+    u.set_defaults(fn=cmd_ui)
+    return p
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = make_parser().parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

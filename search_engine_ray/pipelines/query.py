@@ -63,6 +63,9 @@ class SegmentSearcher:
         self.field = field  # BM25-scored text field
         # (field, term) → list of slots (one per shard×bucket run)
         self.terms: dict[tuple[str, str], list[int]] = {}
+        # per-term tf upper bound (segment max_tf) → score upper bounds for
+        # MaxScore pruning without decoding the posting list
+        self.max_tf: dict[str, int] = {}
         ids_col, tfs_col = [], []
         local_terms = set()
         for s in shards:
@@ -73,10 +76,13 @@ class SegmentSearcher:
                 base = len(ids_col)
                 fields = (t["field"].to_pylist() if "field" in t.column_names
                           else [field] * t.num_rows)
+                max_tfs = t["max_tf"].to_pylist()
                 for i, (f, term) in enumerate(zip(fields, t["term"].to_pylist())):
                     self.terms.setdefault((f, term), []).append(base + i)
                     if f == field:
                         local_terms.add(term)
+                        self.max_tf[term] = max(self.max_tf.get(term, 0),
+                                                int(max_tfs[i]))
                 ids_col.extend(t["doc_ids"].to_pylist())
                 tfs_col.extend(t["tfs"].to_pylist())
         self._ids = ids_col
@@ -129,6 +135,8 @@ class SegmentSearcher:
         # BM25 doc-length norms, aligned with the local docID dictionary
         # (normalized out of the postings — see stages/postings.py)
         self._doc_len = all_lens[mask][order].astype(np.float64)
+        pos = self._doc_len[self._doc_len > 0]
+        self._dl_min = float(pos.min()) if pos.size else 1.0
         # decode-once cache: term → (local int32 ids, bm25 contributions);
         # BM25 per posting depends only on (tf, dl, df) — all fixed at build
         # time — so the per-term score vector is decoded+scored once and
@@ -188,6 +196,89 @@ class SegmentSearcher:
 
     def df_of(self, terms: list[str]) -> dict[str, int]:
         return {t: self.global_df[t] for t in terms if t in self.global_df}
+
+    # ---- dynamic pruning (MaxScore family; north-rule top-k path) ----
+
+    def _term_upper_bound(self, term: str) -> float:
+        """Score upper bound from segment metadata alone (no decode):
+        BM25 is monotone in tf and anti-monotone in doc_len, so
+        ``score ≤ idf · (k1+1) · max_tf / (max_tf + k1·(1−b+b·dl_min/avgdl))``."""
+        mtf = float(self.max_tf.get(term, 0))
+        if mtf <= 0:
+            return 0.0
+        idf = bm25_idf(self.n_docs, float(self.global_df.get(term, 0)))
+        denom = mtf + self.k1 * (1.0 - self.b + self.b * self._dl_min / self.avgdl)
+        return float(idf * mtf * (self.k1 + 1.0) / denom)
+
+    def search_pruned(self, terms: list[str], k: int = 10
+                      ) -> tuple[np.ndarray, np.ndarray]:
+        """Vectorized MaxScore top-k: exact same result set as
+        :meth:`search` (float sums may differ in the last bits — terms are
+        accumulated in bound order, not lexicographic order).
+
+        Terms are split into an ESSENTIAL prefix (by descending upper bound)
+        and non-essential rest: any doc absent from every essential posting
+        list cannot reach the top-k, so non-essential terms are only gathered
+        for the surviving candidate set (``np.searchsorted`` into their
+        docID-sorted lists), and a term whose bound cannot lift the current
+        k-th score is never even decoded."""
+        uniq = [t for t in dict.fromkeys(terms)
+                if (self.field, t) in self.terms]
+        if not uniq:
+            return (np.zeros(0, dtype=np.int64), np.zeros(0, dtype=np.float64))
+        bounds = {t: self._term_upper_bound(t) for t in uniq}
+        ordered = sorted(uniq, key=lambda t: (-bounds[t], t))
+        suffix_ub = np.cumsum([bounds[t] for t in ordered][::-1])[::-1]
+
+        # phase 1: essential prefix — exhaustive vectorized accumulation.
+        # A term is non-essential once the k-th best score so far exceeds
+        # the sum of ALL remaining bounds.
+        dense = np.zeros(len(self._docs), dtype=np.float64)
+        theta = -np.inf
+        split = len(ordered)
+        for i, t in enumerate(ordered):
+            if i >= 1 and theta >= suffix_ub[i]:
+                split = i
+                break
+            ids, sc = self._term_scores(t)
+            dense += np.bincount(ids, weights=sc, minlength=len(self._docs))
+            hits = np.flatnonzero(dense > 0.0)
+            if hits.size >= k:
+                theta = np.partition(dense[hits], hits.size - k)[hits.size - k]
+
+        cand = np.flatnonzero(dense > 0.0)
+        if cand.size == 0:
+            return (np.zeros(0, dtype=np.int64), np.zeros(0, dtype=np.float64))
+
+        # phase 2: gather non-essential terms for candidates only
+        rest = ordered[split:]
+        for j, t in enumerate(rest):
+            remaining_ub = float(suffix_ub[split + j])
+            keep = dense[cand] + remaining_ub >= theta
+            cand = cand[keep]
+            if cand.size == 0:
+                break
+            if bounds[t] <= 0.0:
+                continue
+            ids, sc = self._term_scores(t)
+            # per-term lists may be multi-run (salting); sort once for gather
+            srt = np.argsort(ids, kind="stable")
+            ids_s, sc_s = ids[srt], sc[srt]
+            pos = np.searchsorted(ids_s, cand)
+            pos_ok = pos < ids_s.size
+            match = np.zeros(cand.size, dtype=bool)
+            match[pos_ok] = ids_s[pos[pos_ok]] == cand[pos_ok]
+            dense[cand[match]] += sc_s[pos[pos_ok]][match[pos_ok]]
+            if cand.size >= k:
+                theta = max(theta, np.partition(
+                    dense[cand], cand.size - k)[cand.size - k])
+
+        scores = dense[cand]
+        if cand.size > 4 * k > 0:
+            thresh = np.partition(scores, cand.size - k)[cand.size - k]
+            sel = scores >= thresh
+            cand, scores = cand[sel], scores[sel]
+        return top_k(self._docs[cand], scores, k)
 
     # ---- reference-ranking evaluation (SURVEY §2.5 A4 + §2.6 O1) ----
 
@@ -288,15 +379,19 @@ class QueryEngine:
         else:
             self.searchers = [SegmentSearcher(index_dir, sl) for sl in slices]
 
-    def query(self, text: str, k: int = 10) -> list[tuple[int, float]]:
+    def query(self, text: str, k: int = 10, *,
+              prune: bool = False) -> list[tuple[int, float]]:
+        """``prune=True`` uses the MaxScore dynamic-pruning path (same
+        result set; float sums may differ in the last bits)."""
         terms = tokenize(text, stopwords=self.stopwords, stem=self.stem)
         if not terms:
             return []
+        method = "search_pruned" if prune else "search"
         if self.use_actors:
-            partials = ray.get([s.search.remote(terms, k)
+            partials = ray.get([getattr(s, method).remote(terms, k)
                                 for s in self.searchers])
         else:
-            partials = [s.search(terms, k) for s in self.searchers]
+            partials = [getattr(s, method)(terms, k) for s in self.searchers]
         ids = np.concatenate([p[0] for p in partials])
         sc = np.concatenate([p[1] for p in partials])
         if ids.size == 0:

@@ -90,6 +90,22 @@ def test_bm25_rank_and_score_identical(built_index, oracle, use_actors,
             assert gs == pytest.approx(ws, abs=1e-9), q
 
 
+@pytest.mark.parametrize("use_actors", [False, True])
+def test_maxscore_pruned_search_matches_exhaustive(built_index, oracle,
+                                                   use_actors, ray_session):
+    """MaxScore dynamic pruning returns the exact top-k of exhaustive
+    evaluation (scores approx-equal: accumulation order differs)."""
+    from search_engine_ray.pipelines.query import QueryEngine
+    idx, _ = built_index
+    qe = QueryEngine(idx, num_searchers=2, use_actors=use_actors)
+    for q in QUERIES + ["the scan sort merge window agg value key line big"]:
+        got = qe.query(q, k=10, prune=True)
+        want = oracle.bm25(q, k=10)
+        assert [d for d, _ in got] == [d for d, _ in want], q
+        for (_, gs), (_, ws) in zip(got, want):
+            assert gs == pytest.approx(ws, abs=1e-9), q
+
+
 def test_groupby_exchange_builds_identical_index(ray_session, sf_small,
                                                  built_index, tmp_path):
     """The object-store groupby exchange and the filesystem exchange commit
