@@ -309,6 +309,35 @@ FROM events GROUP BY user_id
 """
 
 
+def q_events_tumbling(sf_dir: str):
+    """Tumbling-window aggregate (1-hour windows) over the events stream:
+    the batch-engine restatement of a streaming windowed aggregate —
+    window assignment is a per-batch vectorized truncation, the aggregate is
+    one groupby on (user_id, window_start)."""
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                               columns=["user_id", "ts", "value"])
+
+    def assign_window(t: pa.Table) -> pa.Table:
+        win = pc.floor_temporal(t["ts"], unit="hour")
+        return pa.table({"user_id": t["user_id"].cast(pa.int64()),
+                         "window_start": win,
+                         "value": t["value"]})
+
+    return (ds.map_batches(assign_window, batch_format="pyarrow")
+            .groupby(["user_id", "window_start"])
+            .aggregate(Count(), Sum("value"))
+            .rename_columns({"count()": "n_events", "sum(value)": "total_value"})
+            .map_batches(functools.partial(_round_col, col="total_value"),
+                         batch_format="pyarrow"))
+
+
+SQL_EVENTS_TUMBLING = """
+SELECT user_id, date_trunc('hour', ts) AS window_start,
+       count(*) AS n_events, round(sum(value), 6) AS total_value
+FROM events GROUP BY user_id, date_trunc('hour', ts)
+"""
+
+
 def q_lineitem_pricing(sf_dir: str):
     """TPC-H-Q1-style grouped multi-aggregate (generic relational showcase:
     map-side combine happens inside Ray's hash aggregate)."""
@@ -513,6 +542,67 @@ def q_fingerprints(sf_dir: str):
         Fingerprint(), batch_format="pyarrow")
 
 
+def q_embedding_neardup(sf_dir: str, *, threshold: float = 0.35):
+    """Embedding near-duplicate detection, LSH-bucketed scale path: seeded
+    hyperplane sign buckets colocate candidates (groupby), exact cosine
+    verification inside each bucket group — no all-pairs matmul.  LSH is
+    recall-limited by construction (pairs in no shared bucket are missed);
+    the testdata embeddings are random gaussians, so the threshold sits at
+    the top of their cosine distribution rather than a true-duplicate 0.9."""
+    from ..stages.similarity import HyperplaneLSH, _vectors_from_batch
+    import pyarrow.parquet as pq
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    head = next(pq.ParquetFile(path).iter_batches(batch_size=1,
+                                                  columns=["embedding"]))
+    dim = len(head["embedding"][0])
+    ds = ray.data.read_parquet(path, columns=["vec_id", "embedding"])
+    buckets = ds.map_batches(HyperplaneLSH(dim=dim, n_bits=4, n_tables=8),
+                             batch_format="pyarrow")
+    # join bucket rows back to vectors: broadcast the (small) embedding table
+    # into the group verifier via Ray's object store
+    vec_tbl = pq.read_table(path, columns=["vec_id", "embedding"])
+    vecs = _vectors_from_batch(vec_tbl, "embedding")
+    vids = vec_tbl["vec_id"].to_numpy(zero_copy_only=False)
+    order = np.argsort(vids)
+    vids, vecs = vids[order], vecs[order]
+    vn = vecs / np.maximum(np.linalg.norm(vecs, axis=1, keepdims=True), 1e-30)
+    import ray as _ray
+    vn_ref, vid_ref = _ray.put(vn), _ray.put(vids)
+
+    def verify(group: pa.Table) -> pa.Table:
+        ids = np.unique(group["vec_id"].to_numpy(zero_copy_only=False))
+        empty = pa.table({"vec_a": pa.array([], type=pa.int64()),
+                          "vec_b": pa.array([], type=pa.int64()),
+                          "cos_sim": pa.array([], type=pa.float64())})
+        if ids.size < 2 or ids.size > 2048:
+            return empty
+        all_vn, all_ids = _ray.get(vn_ref), _ray.get(vid_ref)
+        sub = all_vn[np.searchsorted(all_ids, ids)]
+        sims = sub @ sub.T
+        iu = np.triu_indices(ids.size, k=1)
+        keep = sims[iu] >= threshold
+        if not keep.any():
+            return empty
+        return pa.table({
+            "vec_a": pa.array(ids[iu[0][keep]], type=pa.int64()),
+            "vec_b": pa.array(ids[iu[1][keep]], type=pa.int64()),
+            "cos_sim": pa.array(np.round(sims[iu][keep], 6)),
+        })
+
+    pairs = buckets.groupby(["table_id", "bucket"]).map_groups(
+        verify, batch_format="pyarrow")
+    tbl = _collect_table(pairs, pa.schema([("vec_a", pa.int64()),
+                                           ("vec_b", pa.int64()),
+                                           ("cos_sim", pa.float64())]))
+    if tbl.num_rows == 0:
+        return tbl
+    agg = tbl.group_by(["vec_a", "vec_b"]).aggregate([("cos_sim", "max")])
+    out = pa.table({"vec_a": agg["vec_a"], "vec_b": agg["vec_b"],
+                    "cos_sim": agg["cos_sim_max"]})
+    return out.take(pc.sort_indices(out, sort_keys=[("vec_a", "ascending"),
+                                                    ("vec_b", "ascending")]))
+
+
 def q_media_frame_stats(sf_dir: str | None = None, *, n_videos: int = 64):
     """Multimodal pipeline plumbing: deterministic fake videos → actor-pool
     frame sampling → per-frame image decode stats → per-video aggregate.
@@ -566,6 +656,8 @@ QUERIES = {
     "minhash_neardup": q_minhash_neardup,
     "simhash_neardup": q_simhash_neardup,
     "knn_topk": q_knn_topk,
+    "events_tumbling": q_events_tumbling,
+    "embedding_neardup": q_embedding_neardup,
     "lang_id_counts": q_lang_id_counts,
     "fingerprints": q_fingerprints,
     "media_frame_stats": q_media_frame_stats,
@@ -586,6 +678,7 @@ ORACLE_SQL = {
     "user_activity": SQL_USER_ACTIVITY,
     "lineitem_pricing": SQL_LINEITEM_PRICING,
     "binary_payload_stats": SQL_BINARY_PAYLOAD_STATS,
+    "events_tumbling": SQL_EVENTS_TUMBLING,
     # bm25_topk / minhash_neardup / simhash_neardup / knn_topk /
     # lang_id_counts / fingerprints: stateful or non-SQL-expressible →
     # rows-only driver check (SURVEY §5 item 4).
