@@ -91,8 +91,14 @@ def bench_query_latency(idx_dir: str, n_queries: int = 60) -> dict:
         qe.query(terms[i % len(terms)], k=10)
         lat.append(time.time() - t0)
     lat = np.asarray(lat)
+    # batched path: one RPC per actor per batch → throughput
+    batch = [terms[i % len(terms)] for i in range(256)]
+    t0 = time.time()
+    qe.query_many(batch, k=10)
+    qps = len(batch) / (time.time() - t0)
     return {"p50": float(np.percentile(lat, 50)),
-            "p95": float(np.percentile(lat, 95))}
+            "p95": float(np.percentile(lat, 95)),
+            "batched_qps": qps}
 
 
 def main() -> None:
@@ -110,6 +116,7 @@ def main() -> None:
     lat = bench_query_latency("/tmp/serx_bench_idx")
     out["bm25_p50"] = round(lat["p50"], 4)
     out["bm25_p95"] = round(lat["p95"], 4)
+    out["bm25_batched_qps"] = round(lat["batched_qps"], 1)
 
     def timed(name, fn):
         t = time.time()

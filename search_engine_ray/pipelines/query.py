@@ -197,6 +197,13 @@ class SegmentSearcher:
     def df_of(self, terms: list[str]) -> dict[str, int]:
         return {t: self.global_df[t] for t in terms if t in self.global_df}
 
+    def search_many(self, queries: list[list[str]], k: int = 10,
+                    prune: bool = False) -> list[tuple[np.ndarray, np.ndarray]]:
+        """Batched evaluation: one actor round-trip for a whole query batch
+        (RPC latency dominates single-query cost at ~2 ms/call)."""
+        fn = self.search_pruned if prune else self.search
+        return [fn(terms, k) for terms in queries]
+
     # ---- dynamic pruning (MaxScore family; north-rule top-k path) ----
 
     def _term_upper_bound(self, term: str) -> float:
@@ -398,6 +405,31 @@ class QueryEngine:
             return []
         ids, sc = top_k(ids, sc, k)
         return [(int(d), float(s)) for d, s in zip(ids, sc)]
+
+    def query_many(self, texts: list[str], k: int = 10, *,
+                   prune: bool = False) -> list[list[tuple[int, float]]]:
+        """Batched top-k: one RPC per actor for the whole batch — the
+        throughput path (single-query latency is RPC-dominated)."""
+        compiled = [tokenize(t, stopwords=self.stopwords, stem=self.stem)
+                    for t in texts]
+        live = [(i, terms) for i, terms in enumerate(compiled) if terms]
+        out: list[list[tuple[int, float]]] = [[] for _ in texts]
+        if not live:
+            return out
+        batch = [terms for _, terms in live]
+        if self.use_actors:
+            per_actor = ray.get([s.search_many.remote(batch, k, prune)
+                                 for s in self.searchers])
+        else:
+            per_actor = [s.search_many(batch, k, prune)
+                         for s in self.searchers]
+        for j, (i, _terms) in enumerate(live):
+            ids = np.concatenate([p[j][0] for p in per_actor])
+            sc = np.concatenate([p[j][1] for p in per_actor])
+            if ids.size:
+                ids, sc = top_k(ids, sc, k)
+                out[i] = [(int(d), float(s)) for d, s in zip(ids, sc)]
+        return out
 
     def reference_query(self, raw: str, k: int = 10, *,
                         strict_compat: bool = False) -> list[int]:

@@ -91,6 +91,19 @@ def test_bm25_rank_and_score_identical(built_index, oracle, use_actors,
 
 
 @pytest.mark.parametrize("use_actors", [False, True])
+def test_query_many_matches_single(built_index, oracle, use_actors,
+                                   ray_session):
+    from search_engine_ray.pipelines.query import QueryEngine
+    idx, _ = built_index
+    qe = QueryEngine(idx, num_searchers=2, use_actors=use_actors)
+    batch = qe.query_many(QUERIES, k=10)
+    for q, got in zip(QUERIES, batch):
+        assert got == qe.query(q, k=10), q
+        want = oracle.bm25(q, k=10)
+        assert [d for d, _ in got] == [d for d, _ in want], q
+
+
+@pytest.mark.parametrize("use_actors", [False, True])
 def test_maxscore_pruned_search_matches_exhaustive(built_index, oracle,
                                                    use_actors, ray_session):
     """MaxScore dynamic pruning returns the exact top-k of exhaustive
