@@ -156,8 +156,10 @@ def _exchange_fs(ds, index_dir: str, cfg: IndexConfig, stage, batch_size,
         shutil.rmtree(tmp_base, ignore_errors=True)
         os.makedirs(frag_dir, exist_ok=True)
         spiller = FragmentSpiller(frag_dir, doc_tmp)
+        # batch = whole block: one fragment per (task, partition) keeps the
+        # reduce side's file count at blocks × partitions minimum
         ds.map_batches(_TokenizeAndSpill(stage, spiller),
-                       batch_format="pyarrow", batch_size=batch_size,
+                       batch_format="pyarrow", batch_size=None,
                        concurrency=concurrency).count()
         with open(marker, "w") as f:
             f.write(cfg_tag)

@@ -528,6 +528,24 @@ def q_knn_topk(sf_dir: str, *, n_queries: int = 4, k: int = 10):
                           pc.round(out["cos_sim"], 6))
 
 
+def q_ivf_topk(sf_dir: str, *, n_queries: int = 4, k: int = 10):
+    """IVF approximate top-k (coarse k-means cells, nprobe probing, exact
+    rerank) — the ANN scale path next to the brute-force baseline
+    (``knn_topk``); recall vs brute force is asserted in tests."""
+    from ..stages.ivf import IVFIndex
+    import pyarrow.parquet as pq
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    idx_dir = os.path.join(_INDEX_CACHE,
+                           "ivf_" + sf_dir.strip("/").replace("/", "_"))
+    if not os.path.exists(os.path.join(idx_dir, "centroids.npy")):
+        IVFIndex.build(path, idx_dir, n_cells=16)
+    ivf = IVFIndex(idx_dir)
+    head = next(pq.ParquetFile(path).iter_batches(
+        batch_size=n_queries, columns=["embedding"]))
+    queries = np.asarray(head["embedding"].to_pylist(), dtype=np.float64)
+    return ivf.search(queries, k=k, nprobe=6)
+
+
 def q_lang_id_counts(sf_dir: str):
     """Heuristic language-ID distribution (training-data lang filter)."""
     return (_docs(sf_dir, ["doc_id", "text"])
@@ -658,6 +676,7 @@ QUERIES = {
     "knn_topk": q_knn_topk,
     "events_tumbling": q_events_tumbling,
     "embedding_neardup": q_embedding_neardup,
+    "ivf_topk": q_ivf_topk,
     "lang_id_counts": q_lang_id_counts,
     "fingerprints": q_fingerprints,
     "media_frame_stats": q_media_frame_stats,

@@ -68,13 +68,18 @@ def encode_postings_table(group: pa.Table) -> pa.Table:
     doc_id = group["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
     tf = group["tf"].to_numpy(zero_copy_only=False).astype(np.uint64)
 
-    # canonical order: (field, term, doc_id) ascending
-    dic_f = field.dictionary_encode()
-    dic_t = term.dictionary_encode()
+    # canonical order: (field, term, doc_id) ascending — true string order,
+    # NOT dictionary-code order, so segment bytes are identical no matter
+    # how the exchange happened to order the input rows
+    sort_tbl = pa.table({"f": field, "t": term,
+                         "d": pa.array(doc_id.astype(np.int64))})
+    order = pa.compute.sort_indices(
+        sort_tbl, sort_keys=[("f", "ascending"), ("t", "ascending"),
+                             ("d", "ascending")]).to_numpy(zero_copy_only=False)
+    dic_f = field.take(pa.array(order)).dictionary_encode()
+    dic_t = term.take(pa.array(order)).dictionary_encode()
     f_codes = dic_f.indices.to_numpy(zero_copy_only=False).astype(np.int64)
     t_codes = dic_t.indices.to_numpy(zero_copy_only=False).astype(np.int64)
-    order = np.lexsort((doc_id, t_codes, f_codes))
-    f_codes, t_codes = f_codes[order], t_codes[order]
     doc_id, tf = doc_id[order], tf[order]
 
     # term-run boundaries over the sorted rows
@@ -255,13 +260,10 @@ class FragmentEncoder:
         self.n_buckets = n_buckets
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        import glob as _glob
         out = []
         for part in batch["part"].to_pylist():
-            frags = sorted(_glob.glob(os.path.join(
-                self.tmp_dir, f"part={part:05d}", "frag-*.parquet")))
-            rows = (pa.concat_tables([pq.read_table(f) for f in frags])
-                    if frags else None)
+            part_dir = os.path.join(self.tmp_dir, f"part={part:05d}")
+            rows = pq.read_table(part_dir) if os.path.isdir(part_dir) else None
             shard, bucket = part // self.n_buckets, part % self.n_buckets
             seg = encode_postings_table(rows) if rows is not None else \
                 encode_postings_table(pa.table(
