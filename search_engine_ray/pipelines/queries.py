@@ -176,6 +176,51 @@ GROUP BY t.doc_id, d.text
 """
 
 
+def q_quality_filter(sf_dir: str, *, min_tokens: int = 60,
+                     max_digit_ratio: float = 0.05):
+    """Training-data quality FILTER: keep docs passing length + digit-ratio
+    gates (the select step downstream of quality scoring)."""
+    scored = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        QualityStats(), batch_format="pyarrow")
+    return (scored
+            .filter(expr=f"n_tokens >= {min_tokens} and "
+                         f"digit_ratio <= {max_digit_ratio}")
+            .select_columns(["doc_id", "n_tokens"]))
+
+
+SQL_QUALITY_FILTER = f"""
+WITH toks AS ({sql_tokenize_cte()}),
+q AS (SELECT t.doc_id, count(*) AS n_tokens,
+             (length(d.text) - length(regexp_replace(d.text, '[0-9]', '', 'g')))
+               * 1.0 / greatest(length(d.text), 1) AS digit_ratio
+      FROM toks t JOIN documents d USING (doc_id)
+      GROUP BY t.doc_id, d.text)
+SELECT doc_id, n_tokens FROM q
+WHERE n_tokens >= 60 AND digit_ratio <= 0.05
+"""
+
+
+def q_dedup_keep(sf_dir: str):
+    """The deduped corpus itself: docIDs surviving exact dedup (keeper =
+    min docID per distinct text) — a keeper-set semi-join expressed as
+    groupby + broadcast membership filter."""
+    keepers = (_docs(sf_dir, ["doc_id", "text"])
+               .groupby("text").aggregate(Min("doc_id"))
+               .rename_columns({"min(doc_id)": "doc_id"})
+               .select_columns(["doc_id"]))
+    keep_ids = pa.array(sorted(r["doc_id"] for r in keepers.take_all()),
+                        type=pa.int64())  # small side → broadcast
+    return _docs(sf_dir, ["doc_id", "n_chars"]).map_batches(
+        lambda t: t.filter(pc.is_in(t["doc_id"], value_set=keep_ids)),
+        batch_format="pyarrow")
+
+
+SQL_DEDUP_KEEP = """
+SELECT doc_id, n_chars FROM documents
+WHERE doc_id IN (SELECT min(doc_id) FROM documents GROUP BY text)
+"""
+
+
 def q_bm25_scores(sf_dir: str):
     """BM25 scores for the flagship query over ALL matching docs, computed as
     a dataflow: tokenize → broadcast-filter to query terms → per-row
@@ -663,7 +708,9 @@ QUERIES = {
     "source_doc_counts": q_source_doc_counts,
     "metadata_index": q_metadata_index,
     "dedup_exact": q_dedup_exact,
+    "dedup_keep": q_dedup_keep,
     "quality_scores": q_quality_scores,
+    "quality_filter": q_quality_filter,
     "bm25_scores": q_bm25_scores,
     "cosine_scores": q_cosine_scores,
     "event_type_stats": q_event_type_stats,
@@ -690,7 +737,9 @@ ORACLE_SQL = {
     "source_doc_counts": SQL_SOURCE_DOC_COUNTS,
     "metadata_index": SQL_METADATA_INDEX,
     "dedup_exact": SQL_DEDUP_EXACT,
+    "dedup_keep": SQL_DEDUP_KEEP,
     "quality_scores": SQL_QUALITY_SCORES,
+    "quality_filter": SQL_QUALITY_FILTER,
     "bm25_scores": _sql_bm25_scores(),
     "cosine_scores": SQL_COSINE_SCORES,
     "event_type_stats": SQL_EVENT_TYPE_STATS,
