@@ -38,6 +38,7 @@ from typing import Callable, Iterable
 
 import pyarrow as pa
 import pyarrow.compute as pc
+import pyarrow.parquet as pq
 
 import ray.data
 from ray.data.aggregate import Sum
@@ -163,10 +164,20 @@ def _exchange_fs(ds, index_dir: str, cfg: IndexConfig, stage, batch_size,
                        concurrency=concurrency).count()
         with open(marker, "w") as f:
             f.write(cfg_tag)
-    if need_docstore and os.path.exists(doc_tmp):
+    if need_docstore:
         docstore = os.path.join(index_dir, "docstore")
-        shutil.rmtree(docstore, ignore_errors=True)
-        os.replace(doc_tmp, docstore)
+        if os.path.exists(doc_tmp):
+            shutil.rmtree(docstore, ignore_errors=True)
+            os.replace(doc_tmp, docstore)
+        elif not os.path.exists(docstore):
+            # empty corpus: stage 1 spilled no doc rows at all
+            os.makedirs(docstore, exist_ok=True)
+            pq.write_table(
+                pa.table({cfg.id_col: pa.array([], type=pa.int64()),
+                          "doc_len": pa.array([], type=pa.int32())}),
+                os.path.join(docstore, "empty.parquet"))
+        # else: docstore already moved into place by an interrupted run
+        # (killed after the move, before docstats) — keep it
     if pending:
         os.makedirs(ckpt.segments_dir(index_dir), exist_ok=True)
         # one BLOCK per partition: map_batches parallelism is per-block, so

@@ -173,6 +173,35 @@ def test_salted_head_terms_spread_and_score_identically(ray_session, sf_small,
             assert gs == pytest.approx(ws, abs=1e-9)
 
 
+def test_empty_and_single_doc_corpora(ray_session, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as _pq
+    from search_engine_ray.pipelines.build import build_index
+    from search_engine_ray.pipelines.query import QueryEngine
+    cfg = IndexConfig(n_buckets=4, n_doc_shards=2)
+
+    empty_src = str(tmp_path / "empty.parquet")
+    _pq.write_table(pa.table({"doc_id": pa.array([], type=pa.int64()),
+                              "text": pa.array([], type=pa.string())}),
+                    empty_src)
+    idx = str(tmp_path / "empty_idx")
+    man = build_index(empty_src, idx, cfg)
+    assert len(man["partitions"]) == cfg.n_partitions
+    qe = QueryEngine(idx, num_searchers=2, use_actors=False)
+    assert qe.query("anything", 5) == []
+    assert qe.query("anything", 5, prune=True) == []
+
+    one_src = str(tmp_path / "one.parquet")
+    _pq.write_table(pa.table({"doc_id": pa.array([7], type=pa.int64()),
+                              "text": pa.array(["hello world hello"])}),
+                    one_src)
+    idx1 = str(tmp_path / "one_idx")
+    build_index(one_src, idx1, cfg)
+    qe1 = QueryEngine(idx1, num_searchers=2, use_actors=False)
+    (doc, score), = qe1.query("hello", 5)
+    assert doc == 7 and score > 0
+
+
 def test_resume_skips_finished_partitions(ray_session, sf_small, tmp_path):
     from search_engine_ray.pipelines.build import build_index
     cfg = IndexConfig(**CFG)
