@@ -49,9 +49,10 @@ def cmd_build(args) -> int:
                       text_col=args.text_col, id_col=args.id_col,
                       stopwords=args.stopwords, stem=args.stem)
     builder = build_reference_index if args.fielded else build_index
-    man = builder(args.source, args.index, cfg,
-                  keep_cols=tuple(args.keep_cols.split(","))
-                  if args.keep_cols else ())
+    kwargs = {}
+    if args.keep_cols:
+        kwargs["keep_cols"] = tuple(args.keep_cols.split(","))
+    man = builder(args.source, args.index, cfg, **kwargs)
     done = len(man["partitions"])
     print(f"built {args.index}: {done}/{cfg.n_partitions} partitions committed")
     return 0 if done == cfg.n_partitions else 1

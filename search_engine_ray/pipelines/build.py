@@ -333,5 +333,10 @@ def build_reference_index(source: str | DatasetFactory, index_dir: str,
         stopwords=ENGLISH_STOPWORDS if cfg.stopwords else None,
         stem=cfg.stem, n_buckets=cfg.n_buckets, n_doc_shards=cfg.n_doc_shards)
     cols = [cfg.id_col] + sorted(set(tf.values()) | set(mf.values()))
+    if "keep_cols" not in kwargs:
+        # docstore carries the display header fields (reference
+        # DisplaySource prints title/country/site, SearchEngine.h:68)
+        kwargs["keep_cols"] = tuple(
+            c for c in ("title", "site", "url") if c in cols)
     return build_index(source, index_dir, cfg, postings_stage=stage,
                        postings_columns=cols, **kwargs)
