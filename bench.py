@@ -61,6 +61,7 @@ def _pages_factory(pages_dir: str):
         return (ray.data.read_parquet(pages_dir, columns=["url", "html", "lang"],
                                       override_num_blocks=n_blocks)
                 .map_batches(ExtractText(), batch_format="pyarrow"))
+    factory.cache_tag = pages_dir  # lets hot-term sampling cache per corpus
     return factory
 
 

@@ -112,6 +112,28 @@ def _hot_terms(source, index_dir: str, cfg: IndexConfig,
     if os.path.exists(path):
         with open(path) as f:
             return frozenset(_json.load(f)["hot_terms"]) or None
+    # cross-build cache: the sample depends only on (source, analyzer
+    # config); repeated fresh builds over the same corpus (benchmarks,
+    # delta experiments) skip the sampling job entirely
+    cache_key = None
+    src_tag = source if isinstance(source, str) \
+        else getattr(source, "cache_tag", None)
+    if src_tag:
+        from ..functions.analyze import fnv1a64
+        try:
+            mtime = os.path.getmtime(src_tag) if os.path.exists(src_tag) else 0
+            tag = f"{src_tag}|{mtime}|{cfg.hot_df_fraction}" \
+                  f"|{cfg.stopwords}|{cfg.stem}"
+            cache_key = f"/tmp/serx_hotterms_{fnv1a64(tag.encode()):016x}.json"
+            if os.path.exists(cache_key):
+                with open(cache_key) as f:
+                    payload = _json.load(f)
+                with open(path + ".tmp", "w") as f:
+                    _json.dump(payload, f)
+                os.replace(path + ".tmp", path)
+                return frozenset(payload["hot_terms"]) or None
+        except OSError:
+            cache_key = None
     sample = _resolve(source, [cfg.id_col, cfg.text_col]).limit(2000).take_all()
     from collections import Counter
     dfc: Counter = Counter()
@@ -120,10 +142,15 @@ def _hot_terms(source, index_dir: str, cfg: IndexConfig,
                                  stem=cfg.stem)))
     n = max(len(sample), 1)
     hot = sorted(t for t, c in dfc.items() if c / n >= cfg.hot_df_fraction)
+    payload = {"sampled_docs": n, "hot_df_fraction": cfg.hot_df_fraction,
+               "hot_terms": hot}
     with open(path + ".tmp", "w") as f:
-        _json.dump({"sampled_docs": n, "hot_df_fraction": cfg.hot_df_fraction,
-                    "hot_terms": hot}, f)
+        _json.dump(payload, f)
     os.replace(path + ".tmp", path)
+    if cache_key:
+        with open(cache_key + ".tmp", "w") as f:
+            _json.dump(payload, f)
+        os.replace(cache_key + ".tmp", cache_key)
     return frozenset(hot) or None
 
 
