@@ -26,8 +26,9 @@ BENCH_PAGES_DIR = "/tmp/serx_bench_pages_100k"
 BENCH_PAGES_N = 100_000
 # scaling runs use a larger corpus so distributed work dominates fixed
 # per-pass overheads (read planning, barriers, tiny aggregates) at 32 CPUs
-SCALING_PAGES_DIR = "/tmp/serx_scaling_pages_1600k"
-SCALING_PAGES_N = 1_600_000
+SCALING_PAGES_DIR = os.environ.get("SCALING_PAGES_DIR",
+                                   "/tmp/serx_scaling_pages_1600k")
+SCALING_PAGES_N = int(os.environ.get("SCALING_PAGES_N", "1600000"))
 
 
 def _init(num_cpus: int) -> None:
