@@ -41,6 +41,23 @@ def docstore_lookup(index_dir: str, doc_id: int) -> dict | None:
     return hit.to_pylist()[0] if hit.num_rows else None
 
 
+def _source_for(path: str):
+    """Parquet path/dir → used as-is; a directory of ``*.json`` article
+    files (the reference's native corpus layout, e.g. its
+    sample_kaggle_finance_data) → a Dataset factory through the Kaggle
+    reader."""
+    import glob as _glob
+    if os.path.isdir(path) and not _glob.glob(os.path.join(path, "*.parquet")) \
+            and _glob.glob(os.path.join(path, "**", "*.json"), recursive=True):
+        from .sources.kaggle_json import read_kaggle_articles
+
+        def factory():
+            return read_kaggle_articles(path)
+        factory.cache_tag = path
+        return factory
+    return path
+
+
 def cmd_build(args) -> int:
     _ensure_ray(args.num_cpus)
     from .pipelines.build import build_index, build_reference_index
@@ -52,7 +69,7 @@ def cmd_build(args) -> int:
     kwargs = {}
     if args.keep_cols:
         kwargs["keep_cols"] = tuple(args.keep_cols.split(","))
-    man = builder(args.source, args.index, cfg, **kwargs)
+    man = builder(_source_for(args.source), args.index, cfg, **kwargs)
     done = len(man["partitions"])
     print(f"built {args.index}: {done}/{cfg.n_partitions} partitions committed")
     return 0 if done == cfg.n_partitions else 1

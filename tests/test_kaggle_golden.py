@@ -76,6 +76,16 @@ def test_readme_queries_match_reference_oracle(golden, ray_session):
         assert got, f"README query {q!r} must match sample docs"
 
 
+def test_cli_source_routing(ray_session):
+    from search_engine_ray.cli import _source_for
+    src = _source_for(SAMPLES)
+    assert callable(src) and src.cache_tag == SAMPLES
+    assert src().count() == 6
+    assert _source_for("/root/testdata/sf0.001/documents.parquet") == \
+        "/root/testdata/sf0.001/documents.parquet"
+    assert _source_for("/root/testdata/sf0.001") == "/root/testdata/sf0.001"
+
+
 def test_bm25_over_golden_corpus(golden, ray_session):
     from search_engine_ray.pipelines.query import QueryEngine
     from search_engine_ray.pipelines.oracle import build_oracle
