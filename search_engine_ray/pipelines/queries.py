@@ -383,6 +383,42 @@ FROM events GROUP BY user_id, date_trunc('hour', ts)
 """
 
 
+def q_user_sessions(sf_dir: str, *, gap_s: int = 1800):
+    """Gap-based sessionization: events of one user sorted by time; a gap
+    over ``gap_s`` starts a new session.  The per-user state is confined to
+    one ``groupby(user).map_groups`` call (vectorized diff over sorted
+    timestamps) — the canonical stateful-within-key streaming operator in
+    batch form."""
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                               columns=["user_id", "ts"])
+
+    def sessionize(group: pa.Table) -> pa.Table:
+        ts = np.sort(group["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False))
+        gaps = np.diff(ts) > gap_s * 1_000_000  # timestamps are micros
+        return pa.table({
+            "user_id": group["user_id"].slice(0, 1).cast(pa.int64()),
+            "n_sessions": pa.array([1 + int(gaps.sum())], type=pa.int64()),
+            "n_events": pa.array([group.num_rows], type=pa.int64()),
+        })
+
+    return ds.groupby("user_id").map_groups(sessionize, batch_format="pyarrow")
+
+
+SQL_USER_SESSIONS = """
+WITH o AS (
+  SELECT user_id, ts,
+         lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev
+  FROM events),
+s AS (
+  SELECT user_id,
+         CASE WHEN prev IS NULL
+                   OR epoch(ts) - epoch(prev) > 1800 THEN 1 ELSE 0 END AS new_s
+  FROM o)
+SELECT user_id, sum(new_s) AS n_sessions, count(*) AS n_events
+FROM s GROUP BY user_id
+"""
+
+
 def q_lineitem_pricing(sf_dir: str):
     """TPC-H-Q1-style grouped multi-aggregate (generic relational showcase:
     map-side combine happens inside Ray's hash aggregate)."""
@@ -722,6 +758,7 @@ QUERIES = {
     "simhash_neardup": q_simhash_neardup,
     "knn_topk": q_knn_topk,
     "events_tumbling": q_events_tumbling,
+    "user_sessions": q_user_sessions,
     "embedding_neardup": q_embedding_neardup,
     "ivf_topk": q_ivf_topk,
     "lang_id_counts": q_lang_id_counts,
@@ -747,6 +784,7 @@ ORACLE_SQL = {
     "lineitem_pricing": SQL_LINEITEM_PRICING,
     "binary_payload_stats": SQL_BINARY_PAYLOAD_STATS,
     "events_tumbling": SQL_EVENTS_TUMBLING,
+    "user_sessions": SQL_USER_SESSIONS,
     # bm25_topk / minhash_neardup / simhash_neardup / knn_topk /
     # lang_id_counts / fingerprints: stateful or non-SQL-expressible →
     # rows-only driver check (SURVEY §5 item 4).
