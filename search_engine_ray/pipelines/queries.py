@@ -419,6 +419,73 @@ FROM s GROUP BY user_id
 """
 
 
+def q_events_asof_orders(sf_dir: str):
+    """AS-OF join: each event picks the user's most recent order at event
+    time (greatest ``(o_orderdate, o_orderkey)`` with ``o_orderdate ≤ ts`` —
+    the composite key makes equal-date ties deterministic).
+
+    The orders side is small → broadcast into the map stage (sorted per-key
+    arrays probed with ``searchsorted``); at scale the same semantics
+    compose as tag-both-streams → ``groupby(key).map_groups`` merge
+    (SURVEY custom-operator rule (a))."""
+    import pyarrow.parquet as pq
+    orders = pq.read_table(os.path.join(sf_dir, "orders.parquet"),
+                           columns=["o_custkey", "o_orderkey", "o_orderdate"])
+    cust = orders["o_custkey"].to_numpy(zero_copy_only=False)
+    okey = orders["o_orderkey"].to_numpy(zero_copy_only=False)
+    odate = orders["o_orderdate"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+    sortval = (odate // 1_000_000) * 100_000 + okey   # composite, int64-safe
+    by_key: dict[int, tuple[np.ndarray, np.ndarray]] = {}
+    order_idx = np.lexsort((sortval, cust))
+    cs, sv, ok = cust[order_idx], sortval[order_idx], okey[order_idx]
+    starts = np.flatnonzero(np.r_[True, np.diff(cs) != 0])
+    ends = np.append(starts[1:], cs.size)
+    for s, e in zip(starts, ends):
+        by_key[int(cs[s])] = (sv[s:e], ok[s:e])
+
+    def asof(batch: pa.Table) -> pa.Table:
+        uid = batch["user_id"].to_numpy(zero_copy_only=False)
+        ts = batch["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        ts_val = (ts // 1_000_000) * 100_000 + 99_999  # ≥ any same-second key
+        out = np.full(len(uid), -1, dtype=np.int64)
+        for u in np.unique(uid):
+            entry = by_key.get(int(u))
+            if entry is None:
+                continue
+            sel = uid == u
+            pos = np.searchsorted(entry[0], ts_val[sel], side="right") - 1
+            vals = np.where(pos >= 0, entry[1][np.maximum(pos, 0)], -1)
+            out[sel] = vals
+        res = pa.table({
+            "event_id": batch["event_id"].cast(pa.int64()),
+            "user_id": pa.array(uid, type=pa.int64()),
+            "last_orderkey": pa.array(out, type=pa.int64()),
+        })
+        return res.set_column(
+            2, "last_orderkey",
+            pc.if_else(pc.equal(res["last_orderkey"], -1),
+                       pa.nulls(res.num_rows, pa.int64()),
+                       res["last_orderkey"]))
+
+    return ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                                 columns=["event_id", "user_id", "ts"]) \
+        .map_batches(asof, batch_format="pyarrow")
+
+
+SQL_EVENTS_ASOF_ORDERS = """
+WITH ranked AS (
+  SELECT o_custkey, o_orderkey,
+         epoch(o_orderdate)::BIGINT * 100000 + o_orderkey AS sortval
+  FROM orders)
+SELECT e.event_id, e.user_id,
+       (SELECT arg_max(r.o_orderkey, r.sortval) FROM ranked r
+         WHERE r.o_custkey = e.user_id
+           AND r.sortval <= epoch(e.ts)::BIGINT * 100000 + 99999)
+         AS last_orderkey
+FROM events e
+"""
+
+
 def q_lineitem_pricing(sf_dir: str):
     """TPC-H-Q1-style grouped multi-aggregate (generic relational showcase:
     map-side combine happens inside Ray's hash aggregate)."""
@@ -759,6 +826,7 @@ QUERIES = {
     "knn_topk": q_knn_topk,
     "events_tumbling": q_events_tumbling,
     "user_sessions": q_user_sessions,
+    "events_asof_orders": q_events_asof_orders,
     "embedding_neardup": q_embedding_neardup,
     "ivf_topk": q_ivf_topk,
     "lang_id_counts": q_lang_id_counts,
@@ -785,6 +853,7 @@ ORACLE_SQL = {
     "binary_payload_stats": SQL_BINARY_PAYLOAD_STATS,
     "events_tumbling": SQL_EVENTS_TUMBLING,
     "user_sessions": SQL_USER_SESSIONS,
+    "events_asof_orders": SQL_EVENTS_ASOF_ORDERS,
     # bm25_topk / minhash_neardup / simhash_neardup / knn_topk /
     # lang_id_counts / fingerprints: stateful or non-SQL-expressible →
     # rows-only driver check (SURVEY §5 item 4).
