@@ -260,10 +260,15 @@ class FragmentEncoder:
         self.n_buckets = n_buckets
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        import time
         out = []
         for part in batch["part"].to_pylist():
+            t0 = time.time()
             part_dir = os.path.join(self.tmp_dir, f"part={part:05d}")
             rows = pq.read_table(part_dir) if os.path.isdir(part_dir) else None
+            n_frags = (len([f for f in os.listdir(part_dir)
+                            if f.startswith("frag-")])
+                       if os.path.isdir(part_dir) else 0)
             shard, bucket = part // self.n_buckets, part % self.n_buckets
             seg = encode_postings_table(rows) if rows is not None else \
                 encode_postings_table(pa.table(
@@ -280,13 +285,19 @@ class FragmentEncoder:
             metrics = {"part": part, "shard": shard, "bucket": bucket,
                        "n_terms": seg.num_rows,
                        "n_postings": int(pa.compute.sum(seg["df"]).as_py() or 0),
-                       "bytes": os.path.getsize(final)}
+                       "bytes": os.path.getsize(final),
+                       # lineage + per-partition build metrics (north rule)
+                       "n_input_rows": rows.num_rows if rows is not None else 0,
+                       "n_fragments": n_frags,
+                       "exchange": "fs",
+                       "wall_ms": int((time.time() - t0) * 1000)}
             with open(os.path.join(part_dir, "_DONE"), "w") as f:
                 json.dump(metrics, f)
             out.append(metrics)
         return pa.table({k: [r[k] for r in out]
                          for k in ("part", "shard", "bucket", "n_terms",
-                                   "n_postings", "bytes")})
+                                   "n_postings", "bytes", "n_input_rows",
+                                   "n_fragments", "wall_ms")})
 
 
 class EncodePartitionWriter:
