@@ -18,8 +18,9 @@ quirks in the oracle; fix them behind a flag"):
 - terms with ``len(term) <= 2`` are skipped BEFORE quote stripping
   (``SearchEngine.h:116-119``), so ``"a"`` (3 chars with quotes) survives
   while bare ``a`` does not;
-- a group containing a term with mismatched quotes is rejected wholesale
-  (``SearchEngine.h:121-127``);
+- a term with mismatched quotes is skipped ("term was skipped",
+  ``SearchEngine.h:121-127``) while the rest of the group is still probed;
+  the fixed (non-strict) mode rejects the group with QueryParseError;
 - quoted multi-word phrases under ``values:``/``title:`` are kept as ONE
   term (spaces included) and can never match the tokenized index — phrases
   only work for metadata categories.
@@ -47,9 +48,11 @@ TEXT_CATEGORIES = frozenset({"values", "title"})
 
 # one category group: label + everything until the next label or '|'
 _GROUP_RE = re.compile(r"(\w+)\s*:\s*([^|]*)")
-# a term: a quoted phrase (closing quote optional so a dangling quote is
-# captured as one mismatched token, not silently split) or a word
-_TERM_RE = re.compile(r'"[^"]*"?|“[^”]*”?|[^,\s"]+')
+# a term: a COMPLETE quoted phrase, else a bare word that may carry a
+# dangling quote (the reference arg regex `"..."|[^, ]+`, SearchEngine.h:111:
+# an unterminated quote is NOT a phrase — the word token keeps the quote char
+# and later fails the quote-matching check)
+_TERM_RE = re.compile(r'"[^"]+"|“[^”]+”|[^,\s]+')
 
 
 @dataclass(frozen=True)
@@ -91,7 +94,12 @@ def parse_query(raw: str, *, strict_compat: bool = False) -> list[Probe]:
             quoted = (tok.startswith('"') or tok.startswith("“"))
             endq = (tok.endswith('"') or tok.endswith("”"))
             if quoted != endq:
-                ok = False  # mismatched quotes reject the whole group
+                if strict_compat:
+                    # reference prints "term was skipped" and continues —
+                    # only the offending term is dropped, the rest of the
+                    # group is still probed (SearchEngine.h:121-127)
+                    continue
+                ok = False  # fixed mode: mismatched quotes reject the group
                 break
             if quoted:
                 tok = tok[1:-1]

@@ -230,9 +230,16 @@ def _exchange_groupby(ds, index_dir: str, cfg: IndexConfig, stage, batch_size,
         stage, batch_format="pyarrow", batch_size=batch_size,
         concurrency=concurrency).materialize()
     if need_docstore:
+        # tmp + swap (mirrors the fs path): a build killed mid-docstore-write
+        # and resumed must not leave BOTH runs' uniquely-named parquet files
+        # in docstore/ (that would double n_docs/avgdl and corrupt BM25)
         doc_cols = [cfg.id_col, "doc_len", *keep]
+        doc_tmp = docstore_path + ".tmp"
+        shutil.rmtree(doc_tmp, ignore_errors=True)
         tokenized.filter(expr="part == -1").select_columns(doc_cols) \
-            .write_parquet(docstore_path)
+            .write_parquet(doc_tmp)
+        shutil.rmtree(docstore_path, ignore_errors=True)
+        os.replace(doc_tmp, docstore_path)
     if pending:
         seg_dir = ckpt.segments_dir(index_dir)
         os.makedirs(seg_dir, exist_ok=True)
@@ -251,6 +258,13 @@ def _exchange_groupby(ds, index_dir: str, cfg: IndexConfig, stage, batch_size,
 
         postings.groupby("part").map_groups(
             encode_partition, batch_format="pyarrow").materialize()
+        # groupby produces no group (and thus no _DONE) for partitions with
+        # zero posting rows — commit those as empty segments so the manifest
+        # completes and resume doesn't rebuild from scratch
+        from ..stages.postings import commit_empty_partition
+        still = set(ckpt.pending_partitions(index_dir, cfg)) & set(pending)
+        for p in sorted(still):
+            commit_empty_partition(seg_dir, p, cfg.n_buckets)
 
 
 def build_index(source: str | DatasetFactory, index_dir: str,

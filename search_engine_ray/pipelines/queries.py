@@ -68,7 +68,7 @@ def q_term_df(sf_dir: str):
 SQL_TERM_DF = f"""
 WITH toks AS ({sql_tokenize_cte()}),
 tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2)
-SELECT term, count(*) AS df, sum(tf) AS total_tf FROM tf GROUP BY term
+SELECT term, count(*) AS df, sum(tf)::BIGINT AS total_tf FROM tf GROUP BY term
 """
 
 
@@ -414,7 +414,7 @@ s AS (
          CASE WHEN prev IS NULL
                    OR epoch(ts) - epoch(prev) > 1800 THEN 1 ELSE 0 END AS new_s
   FROM o)
-SELECT user_id, sum(new_s) AS n_sessions, count(*) AS n_events
+SELECT user_id, sum(new_s)::BIGINT AS n_sessions, count(*) AS n_events
 FROM s GROUP BY user_id
 """
 

@@ -43,6 +43,13 @@ SEGMENT_SCHEMA = pa.schema([
 
 def _binary_from_slices(packed: bytes, byte_offsets: np.ndarray) -> pa.Array:
     """Zero-copy pa.binary array whose cell i is packed[off[i]:off[i+1]]."""
+    if len(byte_offsets) and int(byte_offsets[-1]) >= 2**31:
+        # pa.binary() uses int32 offsets; silently wrapping them would
+        # corrupt the segment.  Partition sizing is the tuning knob.
+        raise ValueError(
+            f"partition postings exceed 2 GiB packed ({int(byte_offsets[-1])} "
+            "bytes); increase n_buckets / n_doc_shards so each (shard, "
+            "bucket) partition stays under the int32 offset limit")
     return pa.Array.from_buffers(
         pa.binary(), len(byte_offsets) - 1,
         [None, pa.py_buffer(byte_offsets.astype(np.int32).tobytes()),
@@ -203,8 +210,9 @@ class FragmentSpiller:
     regardless of CPU count.  Spilling through the page-cache-backed
     filesystem is parallel per task, the way external shuffle services work;
     on a multi-node cluster the object store scales per node and the
-    ``groupby`` exchange is equivalent.  Fragment names are derived from the
-    batch's first docID, so task retries overwrite idempotently.
+    ``groupby`` exchange is equivalent.  Fragment names are derived from a
+    content hash of the batch's full docID column, so task retries overwrite
+    idempotently while distinct blocks never collide.
     """
 
     def __init__(self, tmp_dir: str, docstore_tmp: str | None):
@@ -214,8 +222,15 @@ class FragmentSpiller:
     def __call__(self, batch: pa.Table) -> pa.Table:
         if batch.num_rows == 0:
             return pa.table({"n_rows": pa.array([0], type=pa.int64())})
-        first_doc = int(batch["doc_id"][0].as_py())
-        tag = f"{first_doc & 0xFFFFFFFFFFFF:012x}"
+        # fragment tag = content hash of the batch's FULL doc_id column (not
+        # just the first docID): stable across task retries (same block →
+        # same tag → idempotent overwrite) yet distinct for two blocks that
+        # happen to start with the same duplicate document
+        import zlib
+        ids_np = batch["doc_id"].to_numpy(zero_copy_only=False)
+        first_doc = int(ids_np[0])
+        content = zlib.crc32(np.ascontiguousarray(ids_np).tobytes())
+        tag = f"{first_doc & 0xFFFFFFFFFFFF:012x}-{content:08x}-{len(ids_np)}"
         part_col = batch["part"].to_numpy(zero_copy_only=False)
         if self.docstore_tmp is not None:
             doc_rows = batch.filter(pa.compute.equal(batch["part"], -1))
@@ -298,6 +313,30 @@ class FragmentEncoder:
                          for k in ("part", "shard", "bucket", "n_terms",
                                    "n_postings", "bytes", "n_input_rows",
                                    "n_fragments", "wall_ms")})
+
+
+def commit_empty_partition(out_dir: str, part: int, n_buckets: int) -> dict:
+    """Write an empty segment + ``_DONE`` for a partition that received no
+    posting rows (common with many partitions on small corpora) so the
+    manifest completes and resume doesn't re-run the whole build."""
+    shard, bucket = part // n_buckets, part % n_buckets
+    seg = encode_postings_table(pa.table(
+        {"term": pa.array([], type=pa.string()),
+         "doc_id": pa.array([], type=pa.int64()),
+         "tf": pa.array([], type=pa.int32())}))
+    part_dir = os.path.join(out_dir, f"shard={shard:03d}",
+                            f"bucket={bucket:05d}")
+    os.makedirs(part_dir, exist_ok=True)
+    tmp = os.path.join(part_dir, f".tmp-{uuid.uuid4().hex}.parquet")
+    pq.write_table(seg, tmp, compression="zstd")
+    final = os.path.join(part_dir, "postings.parquet")
+    os.replace(tmp, final)
+    metrics = {"part": part, "shard": shard, "bucket": bucket,
+               "n_terms": 0, "n_postings": 0,
+               "bytes": os.path.getsize(final)}
+    with open(os.path.join(part_dir, "_DONE"), "w") as f:
+        json.dump(metrics, f)
+    return metrics
 
 
 class EncodePartitionWriter:

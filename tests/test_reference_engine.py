@@ -50,8 +50,11 @@ class TestParser:
     def test_mismatched_quotes(self):
         with pytest.raises(QueryParseError):
             parse_query('people: "eaton vance')
-        # strict mode: the whole group is silently dropped
-        assert parse_query('people: "eaton vance', strict_compat=True) == []
+        # strict mode: ONLY the offending term is skipped (reference prints
+        # "term was skipped" and continues, SearchEngine.h:121-127); the
+        # label-as-term quirk keeps "people:" and "vance" is still probed
+        ps = parse_query('people: "eaton vance', strict_compat=True)
+        assert [p.term for p in ps] == ["people:", "vance"]
 
     def test_unknown_category(self):
         with pytest.raises(QueryParseError):
