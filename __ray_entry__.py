@@ -34,8 +34,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB-equivalent SQL for every SQL-expressible query (same column
-    names as the Ray results).  Keys absent here (bm25_topk,
-    minhash_neardup, simhash_neardup, knn_topk, lang_id_counts,
-    fingerprints) are stateful/non-SQL pipelines → rows-only check."""
+    names as the Ray results).  Keys absent here (minhash_neardup,
+    simhash_neardup, embedding_neardup, ivf_topk, media_frame_stats) are
+    seeded-LSH / approximate / media pipelines → rows-only check."""
     from search_engine_ray.pipelines.queries import ORACLE_SQL
     return dict(ORACLE_SQL)

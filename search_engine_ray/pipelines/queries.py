@@ -81,7 +81,7 @@ def q_doc_lengths(sf_dir: str):
 
 SQL_DOC_LENGTHS = f"""
 WITH toks AS ({sql_tokenize_cte()})
-SELECT doc_id, count(*) AS doc_len FROM toks GROUP BY doc_id
+SELECT doc_id, count(*)::INTEGER AS doc_len FROM toks GROUP BY doc_id
 """
 
 
@@ -259,7 +259,10 @@ def q_bm25_scores(sf_dir: str):
         batch_format="pyarrow")
 
 
-def _sql_bm25_scores() -> str:
+def _sql_bm25_core() -> str:
+    """Shared CTE chain producing UNROUNDED per-doc BM25 ``(doc_id, score)``
+    for the flagship query — the base of both the all-docs scores oracle and
+    the top-k oracle."""
     qterms = sorted(set(tokenize(FLAGSHIP_QUERY)))
     terms_sql = ", ".join(f"'{t}'" for t in qterms)
     return f"""
@@ -270,16 +273,35 @@ stats AS (SELECT (SELECT count(*) FROM documents) AS n,
                  (SELECT count(*) FROM toks) * 1.0
                     / (SELECT count(*) FROM documents) AS avgdl),
 qtf AS (SELECT * FROM tf WHERE term IN ({terms_sql})),
-df AS (SELECT term, count(*) AS df FROM qtf GROUP BY term)
-SELECT q.doc_id,
-       round(sum( ln((s.n - f.df + 0.5) / (f.df + 0.5) + 1.0)
-                  * q.tf * ({BM25_K1} + 1.0)
-                  / (q.tf + {BM25_K1} * (1.0 - {BM25_B}
-                                         + {BM25_B} * d.doc_len / s.avgdl)) ), 6)
-         AS score
-FROM qtf q
-JOIN df f USING (term) JOIN dl d USING (doc_id) CROSS JOIN stats s
-GROUP BY q.doc_id
+df AS (SELECT term, count(*) AS df FROM qtf GROUP BY term),
+raw_scores AS (
+  SELECT q.doc_id,
+         sum( ln((s.n - f.df + 0.5) / (f.df + 0.5) + 1.0)
+              * q.tf * ({BM25_K1} + 1.0)
+              / (q.tf + {BM25_K1} * (1.0 - {BM25_B}
+                                     + {BM25_B} * d.doc_len / s.avgdl)) )
+           AS score
+  FROM qtf q
+  JOIN df f USING (term) JOIN dl d USING (doc_id) CROSS JOIN stats s
+  GROUP BY q.doc_id
+)"""
+
+
+def _sql_bm25_scores() -> str:
+    return _sql_bm25_core() + """
+SELECT doc_id, round(score, 6) AS score FROM raw_scores
+"""
+
+
+def _sql_bm25_topk(k: int = 10) -> str:
+    """Top-k oracle for the segment-index engine (``q_bm25_topk``): order by
+    UNROUNDED score desc then doc_id asc (the engine's deterministic
+    tie-break), round only in the projection."""
+    return _sql_bm25_core() + f"""
+SELECT (row_number() OVER (ORDER BY score DESC, doc_id ASC))::INTEGER - 1
+         AS rank,
+       doc_id, round(score, 6) AS score
+FROM raw_scores ORDER BY score DESC, doc_id ASC LIMIT {k}
 """
 
 
@@ -315,6 +337,118 @@ SELECT e.vec_id,
              (SELECT embedding::DOUBLE[] FROM embeddings WHERE vec_id = 0)), 6)
          AS cos_sim
 FROM embeddings e
+"""
+
+
+SQL_KNN_TOPK = """
+WITH q AS (SELECT vec_id AS qid, embedding FROM embeddings WHERE vec_id < 4),
+sims AS (
+  SELECT q.qid, e.vec_id,
+         list_cosine_similarity(e.embedding::DOUBLE[], q.embedding::DOUBLE[])
+           AS cos_sim
+  FROM embeddings e, q),
+ranked AS (
+  SELECT qid, vec_id, cos_sim,
+         row_number() OVER (PARTITION BY qid
+                            ORDER BY cos_sim DESC, vec_id ASC) AS rn
+  FROM sims)
+SELECT qid::INTEGER AS query_idx, (rn)::INTEGER - 1 AS rank, vec_id,
+       round(cos_sim, 6) AS cos_sim
+FROM ranked WHERE rn <= 10
+"""
+
+
+def _sql_lang_id_counts() -> str:
+    """SQL twin of :class:`LangId` (stages/textstats.py): marker-stopword hit
+    ratio per language over the shared tokenizer, argmax with first-wins
+    tie-break over the sorted language list, ``unknown`` below min_ratio.
+    Ratios are integer/integer double divisions on both sides, so the
+    comparisons are bit-identical."""
+    from ..stages.textstats import _LANG_MARKERS
+    langs = sorted(_LANG_MARKERS)
+    hits = ",\n         ".join(
+        "sum(CASE WHEN term IN ({}) THEN 1 ELSE 0 END) AS h_{}".format(
+            ", ".join(f"'{w}'" for w in sorted(_LANG_MARKERS[lang])), lang)
+        for lang in langs)
+    ratios = ",\n         ".join(
+        f"coalesce(h.h_{lang}, 0) / greatest(coalesce(h.n_tokens, 0), 1)"
+        f" AS r_{lang}" for lang in langs)
+    best = ", ".join(f"r_{lang}" for lang in langs)
+    # argmax, first max wins, in sorted-lang order (numpy argmax semantics)
+    cases = []
+    for i, lang in enumerate(langs[:-1]):
+        conds = " AND ".join(f"r_{lang} >= r_{other}"
+                             for other in langs[i + 1:])
+        cases.append(f"WHEN {conds} THEN '{lang}'")
+    case_chain = "\n              ".join(cases)
+    return f"""
+WITH toks AS ({sql_tokenize_cte()}),
+h AS (
+  SELECT doc_id, count(*) AS n_tokens,
+         {hits}
+  FROM toks GROUP BY doc_id),
+scored AS (
+  SELECT d.doc_id,
+         {ratios}
+  FROM documents d LEFT JOIN h USING (doc_id)),
+pred AS (
+  SELECT doc_id,
+         CASE WHEN greatest({best}) < 0.05 THEN 'unknown'
+              {case_chain}
+              ELSE '{langs[-1]}' END AS pred_lang
+  FROM scored)
+SELECT pred_lang, count(*) AS n_docs FROM pred GROUP BY pred_lang
+"""
+
+
+SQL_FINGERPRINTS = r"""
+WITH norm AS (
+  SELECT doc_id,
+         list_filter(
+           list_transform(string_split_regex(text, '[ \t\v\n\r,.?!;:"/()]+'),
+             x -> CASE WHEN x = '' OR regexp_matches(x, '[^\x00-\x7F]')
+                       THEN NULL
+                       ELSE lower(replace(x, chr(39), '')) END),
+           t -> t IS NOT NULL AND t <> '') AS terms
+  FROM documents),
+tok AS (
+  SELECT doc_id, unnest(terms) AS term,
+         unnest(range(0, len(terms))) AS pos
+  FROM norm),
+-- 64-bit FNV-1a over the term's ASCII bytes, in HUGEINT mod-2^64 arithmetic
+-- (xor only touches the low 7 bits because bytes are ASCII < 128)
+fnv AS (
+  SELECT term,
+    list_reduce(
+      list_prepend(14695981039346656037::HUGEINT,
+        list_transform(range(1, length(term)+1),
+                       i -> ascii(substr(term, i, 1))::HUGEINT)),
+      (acc, c) -> ((acc - (acc % 128)
+                    + xor((acc % 128)::BIGINT, c::BIGINT)::HUGEINT)
+                   * 1099511628211::HUGEINT)
+                  % 18446744073709551616::HUGEINT) AS h
+  FROM (SELECT DISTINCT term FROM tok)),
+-- rotate-left by pos%61 (the two shifted halves occupy disjoint bitfields,
+-- so | == +); powers of two are exact in double, hence power()::HUGEINT
+mixed AS (
+  SELECT t.doc_id,
+    CASE WHEN (t.pos % 61) = 0 THEN f.h
+         ELSE (f.h * power(2, t.pos % 61)::HUGEINT)
+                % 18446744073709551616::HUGEINT
+              + (f.h // power(2, 64 - (t.pos % 61))::HUGEINT) END AS m
+  FROM tok t JOIN fnv f USING (term)),
+xored AS (
+  SELECT doc_id,
+         bit_xor(CASE WHEN m >= 9223372036854775808::HUGEINT
+                      THEN (m - 18446744073709551616::HUGEINT)::BIGINT
+                      ELSE m::BIGINT END) & 9223372036854775807
+           AS fingerprint,
+         count(*) AS n_tokens
+  FROM mixed GROUP BY doc_id)
+SELECT d.doc_id,
+       coalesce(x.fingerprint, 0)::BIGINT AS fingerprint,
+       coalesce(x.n_tokens, 0)::BIGINT AS n_tokens
+FROM documents d LEFT JOIN xored x USING (doc_id)
 """
 
 
@@ -854,7 +988,13 @@ ORACLE_SQL = {
     "events_tumbling": SQL_EVENTS_TUMBLING,
     "user_sessions": SQL_USER_SESSIONS,
     "events_asof_orders": SQL_EVENTS_ASOF_ORDERS,
-    # bm25_topk / minhash_neardup / simhash_neardup / knn_topk /
-    # lang_id_counts / fingerprints: stateful or non-SQL-expressible →
-    # rows-only driver check (SURVEY §5 item 4).
+    "bm25_topk": _sql_bm25_topk(),
+    "knn_topk": SQL_KNN_TOPK,
+    "lang_id_counts": _sql_lang_id_counts(),
+    "fingerprints": SQL_FINGERPRINTS,
+    # minhash_neardup / simhash_neardup / embedding_neardup / ivf_topk /
+    # media_frame_stats: seeded-signature LSH candidate generation or
+    # approximate / media pipelines — not SQL-expressible → rows-only driver
+    # check (SURVEY §5 item 4); recall and golden-value pytest coverage in
+    # tests/test_training_ops.py + tests/test_ivf.py.
 }

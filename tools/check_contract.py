@@ -97,6 +97,13 @@ def main() -> int:
             print(f"FAIL {name}: rows {len(got)} != {len(want)}")
             failures += 1
             continue
+        if [str(t) for t in got.dtypes] != [str(t) for t in want.dtypes]:
+            # the driver's value hash is dtype-sensitive (int64 vs float64
+            # HUGEINT artifacts showed as hash mismatches in round 1)
+            print(f"FAIL {name}: dtypes {list(map(str, got.dtypes))} != "
+                  f"{list(map(str, want.dtypes))}")
+            failures += 1
+            continue
         try:
             pd.testing.assert_frame_equal(got, want, check_dtype=False,
                                           check_exact=False, atol=1e-6, rtol=0)
