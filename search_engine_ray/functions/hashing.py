@@ -23,15 +23,27 @@ _FNV_OFFSET = np.uint64(0xCBF29CE484222325)
 _FNV_PRIME = np.uint64(0x100000001B3)
 
 
-def fnv1a64_array(strings: pa.Array | pa.ChunkedArray) -> np.ndarray:
-    """FNV-1a hash of each UTF-8 string in an Arrow array → uint64 ndarray."""
+# second-hash constants for 128-bit content identity: a DIFFERENT multiplier
+# (odd 64-bit) makes the byte polynomial independent of the FNV one — two
+# same-length strings colliding under one multiplier don't collide under the
+# other (with the same prime, h(offset2) − h(offset1) is content-independent).
+_ALT_OFFSET = np.uint64(0x9AE16A3B2F90404F)
+_ALT_PRIME = np.uint64(0x9E3779B97F4A7C15)
+
+
+def fnv1a64_array(strings: pa.Array | pa.ChunkedArray,
+                  *, offset: np.uint64 = _FNV_OFFSET,
+                  prime: np.uint64 = _FNV_PRIME) -> np.ndarray:
+    """FNV-1a-style hash of each UTF-8 string in an Arrow array → uint64
+    ndarray.  Default constants are standard FNV-1a; pass ``offset=_ALT_OFFSET,
+    prime=_ALT_PRIME`` for an independent second hash (128-bit identity)."""
     if isinstance(strings, pa.ChunkedArray):
         strings = strings.combine_chunks()
     arr = strings
     if pa.types.is_large_string(arr.type):
         arr = arr.cast(pa.string())
     n = len(arr)
-    out = np.full(n, _FNV_OFFSET, dtype=np.uint64)
+    out = np.full(n, offset, dtype=np.uint64)
     if n == 0:
         return out
     # Arrow string layout: int32 offsets + contiguous data buffer.
@@ -51,10 +63,21 @@ def fnv1a64_array(strings: pa.Array | pa.ChunkedArray) -> np.ndarray:
             if active.size == 0:
                 break
             byte = data[starts[active] + pos].astype(np.uint64)
-            out[active] = (out[active] ^ byte) * _FNV_PRIME
+            out[active] = (out[active] ^ byte) * prime
     finally:
         np.seterr(**err)
     return out
+
+
+def content_hash128(strings: pa.Array | pa.ChunkedArray
+                    ) -> tuple[np.ndarray, np.ndarray]:
+    """128-bit content identity as two independent 64-bit hashes (int64
+    views).  Grouping by ``(h1, h2)`` is the scale path for exact dedup: the
+    shuffle carries 16 bytes per doc instead of the document text, and a
+    collision requires BOTH polynomials to collide (~2^-128 per pair)."""
+    h1 = fnv1a64_array(strings)
+    h2 = fnv1a64_array(strings, offset=_ALT_OFFSET, prime=_ALT_PRIME)
+    return h1.view(np.int64), h2.view(np.int64)
 
 
 def hash_strings_to_bucket(strings: pa.Array | pa.ChunkedArray,

@@ -141,11 +141,26 @@ SELECT 'source' AS field, source AS value, count(*) AS df FROM documents GROUP B
 """
 
 
+def _content_hash_stage(t: pa.Table, *, keep: tuple[str, ...] = ()) -> pa.Table:
+    """documents batch → ``(h1, h2, doc_id, *keep)``: the exact-dedup shuffle
+    carries a 128-bit content hash (16 bytes/doc), never the document text."""
+    from ..functions.hashing import content_hash128
+    h1, h2 = content_hash128(t["text"])
+    cols = {"h1": pa.array(h1, type=pa.int64()),
+            "h2": pa.array(h2, type=pa.int64()),
+            "doc_id": t["doc_id"].cast(pa.int64())}
+    for c in keep:
+        cols[c] = t[c]
+    return pa.table(cols)
+
+
 def q_dedup_exact(sf_dir: str):
-    """Exact dedup (hash-partition + per-group keeper): one row per distinct
-    text with the minimum docID as keeper."""
+    """Exact dedup, hash-partitioned: group by a 128-bit content hash (two
+    independent 64-bit hashes) so the shuffle moves ``(h1, h2, doc_id)``
+    rows — not document text — then keeper = min docID per group."""
     return (_docs(sf_dir, ["doc_id", "text"])
-            .groupby("text").aggregate(Min("doc_id"), Count())
+            .map_batches(_content_hash_stage, batch_format="pyarrow")
+            .groupby(["h1", "h2"]).aggregate(Min("doc_id"), Count())
             .rename_columns({"min(doc_id)": "keeper_doc_id",
                              "count()": "n_copies"})
             .select_columns(["keeper_doc_id", "n_copies"]))
@@ -202,17 +217,22 @@ WHERE n_tokens >= 60 AND digit_ratio <= 0.05
 
 def q_dedup_keep(sf_dir: str):
     """The deduped corpus itself: docIDs surviving exact dedup (keeper =
-    min docID per distinct text) — a keeper-set semi-join expressed as
-    groupby + broadcast membership filter."""
-    keepers = (_docs(sf_dir, ["doc_id", "text"])
-               .groupby("text").aggregate(Min("doc_id"))
-               .rename_columns({"min(doc_id)": "doc_id"})
-               .select_columns(["doc_id"]))
-    keep_ids = pa.array(sorted(r["doc_id"] for r in keepers.take_all()),
-                        type=pa.int64())  # small side → broadcast
-    return _docs(sf_dir, ["doc_id", "n_chars"]).map_batches(
-        lambda t: t.filter(pc.is_in(t["doc_id"], value_set=keep_ids)),
-        batch_format="pyarrow")
+    min docID per distinct text).  Fully distributed: the payload columns
+    ride the 16-byte content-hash shuffle and the keeper is selected INSIDE
+    each hash group — no driver-side keeper-set materialization (the
+    round-1 ``take_all()`` broadcast was ∝ corpus cardinality)."""
+    import functools as _ft
+
+    def keeper_row(group: pa.Table) -> pa.Table:
+        ids = group["doc_id"].to_numpy(zero_copy_only=False)
+        i = int(np.argmin(ids))
+        return group.slice(i, 1).select(["doc_id", "n_chars"])
+
+    return (_docs(sf_dir, ["doc_id", "text", "n_chars"])
+            .map_batches(_ft.partial(_content_hash_stage, keep=("n_chars",)),
+                         batch_format="pyarrow")
+            .groupby(["h1", "h2"])
+            .map_groups(keeper_row, batch_format="pyarrow"))
 
 
 SQL_DEDUP_KEEP = """
@@ -221,20 +241,63 @@ WHERE doc_id IN (SELECT min(doc_id) FROM documents GROUP BY text)
 """
 
 
+class _QueryTermScan:
+    """Single-pass ``map_batches`` stage for the BM25 dataflow: ONE
+    tokenize of the corpus emits (a) per-(doc, query-term) rows carrying
+    ``(term, doc_id, tf, doc_len)`` and (b) one summary row per batch
+    (``term = NULL, tf = batch token count``) so total-token statistics need
+    no second corpus pass.  Query terms are captured small in ``__init__``
+    (broadcast pattern)."""
+
+    def __init__(self, qterms: list[str], *, text_col: str = "text",
+                 id_col: str = "doc_id"):
+        self.qset = pa.array(sorted(set(qterms)), type=pa.string())
+        self.text_col = text_col
+        self.id_col = id_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..stages.tokenize import split_and_normalize
+        doc_ids = batch[self.id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        row_idx, terms = split_and_normalize(batch[self.text_col])
+        doc_len = np.bincount(row_idx, minlength=batch.num_rows)
+        hit = pc.is_in(terms, value_set=self.qset).to_numpy(zero_copy_only=False)
+        tok = pa.table({"term": terms.filter(pa.array(hit)),
+                        "row": pa.array(row_idx[hit], type=pa.int64())})
+        agg = tok.group_by(["term", "row"]).aggregate([([], "count_all")])
+        rows = agg["row"].to_numpy(zero_copy_only=False)
+        out_terms = pa.concat_arrays(
+            [agg["term"].combine_chunks()
+             if isinstance(agg["term"], pa.ChunkedArray) else agg["term"],
+             pa.array([None], type=pa.string())])
+        return pa.table({
+            "term": out_terms,
+            "doc_id": pa.array(np.append(doc_ids[rows], -1), type=pa.int64()),
+            "tf": pa.array(np.append(
+                agg["count_all"].to_numpy(zero_copy_only=False),
+                len(terms)), type=pa.int64()),
+            "doc_len": pa.array(np.append(doc_len[rows], 0), type=pa.int64()),
+        })
+
+
 def q_bm25_scores(sf_dir: str):
-    """BM25 scores for the flagship query over ALL matching docs, computed as
-    a dataflow: tokenize → broadcast-filter to query terms → per-row
-    contribution with a broadcast df map → groupby(doc_id) sum."""
+    """BM25 scores for the flagship query over ALL matching docs, computed
+    with ONE tokenize pass over the corpus (``_QueryTermScan``): matched
+    rows + per-batch token-count summaries are materialized (tiny: ≤ docs ×
+    |qterms| + num_blocks rows), df/N/avgdl come from that, and the
+    contribution map + groupby(doc_id) run over the same materialized rows.
+    ``n_docs`` is parquet row-group metadata, not a data pass."""
     qterms = sorted(set(tokenize(FLAGSHIP_QUERY)))
     docs = _docs(sf_dir, ["doc_id", "text"])
-    n_docs = docs.count()
-    lens = docs.map_batches(DocStats(), batch_format="pyarrow")
-    total_tokens = lens.sum("doc_len") or 0
+    n_docs = docs.count()   # metadata-only on a fresh parquet read
+    scan = docs.map_batches(_QueryTermScan(qterms),
+                            batch_format="pyarrow").materialize()
+    total_tokens = scan.map_batches(
+        lambda t: t.filter(pc.is_null(t["term"])).select(["tf"]),
+        batch_format="pyarrow").sum("tf") or 0
     avgdl = (total_tokens / n_docs) if n_docs else 1.0
 
-    qset = pa.array(qterms, type=pa.string())
-    matched = _postings(sf_dir).map_batches(
-        lambda t: t.filter(pc.is_in(t["term"], value_set=qset)),
+    matched = scan.map_batches(
+        lambda t: t.filter(pc.is_valid(t["term"])),
         batch_format="pyarrow")
     df_tbl = (matched.groupby("term").aggregate(Count())
               .rename_columns({"count()": "df"}))
@@ -856,28 +919,25 @@ def q_embedding_neardup(sf_dir: str, *, threshold: float = 0.35):
                                                   columns=["embedding"]))
     dim = len(head["embedding"][0])
     ds = ray.data.read_parquet(path, columns=["vec_id", "embedding"])
-    buckets = ds.map_batches(HyperplaneLSH(dim=dim, n_bits=4, n_tables=8),
-                             batch_format="pyarrow")
-    # join bucket rows back to vectors: broadcast the (small) embedding table
-    # into the group verifier via Ray's object store
-    vec_tbl = pq.read_table(path, columns=["vec_id", "embedding"])
-    vecs = _vectors_from_batch(vec_tbl, "embedding")
-    vids = vec_tbl["vec_id"].to_numpy(zero_copy_only=False)
-    order = np.argsort(vids)
-    vids, vecs = vids[order], vecs[order]
-    vn = vecs / np.maximum(np.linalg.norm(vecs, axis=1, keepdims=True), 1e-30)
-    import ray as _ray
-    vn_ref, vid_ref = _ray.put(vn), _ray.put(vids)
+    # vectors RIDE the bucket rows (carry_vec): the groupby delivers each
+    # group's embeddings with its candidates — no driver-side read of the
+    # whole embedding table, no broadcast (round-1 scale-killer)
+    buckets = ds.map_batches(
+        HyperplaneLSH(dim=dim, n_bits=4, n_tables=8, carry_vec=True),
+        batch_format="pyarrow")
 
     def verify(group: pa.Table) -> pa.Table:
-        ids = np.unique(group["vec_id"].to_numpy(zero_copy_only=False))
+        ids = group["vec_id"].to_numpy(zero_copy_only=False)
         empty = pa.table({"vec_a": pa.array([], type=pa.int64()),
                           "vec_b": pa.array([], type=pa.int64()),
                           "cos_sim": pa.array([], type=pa.float64())})
         if ids.size < 2 or ids.size > 2048:
             return empty
-        all_vn, all_ids = _ray.get(vn_ref), _ray.get(vid_ref)
-        sub = all_vn[np.searchsorted(all_ids, ids)]
+        order = np.argsort(ids)
+        sub = _vectors_from_batch(group, "embedding")[order]
+        ids = ids[order]
+        sub = sub / np.maximum(np.linalg.norm(sub, axis=1, keepdims=True),
+                               1e-30)
         sims = sub @ sub.T
         iu = np.triu_indices(ids.size, k=1)
         keep = sims[iu] >= threshold

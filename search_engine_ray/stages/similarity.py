@@ -102,35 +102,54 @@ class HyperplaneLSH:
 
     ``n_bits`` seeded random hyperplanes; vectors in the same bucket are
     near-duplicate candidates.  ``n_tables`` independent tables lower the
-    miss rate; each emits one row per vector."""
+    miss rate; each emits one row per vector.
+
+    ``carry_vec=True`` replicates the embedding column onto each bucket row
+    so the downstream ``groupby(table_id, bucket)`` DELIVERS the vectors with
+    the candidates — the verifier needs no side-channel lookup of the
+    embedding table (at scale, a driver-broadcast of all vectors is an OOM;
+    shipping each vector ``n_tables`` times through the shuffle is the
+    standard LSH trade)."""
 
     def __init__(self, dim: int, *, n_bits: int = 16, n_tables: int = 4,
                  seed: int = 42, vec_col: str = "embedding",
-                 id_col: str = "vec_id"):
+                 id_col: str = "vec_id", carry_vec: bool = False):
         rng = np.random.RandomState(seed)
         self.planes = rng.standard_normal((n_tables, n_bits, dim))
         self.n_bits = n_bits
         self.n_tables = n_tables
         self.vec_col = vec_col
         self.id_col = id_col
+        self.carry_vec = carry_vec
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         v = _vectors_from_batch(batch, self.vec_col)
         ids = batch[self.id_col].to_numpy(zero_copy_only=False).astype(np.int64)
-        if v.shape[0] == 0:
-            return pa.table({"table_id": pa.array([], type=pa.int32()),
-                             "bucket": pa.array([], type=pa.int64()),
-                             "vec_id": pa.array([], type=pa.int64())})
+        n = len(ids)
+        if n == 0:
+            cols = {"table_id": pa.array([], type=pa.int32()),
+                    "bucket": pa.array([], type=pa.int64()),
+                    "vec_id": pa.array([], type=pa.int64())}
+            if self.carry_vec:
+                cols[self.vec_col] = pa.array([], type=batch[self.vec_col].type)
+            return pa.table(cols)
         tables, buckets, vids = [], [], []
         pow2 = (1 << np.arange(self.n_bits, dtype=np.int64))
         for t in range(self.n_tables):
             signs = (v @ self.planes[t].T) > 0          # [n, n_bits]
             code = signs.astype(np.int64) @ pow2
-            tables.append(np.full(len(ids), t, dtype=np.int32))
+            tables.append(np.full(n, t, dtype=np.int32))
             buckets.append(code)
             vids.append(ids)
-        return pa.table({
+        cols = {
             "table_id": pa.array(np.concatenate(tables), type=pa.int32()),
             "bucket": pa.array(np.concatenate(buckets), type=pa.int64()),
             "vec_id": pa.array(np.concatenate(vids), type=pa.int64()),
-        })
+        }
+        if self.carry_vec:
+            idx = pa.array(np.tile(np.arange(n, dtype=np.int64), self.n_tables))
+            vec = batch[self.vec_col]
+            if isinstance(vec, pa.ChunkedArray):
+                vec = vec.combine_chunks()
+            cols[self.vec_col] = vec.take(idx)
+        return pa.table(cols)
