@@ -13,6 +13,13 @@ here (or in the library) calls ``ray.init()`` / ``ray.shutdown()``.
 
 from __future__ import annotations
 
+import os
+
+# numpy's MADV_HUGEPAGE + this VM's synchronous THP defrag stalls ~7 s per
+# first-touch ≥4 MB allocation; harmless elsewhere (see bench.py).  Set
+# before numpy loads so at least driver-side kernels are unaffected.
+os.environ.setdefault("NUMPY_MADVISE_HUGEPAGE", "0")
+
 from collections.abc import Callable
 from typing import Any
 

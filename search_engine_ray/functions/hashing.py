@@ -69,6 +69,26 @@ def fnv1a64_array(strings: pa.Array | pa.ChunkedArray,
     return out
 
 
+def fnv1a64_scalar(data: bytes, *, offset: int = int(_FNV_OFFSET),
+                   prime: int = int(_FNV_PRIME)) -> int:
+    """Scalar twin of :func:`fnv1a64_array` (same parameterization), for
+    hashing single lookup keys against vectorized-hashed columns."""
+    h = offset
+    for b in data:
+        h ^= b
+        h = (h * prime) & 0xFFFFFFFFFFFFFFFF
+    return h
+
+
+def key_hash128_scalar(key: str) -> tuple[int, int]:
+    """128-bit (h1, h2) of a lookup key as SIGNED int64 pair, matching
+    :func:`content_hash128` / the searcher's vectorized key hashing."""
+    data = key.encode("utf-8")
+    h1 = fnv1a64_scalar(data)
+    h2 = fnv1a64_scalar(data, offset=int(_ALT_OFFSET), prime=int(_ALT_PRIME))
+    return h1, h2
+
+
 def content_hash128(strings: pa.Array | pa.ChunkedArray
                     ) -> tuple[np.ndarray, np.ndarray]:
     """128-bit content identity as two independent 64-bit hashes (int64

@@ -52,6 +52,23 @@ from ..state.checkpoint import IndexConfig
 DatasetFactory = Callable[[], "ray.data.Dataset"]
 
 
+def _phase_timer():
+    """Opt-in phase timing (SERX_BUILD_TIMING=1): prints per-phase wall time
+    to stderr — the measurement loop behind the scaling-efficiency work."""
+    import sys
+    import time as _time
+    if not os.environ.get("SERX_BUILD_TIMING"):
+        return lambda name: None
+    state = {"t": _time.time()}
+
+    def mark(name: str) -> None:
+        now = _time.time()
+        print(f"[build-timing] {name}: {now - state['t']:.2f}s",
+              file=sys.stderr, flush=True)
+        state["t"] = now
+    return mark
+
+
 def _auto_num_blocks() -> int:
     """Read-block count for the build passes.
 
@@ -154,6 +171,37 @@ def _hot_terms(source, index_dir: str, cfg: IndexConfig,
     return frozenset(hot) or None
 
 
+def _scratch_dir(index_dir: str) -> str:
+    """Exchange-scratch location for the fs external shuffle.
+
+    Fragments are INTERMEDIATE data (re-creatable from the source), so they
+    belong on the fastest node-local storage available — NVMe scratch on a
+    real cluster, ``/dev/shm`` on this single-node harness (measured 1.1 GB/s
+    vs 83 MB/s for the VM's ext4 root disk; the durable index output still
+    goes to ``index_dir``).  Override with ``SERX_SCRATCH_DIR=<dir>`` or
+    ``SERX_SCRATCH_DIR=none`` to keep scratch inside ``index_dir``
+    (shared-filesystem deployments).  The location is deterministic per
+    ``index_dir`` so an interrupted build resumes against the same scratch.
+
+    NOTE: the fs exchange (scratch included) assumes every worker sees the
+    same filesystem — it is the SINGLE-NODE build path; multi-node clusters
+    use ``exchange="groupby"`` (each node's object store) per the
+    ``build_index`` docstring.
+    """
+    env = os.environ.get("SERX_SCRATCH_DIR", "").strip()
+    if env.lower() == "none":
+        return os.path.join(index_dir, "_exchange")
+    if env:
+        base = env
+    elif os.path.isdir("/dev/shm") and os.access("/dev/shm", os.W_OK):
+        base = "/dev/shm/serx_exchange"
+    else:
+        return os.path.join(index_dir, "_exchange")
+    from ..functions.analyze import fnv1a64
+    tag = fnv1a64(os.path.abspath(index_dir).encode("utf-8"))
+    return os.path.join(base, f"{tag:016x}")
+
+
 class _TokenizeAndSpill:
     """Fuses the tokenize stage with the filesystem-exchange map side so the
     posting stream never enters the object store."""
@@ -171,31 +219,49 @@ def _exchange_fs(ds, index_dir: str, cfg: IndexConfig, stage, batch_size,
     """Filesystem external shuffle (see ``build_index`` docstring)."""
     import json as _json
     from ..stages.postings import FragmentEncoder, FragmentSpiller
-    tmp_base = os.path.join(index_dir, "_exchange")
+    mark = _phase_timer()
+    tmp_base = _scratch_dir(index_dir)
     frag_dir = os.path.join(tmp_base, "postings")
     doc_tmp = os.path.join(tmp_base, "docstore")
     marker = os.path.join(tmp_base, "_STAGE1_DONE")
     cfg_tag = f"{cfg.n_buckets}x{cfg.n_doc_shards}"
-    stage1_ok = False
+    stage1_stats: dict | None = None
     if os.path.exists(marker):
         with open(marker) as f:
-            stage1_ok = f.read().strip() == cfg_tag
-    if not stage1_ok:
+            try:
+                payload = _json.load(f)
+            except ValueError:
+                payload = {}
+        if payload.get("tag") == cfg_tag:
+            stage1_stats = payload
+    if stage1_stats is None:
         shutil.rmtree(tmp_base, ignore_errors=True)
         os.makedirs(frag_dir, exist_ok=True)
         spiller = FragmentSpiller(frag_dir, doc_tmp)
         # batch = whole block: one fragment per (task, partition) keeps the
-        # reduce side's file count at blocks × partitions minimum
-        ds.map_batches(_TokenizeAndSpill(stage, spiller),
-                       batch_format="pyarrow", batch_size=None,
-                       concurrency=concurrency).count()
+        # reduce side's file count at blocks × partitions minimum.  The
+        # consuming aggregate folds the docstats (n_docs, Σ doc_len) out of
+        # the spillers' metric rows — no later docstore re-read pass.
+        sums = ds.map_batches(_TokenizeAndSpill(stage, spiller),
+                              batch_format="pyarrow", batch_size=None,
+                              concurrency=concurrency) \
+            .sum(["n_docs", "total_tokens"]) or {}
+        stage1_stats = {
+            "tag": cfg_tag,
+            "n_docs": int(sums.get("sum(n_docs)") or 0),
+            "total_tokens": int(sums.get("sum(total_tokens)") or 0)}
         with open(marker, "w") as f:
-            f.write(cfg_tag)
+            _json.dump(stage1_stats, f)
+        mark("stage1 tokenize+spill")
     if need_docstore:
         docstore = os.path.join(index_dir, "docstore")
         if os.path.exists(doc_tmp):
+            # scratch may live on a different device (shm) → move, not rename
+            dst_tmp = docstore + ".tmp"
+            shutil.rmtree(dst_tmp, ignore_errors=True)
+            shutil.move(doc_tmp, dst_tmp)
             shutil.rmtree(docstore, ignore_errors=True)
-            os.replace(doc_tmp, docstore)
+            os.replace(dst_tmp, docstore)
         elif not os.path.exists(docstore):
             # empty corpus: stage 1 spilled no doc rows at all
             os.makedirs(docstore, exist_ok=True)
@@ -205,20 +271,28 @@ def _exchange_fs(ds, index_dir: str, cfg: IndexConfig, stage, batch_size,
                 os.path.join(docstore, "empty.parquet"))
         # else: docstore already moved into place by an interrupted run
         # (killed after the move, before docstats) — keep it
+        if "n_docs" in stage1_stats:
+            # docstats folded out of the stage-1 metric rows — the build no
+            # longer re-reads the docstore it just wrote
+            ckpt.write_docstats(index_dir, n_docs=stage1_stats["n_docs"],
+                                total_tokens=stage1_stats["total_tokens"])
     if pending:
         os.makedirs(ckpt.segments_dir(index_dir), exist_ok=True)
         # one BLOCK per partition: map_batches parallelism is per-block, so
         # a single-block parts table would encode all partitions serially
-        parts = ray.data.from_arrow(
-            pa.table({"part": pa.array(pending, type=pa.int32())})) \
-            .repartition(len(pending))
+        # (override_num_blocks splits at the source — no repartition stage)
+        parts = ray.data.from_items(
+            [{"part": int(p)} for p in pending],
+            override_num_blocks=len(pending))
         enc = FragmentEncoder(frag_dir, ckpt.segments_dir(index_dir),
                               cfg.n_buckets)
         parts.map_batches(enc, batch_format="pyarrow",
                           batch_size=1).materialize()
+        mark("stage2 encode+commit")
     # all partitions committed → exchange fragments are garbage
     if not ckpt.pending_partitions(index_dir, cfg):
         shutil.rmtree(tmp_base, ignore_errors=True)
+        mark("exchange cleanup")
 
 
 def _exchange_groupby(ds, index_dir: str, cfg: IndexConfig, stage, batch_size,
@@ -297,6 +371,7 @@ def build_index(source: str | DatasetFactory, index_dir: str,
       its own object store.
     """
     cfg = config or IndexConfig()
+    mark = _phase_timer()
     os.makedirs(index_dir, exist_ok=True)
     stopwords = ENGLISH_STOPWORDS if cfg.stopwords else None
     keep = tuple(keep_cols)
@@ -310,6 +385,7 @@ def build_index(source: str | DatasetFactory, index_dir: str,
     if pending or need_docstore:
         hot_terms = _hot_terms(source, index_dir, cfg, stopwords) \
             if (cfg.salt_hot_terms and postings_stage is None) else None
+        mark("hot-term sampling")
         stage = postings_stage or TokenizePostings(
             text_col=cfg.text_col, id_col=cfg.id_col,
             stopwords=stopwords, stem=cfg.stem,
@@ -334,10 +410,14 @@ def build_index(source: str | DatasetFactory, index_dir: str,
     # the vocabulary is too large for load-time aggregation (merge_indexes
     # always writes it).
 
-    if need_docstore:
+    if need_docstore and not os.path.exists(
+            os.path.join(index_dir, "docstats.json")):
+        # fallback only (groupby exchange / legacy resume states): the fs
+        # exchange writes docstats from its stage-1 metric sums
         lens = ray.data.read_parquet(docstore_path, columns=["doc_len"])
         ckpt.write_docstats(index_dir, n_docs=lens.count(),
                             total_tokens=lens.sum("doc_len") or 0)
+        mark("docstats pass")
 
     hot_path = os.path.join(index_dir, "hotterms.json")
     if os.path.exists(hot_path):
@@ -346,6 +426,7 @@ def build_index(source: str | DatasetFactory, index_dir: str,
             cfg.extra["salted_terms"] = _json.load(f)["hot_terms"]
     metrics = ckpt.partition_metrics(index_dir, cfg)
     ckpt.write_manifest(index_dir, cfg, metrics)
+    mark("manifest")
     return ckpt.read_manifest(index_dir)
 
 

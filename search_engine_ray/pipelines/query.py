@@ -54,6 +54,8 @@ class SegmentSearcher:
 
     def __init__(self, index_dir: str, shards: list[int],
                  field: str = "text"):
+        from ..functions.hashing import fnv1a64_array
+        from ..functions.hashing import _ALT_OFFSET, _ALT_PRIME
         stats = ckpt.read_docstats(index_dir)
         man = ckpt.read_manifest(index_dir)
         self.n_docs = stats["n_docs"]
@@ -61,50 +63,62 @@ class SegmentSearcher:
         self.k1 = man["config"]["bm25_k1"]
         self.b = man["config"]["bm25_b"]
         self.field = field  # BM25-scored text field
-        # (field, term) → list of slots (one per shard×bucket run)
-        self.terms: dict[tuple[str, str], list[int]] = {}
-        # per-term tf upper bound (segment max_tf) → score upper bounds for
-        # MaxScore pruning without decoding the posting list
-        self.max_tf: dict[str, int] = {}
-        ids_col, tfs_col = [], []
-        local_terms = set()
+
+        # ---- Arrow-native load: the segment tables are kept as-is (the
+        # posting binaries stay in Arrow buffers, one copy) and the
+        # (field, term) → slots dictionary is a SORTED 128-bit key-hash
+        # array probed by binary search — no per-term Python loop, no
+        # Python-object copies of the vocabulary.  A probe matches only if
+        # BOTH independent 64-bit hashes match (collision ~2^-128).
+        tables = []
         for s in shards:
             pattern = os.path.join(ckpt.shard_dir(index_dir, s),
                                    "bucket=*", "postings.parquet")
             for path in sorted(glob.glob(pattern)):
                 t = pq.read_table(path)
-                base = len(ids_col)
-                fields = (t["field"].to_pylist() if "field" in t.column_names
-                          else [field] * t.num_rows)
-                max_tfs = t["max_tf"].to_pylist()
-                for i, (f, term) in enumerate(zip(fields, t["term"].to_pylist())):
-                    self.terms.setdefault((f, term), []).append(base + i)
-                    if f == field:
-                        local_terms.add(term)
-                        self.max_tf[term] = max(self.max_tf.get(term, 0),
-                                                int(max_tfs[i]))
-                ids_col.extend(t["doc_ids"].to_pylist())
-                tfs_col.extend(t["tfs"].to_pylist())
-        self._ids = ids_col
-        self._tfs = tfs_col
-        # GLOBAL df for scoring (summed across ALL doc shards).  Preferred
-        # source is the materialized termstats table (written by
-        # merge_indexes / write_termstats — the right artifact at extreme
-        # vocab scale); otherwise aggregate from the segment files' tiny
-        # (field, term, df) columns — parquet column pruning skips the
+                if "field" not in t.column_names:
+                    t = t.append_column(
+                        "field", pa.array([field] * t.num_rows,
+                                          type=pa.string()))
+                tables.append(t)
+        seg = (pa.concat_tables(tables).combine_chunks() if tables
+               else None)
+        self._seg = seg
+        self._seg_ids = seg["doc_ids"] if seg is not None else None
+        self._seg_tfs = seg["tfs"] if seg is not None else None
+        self._max_tf_col = (seg["max_tf"].to_numpy(zero_copy_only=False)
+                            .astype(np.int64) if seg is not None
+                            else np.zeros(0, dtype=np.int64))
+        if seg is not None and seg.num_rows:
+            keys = pc.binary_join_element_wise(seg["field"], seg["term"],
+                                               "\x00")
+            h1 = fnv1a64_array(keys)
+            h2 = fnv1a64_array(keys, offset=_ALT_OFFSET, prime=_ALT_PRIME)
+            order = np.lexsort((h2, h1))
+            self._key_h1, self._key_h2 = h1[order], h2[order]
+            self._slot_order = order.astype(np.int64)
+        else:
+            self._key_h1 = np.zeros(0, dtype=np.uint64)
+            self._key_h2 = np.zeros(0, dtype=np.uint64)
+            self._slot_order = np.zeros(0, dtype=np.int64)
+
+        # GLOBAL df for scoring (summed across ALL doc shards), as another
+        # sorted hash-keyed array.  Preferred source is the materialized
+        # termstats table (merge_indexes / write_termstats — the artifact
+        # for extreme vocab); otherwise aggregate from the segment files'
+        # tiny (field, term, df) columns — parquet column pruning skips the
         # posting binaries, so this reads ~the global term dictionary.
-        self.global_df: dict[str, int] = {}
         ts_dir = ckpt.termstats_dir(index_dir)
         if os.path.exists(ts_dir):
-            cols = ["term", "df"]
             has_field = "field" in pq.read_schema(
                 glob.glob(os.path.join(ts_dir, "*.parquet"))[0]).names
-            ts = pq.read_table(ts_dir, columns=cols + (["field"] if has_field else []))
+            ts = pq.read_table(
+                ts_dir, columns=["term", "df"] + (["field"] if has_field
+                                                  else []))
             if has_field:
                 ts = ts.filter(pc.equal(ts["field"], field))
-            for term, df in zip(ts["term"].to_pylist(), ts["df"].to_pylist()):
-                if term in local_terms:
-                    self.global_df[term] = int(df)
+            dfs = ts["df"].to_numpy(zero_copy_only=False).astype(np.int64)
+            terms_col = ts["term"].combine_chunks()
         else:
             parts = []
             pattern = os.path.join(ckpt.segments_dir(index_dir), "shard=*",
@@ -115,10 +129,28 @@ class SegmentSearcher:
             if parts:
                 allp = pa.concat_tables(parts)
                 agg = allp.group_by("term").aggregate([("df", "sum")])
-                for term, df in zip(agg["term"].to_pylist(),
-                                    agg["df_sum"].to_pylist()):
-                    if term in local_terms:
-                        self.global_df[term] = int(df)
+                dfs = agg["df_sum"].to_numpy(zero_copy_only=False) \
+                    .astype(np.int64)
+                terms_col = agg["term"].combine_chunks()
+            else:
+                dfs = np.zeros(0, dtype=np.int64)
+                terms_col = pa.array([], type=pa.string())
+        if len(terms_col):
+            fld = pa.array([field] * len(terms_col), type=pa.string())
+            dkeys = pc.binary_join_element_wise(fld, terms_col, "\x00")
+            d1 = fnv1a64_array(dkeys)
+            d2 = fnv1a64_array(dkeys, offset=_ALT_OFFSET, prime=_ALT_PRIME)
+            # keep only terms present in this searcher's shards (memory:
+            # a shard holds ~vocab/n_shards of the global dictionary)
+            local = np.isin(d1, self._key_h1)
+            order = np.lexsort((d2[local], d1[local]))
+            self._df_h1 = d1[local][order]
+            self._df_h2 = d2[local][order]
+            self._df_vals = dfs[local][order]
+        else:
+            self._df_h1 = np.zeros(0, dtype=np.uint64)
+            self._df_h2 = np.zeros(0, dtype=np.uint64)
+            self._df_vals = np.zeros(0, dtype=np.int64)
         # local docID dictionary: sorted global docIDs of this searcher's
         # shards (from the docstore, filtered to owned shards).  Posting
         # lists are mapped to dense int32 local ids so per-query score
@@ -147,10 +179,35 @@ class SegmentSearcher:
             OrderedDict()
         self._cache_max_terms = 100_000
 
+    def _slots_of(self, field: str, term: str) -> np.ndarray:
+        """Binary-search the sorted 128-bit key-hash arrays → slot indices
+        of the (field, term) posting runs (one per shard×bucket, plus salt
+        spreads).  O(log vocab) per probe, no dictionary build."""
+        from ..functions.hashing import key_hash128_scalar
+        k1, k2 = key_hash128_scalar(f"{field}\x00{term}")
+        k1, k2 = np.uint64(k1), np.uint64(k2)
+        lo = int(np.searchsorted(self._key_h1, k1, side="left"))
+        hi = int(np.searchsorted(self._key_h1, k1, side="right"))
+        if lo == hi:
+            return np.zeros(0, dtype=np.int64)
+        sel = lo + np.flatnonzero(self._key_h2[lo:hi] == k2)
+        return self._slot_order[sel]
+
+    def _global_df(self, term: str) -> int:
+        from ..functions.hashing import key_hash128_scalar
+        k1, k2 = key_hash128_scalar(f"{self.field}\x00{term}")
+        k1, k2 = np.uint64(k1), np.uint64(k2)
+        lo = int(np.searchsorted(self._df_h1, k1, side="left"))
+        hi = int(np.searchsorted(self._df_h1, k1, side="right"))
+        if lo == hi:
+            return 0
+        sel = np.flatnonzero(self._df_h2[lo:hi] == k2)
+        return int(self._df_vals[lo + sel[0]]) if sel.size else 0
+
     def _decode_slot(self, slot: int) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
         """One posting run → (local int32 ids, tf float64, doc_len float64)."""
-        doc_ids = delta_decode(self._ids[slot]).astype(np.int64)
-        tf = varint_decode(self._tfs[slot]).astype(np.float64)
+        doc_ids = delta_decode(self._seg_ids[slot].as_py()).astype(np.int64)
+        tf = varint_decode(self._seg_tfs[slot].as_py()).astype(np.float64)
         local = np.searchsorted(self._docs, doc_ids).astype(np.int32)
         return (local, tf, self._doc_len[local])
 
@@ -159,10 +216,10 @@ class SegmentSearcher:
         if cached is not None:
             self._score_cache.move_to_end(term)
             return cached
-        slots = self.terms.get((self.field, term))
-        if not slots:
+        slots = self._slots_of(self.field, term)
+        if not slots.size:
             return None
-        idf = bm25_idf(self.n_docs, float(self.global_df.get(term, 0)))
+        idf = bm25_idf(self.n_docs, float(self._global_df(term)))
         ids_parts, score_parts = [], []
         for slot in slots:
             local_ids, tf, dl = self._decode_slot(slot)
@@ -194,8 +251,23 @@ class SegmentSearcher:
             hits = hits[dense[hits] >= thresh]
         return top_k(self._docs[hits], dense[hits], k)
 
+    def vocabulary(self, field: str | None = None) -> set[str]:
+        """Debug/test accessor: this searcher's term set (optionally one
+        field's).  Materializes Python strings — NOT a query-path API."""
+        if self._seg is None:
+            return set()
+        t = self._seg
+        if field is not None:
+            t = t.filter(pc.equal(t["field"], field))
+        return set(t["term"].to_pylist())
+
     def df_of(self, terms: list[str]) -> dict[str, int]:
-        return {t: self.global_df[t] for t in terms if t in self.global_df}
+        out = {}
+        for t in terms:
+            df = self._global_df(t)
+            if df:
+                out[t] = df
+        return out
 
     def search_many(self, queries: list[list[str]], k: int = 10,
                     prune: bool = False) -> list[tuple[np.ndarray, np.ndarray]]:
@@ -210,10 +282,11 @@ class SegmentSearcher:
         """Score upper bound from segment metadata alone (no decode):
         BM25 is monotone in tf and anti-monotone in doc_len, so
         ``score ≤ idf · (k1+1) · max_tf / (max_tf + k1·(1−b+b·dl_min/avgdl))``."""
-        mtf = float(self.max_tf.get(term, 0))
+        slots = self._slots_of(self.field, term)
+        mtf = float(self._max_tf_col[slots].max()) if slots.size else 0.0
         if mtf <= 0:
             return 0.0
-        idf = bm25_idf(self.n_docs, float(self.global_df.get(term, 0)))
+        idf = bm25_idf(self.n_docs, float(self._global_df(term)))
         denom = mtf + self.k1 * (1.0 - self.b + self.b * self._dl_min / self.avgdl)
         return float(idf * mtf * (self.k1 + 1.0) / denom)
 
@@ -230,7 +303,7 @@ class SegmentSearcher:
         docID-sorted lists), and a term whose bound cannot lift the current
         k-th score is never even decoded."""
         uniq = [t for t in dict.fromkeys(terms)
-                if (self.field, t) in self.terms]
+                if self._slots_of(self.field, t).size]
         if not uniq:
             return (np.zeros(0, dtype=np.int64), np.zeros(0, dtype=np.float64))
         bounds = {t: self._term_upper_bound(t) for t in uniq}
@@ -315,8 +388,10 @@ class SegmentSearcher:
         matched = np.zeros(n, dtype=bool)
         for field, term in sorted(set(probes)):
             spec = self._REF_FIELDS.get(field)
-            slots = self.terms.get((field, term))
-            if spec is None or not slots:
+            if spec is None:
+                continue
+            slots = self._slots_of(field, term)
+            if not slots.size:
                 continue
             kind, col = spec
             for slot in slots:

@@ -219,9 +219,19 @@ class FragmentSpiller:
         self.tmp_dir = tmp_dir
         self.docstore_tmp = docstore_tmp
 
+    @staticmethod
+    def _metrics(n_rows: int, n_docs: int, total_tokens: int) -> pa.Table:
+        """Tiny per-batch metric row: the ONLY thing returned through the
+        object store.  ``n_docs`` / ``total_tokens`` are summed by the
+        consuming aggregate into docstats.json (no docstore re-read pass)."""
+        return pa.table({"n_rows": pa.array([n_rows], type=pa.int64()),
+                         "n_docs": pa.array([n_docs], type=pa.int64()),
+                         "total_tokens": pa.array([total_tokens],
+                                                  type=pa.int64())})
+
     def __call__(self, batch: pa.Table) -> pa.Table:
         if batch.num_rows == 0:
-            return pa.table({"n_rows": pa.array([0], type=pa.int64())})
+            return self._metrics(0, 0, 0)
         # fragment tag = content hash of the batch's FULL doc_id column (not
         # just the first docID): stable across task retries (same block →
         # same tag → idempotent overwrite) yet distinct for two blocks that
@@ -231,18 +241,18 @@ class FragmentSpiller:
         first_doc = int(ids_np[0])
         content = zlib.crc32(np.ascontiguousarray(ids_np).tobytes())
         tag = f"{first_doc & 0xFFFFFFFFFFFF:012x}-{content:08x}-{len(ids_np)}"
-        part_col = batch["part"].to_numpy(zero_copy_only=False)
-        if self.docstore_tmp is not None:
-            doc_rows = batch.filter(pa.compute.equal(batch["part"], -1))
-            if doc_rows.num_rows:
-                drop = [c for c in ("term", "tf", "part", "field")
-                        if c in doc_rows.column_names]
-                os.makedirs(self.docstore_tmp, exist_ok=True)
-                tmp = os.path.join(self.docstore_tmp, f".tmp-{tag}.parquet")
-                pq.write_table(doc_rows.drop_columns(drop), tmp,
-                               compression="zstd")
-                os.replace(tmp, os.path.join(self.docstore_tmp,
-                                             f"frag-{tag}.parquet"))
+        doc_rows = batch.filter(pa.compute.equal(batch["part"], -1))
+        total_tokens = (int(pa.compute.sum(doc_rows["doc_len"]).as_py() or 0)
+                        if "doc_len" in doc_rows.column_names else 0)
+        if self.docstore_tmp is not None and doc_rows.num_rows:
+            drop = [c for c in ("term", "tf", "part", "field")
+                    if c in doc_rows.column_names]
+            os.makedirs(self.docstore_tmp, exist_ok=True)
+            tmp = os.path.join(self.docstore_tmp, f".tmp-{tag}.parquet")
+            pq.write_table(doc_rows.drop_columns(drop), tmp,
+                           compression="zstd")
+            os.replace(tmp, os.path.join(self.docstore_tmp,
+                                         f"frag-{tag}.parquet"))
         postings = batch.filter(pa.compute.greater_equal(batch["part"], 0))
         postings = postings.select(
             [c for c in ("field", "term", "doc_id", "tf", "part")
@@ -262,7 +272,7 @@ class FragmentSpiller:
             pq.write_table(postings.slice(s, e - s).drop_columns(["part"]),
                            tmp, compression="lz4")
             os.replace(tmp, os.path.join(d, f"frag-{tag}.parquet"))
-        return pa.table({"n_rows": pa.array([batch.num_rows], type=pa.int64())})
+        return self._metrics(batch.num_rows, doc_rows.num_rows, total_tokens)
 
 
 class FragmentEncoder:

@@ -1,6 +1,10 @@
 import os
 import sys
 
+# before any numpy import: numpy's MADV_HUGEPAGE + this VM's synchronous THP
+# defrag stalls seconds per first-touch ≥4 MB allocation (see bench.py)
+os.environ.setdefault("NUMPY_MADVISE_HUGEPAGE", "0")
+
 import pytest
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))

@@ -52,7 +52,7 @@ def test_global_df_match_oracle(built_index, oracle):
     from search_engine_ray.pipelines.query import SegmentSearcher
     idx, _ = built_index
     s = SegmentSearcher(idx, list(range(CFG["n_doc_shards"])))
-    assert {t for (f, t) in s.terms if f == "text"} == set(oracle.postings)
+    assert s.vocabulary("text") == set(oracle.postings)
     for term in oracle.postings:
         assert s.df_of([term])[term] == oracle.df(term), term
 
@@ -66,9 +66,10 @@ def test_doc_sharding_is_disjoint_and_complete(built_index, oracle):
     for shard in range(CFG["n_doc_shards"]):
         s = SegmentSearcher(idx, [shard])
         shard_docs: set[int] = set()
-        for slots in s.terms.values():
-            for slot in slots:
-                shard_docs.update(delta_decode(s._ids[slot]).tolist())
+        for term in s.vocabulary("text"):
+            for slot in s._slots_of("text", term):
+                shard_docs.update(
+                    delta_decode(s._seg_ids[slot].as_py()).tolist())
         assert not (seen & shard_docs)
         seen |= shard_docs
         total += len(shard_docs)

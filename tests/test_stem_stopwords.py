@@ -31,10 +31,9 @@ def test_stopworded_stemmed_build_matches_oracle(stemmed_index, sf_small,
                                 t["text"].to_pylist())),
                        stopwords=True, stem=True)
     s = SegmentSearcher(stemmed_index, [0, 1])
-    assert {term for (f, term) in s.terms if f == "text"} == \
-        set(orc.postings)
+    assert s.vocabulary("text") == set(orc.postings)
     # stopwords are gone from the index
-    assert ("text", "the") not in s.terms
+    assert "the" not in s.vocabulary("text")
     qe = QueryEngine(stemmed_index, num_searchers=2, use_actors=False)
     # query-side analysis applies the same stopword+stem config (from the
     # manifest), so surface forms match stemmed index terms

@@ -9,9 +9,14 @@ hardware itself scales to.  Usage::
 
 from __future__ import annotations
 
+import os
 import sys
 import time
 from concurrent.futures import ProcessPoolExecutor
+
+# see bench.py: numpy MADV_HUGEPAGE + synchronous THP defrag on this VM
+# stalls seconds per first-touch allocation; children inherit via fork
+os.environ.setdefault("NUMPY_MADVISE_HUGEPAGE", "0")
 
 import numpy as np
 
