@@ -20,10 +20,15 @@ import sys
 def _ensure_ray(num_cpus: int | None = None) -> None:
     import ray
     if not ray.is_initialized():
-        kwargs = {"address": "local", "include_dashboard": False,
-                  "logging_level": "ERROR"}
-        if num_cpus:
-            kwargs["num_cpus"] = num_cpus
+        # under `ray job submit` the job runtime exports RAY_ADDRESS to the
+        # cluster's address — honor it so the same CLI drives a multi-node
+        # cluster; default stays a private local session
+        address = os.environ.get("RAY_ADDRESS", "local")
+        kwargs = {"address": address, "logging_level": "ERROR"}
+        if address == "local":
+            kwargs["include_dashboard"] = False
+            if num_cpus:
+                kwargs["num_cpus"] = num_cpus
         ray.init(**kwargs)
     from ray.data import DataContext
     DataContext.get_current().enable_progress_bars = False
@@ -66,7 +71,7 @@ def cmd_build(args) -> int:
                       text_col=args.text_col, id_col=args.id_col,
                       stopwords=args.stopwords, stem=args.stem)
     builder = build_reference_index if args.fielded else build_index
-    kwargs = {}
+    kwargs = {"exchange": args.exchange}
     if args.keep_cols:
         kwargs["keep_cols"] = tuple(args.keep_cols.split(","))
     man = builder(_source_for(args.source), args.index, cfg, **kwargs)
@@ -200,6 +205,10 @@ def make_parser() -> argparse.ArgumentParser:
     b.add_argument("--stem", action="store_true")
     b.add_argument("--fielded", action="store_true",
                    help="multi-field reference index (title+metadata)")
+    b.add_argument("--exchange", choices=["fs", "groupby"], default="fs",
+                   help="shuffle strategy: fs = filesystem external shuffle "
+                        "(single node / shared fs), groupby = Ray object-"
+                        "store sort shuffle (multi-node clusters)")
     b.set_defaults(fn=cmd_build)
 
     q = sub.add_parser("query", help="one-shot query (reference --search)")

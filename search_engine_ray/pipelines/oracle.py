@@ -103,8 +103,12 @@ class ReferenceOracle:
             for v in values:
                 self.index[field][clean_metadata(v)][doc_id] = 1
 
-    def handle_query(self, probes: list[tuple[str, str]],
-                     k: int = 10) -> list[int]:
+    def appraise(self, probes: list[tuple[str, str]]
+                 ) -> dict[int, tuple]:
+        """Per-doc 9-level comparator key (ascending sort = reference rank
+        order, ``SearchEngine.h:347-380``).  Exposed so conformance tests
+        can group tie-classes: the reference's ``std::sort`` leaves equal
+        keys in unspecified relative order."""
         acc: dict[int, dict] = {}
         cols = ("text_wc", "title_wc", "person_count", "org_count",
                 "author_count", "site_flag", "language_flag",
@@ -127,9 +131,13 @@ class ReferenceOracle:
                     a["author_count"] += 1
                 else:
                     a[f"{'language' if field == 'language' else field}_flag"] = 1
-        ranked = sorted(acc.items(), key=lambda kv: (
-            -kv[1]["language_flag"], -kv[1]["site_flag"],
-            -kv[1]["country_flag"], -kv[1]["location_flag"],
-            -kv[1]["title_wc"], -kv[1]["org_count"], -kv[1]["person_count"],
-            -kv[1]["author_count"], -kv[1]["text_wc"], kv[0]))
+        return {d: (-a["language_flag"], -a["site_flag"], -a["country_flag"],
+                    -a["location_flag"], -a["title_wc"], -a["org_count"],
+                    -a["person_count"], -a["author_count"], -a["text_wc"])
+                for d, a in acc.items()}
+
+    def handle_query(self, probes: list[tuple[str, str]],
+                     k: int = 10) -> list[int]:
+        keys = self.appraise(probes)
+        ranked = sorted(keys.items(), key=lambda kv: (kv[1], kv[0]))
         return [d for d, _ in ranked[:k]]

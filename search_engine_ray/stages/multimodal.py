@@ -6,13 +6,19 @@ extraction / frame sampling are **actor-pool** ``map_batches`` stages
 (codec state initialised once per actor in ``__init__``), run with SMALL
 ``batch_size`` so batch × concurrency fits the worker heap.
 
-The real codec libraries (PIL / torchaudio / ffmpeg) are not in this
-container, so the decode kernels are gated: ``backend="real"`` raises
-``NotImplementedError`` unless the library import succeeds, and
-``backend="fake"`` (default, used by tests/benches) operates on the
-deterministic FAKE container formats below — the Ray-side plumbing
-(schemas, actor signatures, batch sizing, output layout) is real and
-tested either way.
+Codec backends (``backend=`` on every stage):
+
+- ``"fake"`` (default, used by tests/benches) operates on the
+  deterministic FAKE container formats below — the Ray-side plumbing
+  (schemas, actor signatures, batch sizing, output layout) is real and
+  tested either way.
+- ``"real"`` decodes actual containers — PIL for images, soundfile (or the
+  stdlib ``wave`` module for PCM WAV) for audio, PyAV for video — and
+  raises ``NotImplementedError`` when the library is missing.
+- ``"auto"`` resolves to ``"real"`` when the library imports, else
+  ``"fake"``.  Resolution happens in ``__init__``, i.e. ON THE WORKER for
+  actor-pool deployments, so a heterogeneous cluster picks the right
+  kernel per node.
 
 FAKE container formats (little-endian):
 
@@ -65,12 +71,48 @@ def _decode_fake_image(blob: bytes) -> np.ndarray:
     return np.frombuffer(blob[9:9 + w * h * c], dtype=np.uint8).reshape(h, w, c)
 
 
-def _check_backend(backend: str, lib: str) -> None:
+def _image_lib():
+    try:
+        from PIL import Image
+        return Image
+    except ImportError:
+        return None
+
+
+def _audio_lib():
+    try:
+        import soundfile
+        return soundfile
+    except ImportError:
+        # PCM WAV decodes with the stdlib — a real container, always on
+        import wave
+        return wave
+
+
+def _video_lib():
+    try:
+        import av
+        return av
+    except ImportError:
+        return None
+
+
+def _resolve_backend(backend: str, lib, lib_name: str) -> str:
+    """``auto`` → real when the codec library imports, else fake; ``real``
+    raises when it doesn't.  Called from stage ``__init__``, which runs on
+    the WORKER for actor-pool ``map_batches`` deployments."""
     if backend == "fake":
-        return
-    raise NotImplementedError(
-        f"backend={backend!r} needs {lib}, which is not available in this "
-        f"environment; the Ray plumbing is identical — swap the kernel in")
+        return "fake"
+    if backend == "auto":
+        return "real" if lib is not None else "fake"
+    if backend == "real":
+        if lib is None:
+            raise NotImplementedError(
+                f"backend='real' needs {lib_name}, which is not available "
+                f"in this environment; the Ray plumbing is identical — "
+                f"use backend='auto' to fall back to the fake codec")
+        return "real"
+    raise ValueError(f"unknown backend {backend!r}")
 
 
 # ---------------------------------------------------------------------------
@@ -84,14 +126,22 @@ class DecodeImageStats:
 
     def __init__(self, *, backend: str = "fake", image_col: str = "image",
                  id_col: str = "doc_id"):
-        _check_backend(backend, "PIL")
+        self._pil = _image_lib()
+        self.backend = _resolve_backend(backend, self._pil, "PIL")
         self.image_col = image_col
         self.id_col = id_col
+
+    def _decode(self, blob: bytes) -> np.ndarray:
+        if self.backend == "fake":
+            return _decode_fake_image(blob)
+        import io
+        px = np.asarray(self._pil.open(io.BytesIO(blob)))
+        return px[:, :, None] if px.ndim == 2 else px
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         widths, heights, chans, means = [], [], [], []
         for blob in batch[self.image_col].to_pylist():
-            px = _decode_fake_image(blob)
+            px = self._decode(blob)
             h, w, c = px.shape
             widths.append(w); heights.append(h); chans.append(c)
             means.append(float(px.mean()))
@@ -111,21 +161,32 @@ class ResizeImage:
 
     def __init__(self, out_w: int, out_h: int, *, backend: str = "fake",
                  image_col: str = "image", id_col: str = "doc_id"):
-        _check_backend(backend, "PIL")
+        self._pil = _image_lib()
+        self.backend = _resolve_backend(backend, self._pil, "PIL")
         self.out_w, self.out_h = out_w, out_h
         self.image_col = image_col
         self.id_col = id_col
 
+    def _resize(self, blob: bytes) -> bytes:
+        if self.backend == "real":
+            import io
+            img = self._pil.open(io.BytesIO(blob))
+            img = img.resize((self.out_w, self.out_h),
+                             self._pil.Resampling.NEAREST)
+            buf = io.BytesIO()
+            img.save(buf, format="PNG")
+            return buf.getvalue()
+        px = _decode_fake_image(blob)
+        h, w, c = px.shape
+        yi = (np.arange(self.out_h) * h // self.out_h)
+        xi = (np.arange(self.out_w) * w // self.out_w)
+        res = px[yi][:, xi]
+        return (b"FIMG" + struct.pack("<HHB", self.out_w, self.out_h, c)
+                + res.tobytes())
+
     def __call__(self, batch: pa.Table) -> pa.Table:
-        out = []
-        for blob in batch[self.image_col].to_pylist():
-            px = _decode_fake_image(blob)
-            h, w, c = px.shape
-            yi = (np.arange(self.out_h) * h // self.out_h)
-            xi = (np.arange(self.out_w) * w // self.out_w)
-            res = px[yi][:, xi]
-            out.append(b"FIMG" + struct.pack("<HHB", self.out_w, self.out_h, c)
-                       + res.tobytes())
+        out = [self._resize(blob)
+               for blob in batch[self.image_col].to_pylist()]
         return pa.table({
             "doc_id": batch[self.id_col].cast(pa.int64()),
             "image": pa.array(out, type=pa.binary()),
@@ -138,16 +199,36 @@ class AudioFeatures:
 
     def __init__(self, *, backend: str = "fake", audio_col: str = "audio",
                  id_col: str = "doc_id"):
-        _check_backend(backend, "torchaudio/soundfile")
+        self._lib = _audio_lib()
+        self.backend = _resolve_backend(backend, self._lib,
+                                        "soundfile or stdlib wave")
         self.audio_col = audio_col
         self.id_col = id_col
+
+    def _decode(self, blob: bytes) -> tuple[int, np.ndarray]:
+        if self.backend == "fake":
+            assert blob[:4] == b"FAUD"
+            (sr,) = struct.unpack("<I", blob[4:8])
+            return sr, np.frombuffer(blob[8:], dtype=np.int16) \
+                .astype(np.float64)
+        import io
+        if self._lib.__name__ == "soundfile":
+            # int16 keeps raw PCM amplitude (float dtypes normalize to ±1),
+            # matching the stdlib-wave path
+            data, sr = self._lib.read(io.BytesIO(blob), dtype="int16")
+            data = data.astype(np.float64)
+            return sr, data.mean(axis=1) if data.ndim == 2 else data
+        with self._lib.open(io.BytesIO(blob), "rb") as w:  # stdlib wave
+            sr = w.getframerate()
+            raw = np.frombuffer(w.readframes(w.getnframes()), dtype=np.int16)
+            if w.getnchannels() > 1:
+                raw = raw.reshape(-1, w.getnchannels()).mean(axis=1)
+            return sr, raw.astype(np.float64)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         srs, durs, rms = [], [], []
         for blob in batch[self.audio_col].to_pylist():
-            assert blob[:4] == b"FAUD"
-            (sr,) = struct.unpack("<I", blob[4:8])
-            samples = np.frombuffer(blob[8:], dtype=np.int16).astype(np.float64)
+            sr, samples = self._decode(blob)
             srs.append(sr)
             durs.append(len(samples) / sr if sr else 0.0)
             rms.append(float(np.sqrt(np.mean(samples ** 2))) if samples.size else 0.0)
@@ -166,15 +247,15 @@ class SampleVideoFrames:
 
     def __init__(self, stride: int = 2, *, backend: str = "fake",
                  video_col: str = "video", id_col: str = "doc_id"):
-        _check_backend(backend, "ffmpeg")
+        self._av = _video_lib()
+        self.backend = _resolve_backend(backend, self._av, "PyAV (av)")
         self.stride = stride
         self.video_col = video_col
         self.id_col = id_col
 
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        ids_out, idx_out, frames_out = [], [], []
-        ids = batch[self.id_col].to_pylist()
-        for row, blob in enumerate(batch[self.video_col].to_pylist()):
+    def _frames(self, blob: bytes):
+        """Yield (frame_idx, frame_bytes) for every stride-th frame."""
+        if self.backend == "fake":
             assert blob[:4] == b"FVID"
             (n_frames,) = struct.unpack("<H", blob[4:6])
             off = 6
@@ -182,10 +263,25 @@ class SampleVideoFrames:
                 (flen,) = struct.unpack("<I", blob[off:off + 4])
                 off += 4
                 if i % self.stride == 0:
-                    ids_out.append(ids[row])
-                    idx_out.append(i)
-                    frames_out.append(blob[off:off + flen])
+                    yield i, blob[off:off + flen]
                 off += flen
+            return
+        import io
+        with self._av.open(io.BytesIO(blob)) as container:
+            for i, frame in enumerate(container.decode(video=0)):
+                if i % self.stride == 0:
+                    buf = io.BytesIO()
+                    frame.to_image().save(buf, format="PNG")
+                    yield i, buf.getvalue()
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids_out, idx_out, frames_out = [], [], []
+        ids = batch[self.id_col].to_pylist()
+        for row, blob in enumerate(batch[self.video_col].to_pylist()):
+            for i, frame in self._frames(blob):
+                ids_out.append(ids[row])
+                idx_out.append(i)
+                frames_out.append(frame)
         return pa.table({
             "doc_id": pa.array(ids_out, type=pa.int64()),
             "frame_idx": pa.array(idx_out, type=pa.int32()),
