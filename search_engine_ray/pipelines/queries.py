@@ -716,6 +716,85 @@ FROM lineitem GROUP BY l_returnflag, l_linestatus
 """
 
 
+# BPE-ish pretokenizer (GPT-2-style shape: contraction tails, letter runs,
+# digit runs, punctuation runs, whitespace) restricted to ASCII classes so
+# the RE2 semantics are identical in Arrow and DuckDB.
+BPE_PATTERN = r"'(?:[sdmt]|ll|ve|re)| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+|\s+"
+
+
+def q_token_counts(sf_dir: str):
+    """Per-doc token counting (LLM-data budget accounting): whitespace
+    tokens + BPE-ish pretokenizer pieces, both as vectorized RE2 counts
+    (``pc.count_substring_regex`` — the same regex engine DuckDB uses, so
+    counts agree exactly)."""
+    def cnt(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": t["doc_id"].cast(pa.int64()),
+            "n_ws_tokens": pc.count_substring_regex(
+                t["text"], r"\S+").cast(pa.int64()),
+            "n_bpe_tokens": pc.count_substring_regex(
+                t["text"], BPE_PATTERN).cast(pa.int64()),
+        })
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        cnt, batch_format="pyarrow")
+
+
+SQL_TOKEN_COUNTS = r"""
+SELECT doc_id,
+       len(regexp_extract_all(text, '\S+'))::BIGINT AS n_ws_tokens,
+       len(regexp_extract_all(text,
+           '''(?:[sdmt]|ll|ve|re)| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+|\s+'
+           ))::BIGINT AS n_bpe_tokens
+FROM documents
+"""
+
+
+def q_nation_order_stats(sf_dir: str):
+    """Relational join showcase at both scale shapes (SURVEY §2.4 J-class):
+    orders ⋈ customer is a LARGE⋈LARGE hash-partitioned equi-join
+    (``stages.join.hash_join`` — both sides bucketed by custkey, Acero join
+    per co-located bucket), then nation+region names attach via a TINY
+    broadcast dim (``ray.put`` once, searchsorted probe per batch)."""
+    from ..stages.join import broadcast_lookup, hash_join
+    import pyarrow.parquet as pq
+    orders = ray.data.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_custkey", "o_totalprice"])
+    customer = ray.data.read_parquet(
+        os.path.join(sf_dir, "customer.parquet"),
+        columns=["c_custkey", "c_nationkey"])
+    joined = hash_join(orders, customer, left_key="o_custkey",
+                       right_key="c_custkey", n_buckets=32)
+    # dims are genuinely tiny (25 nations × 5 regions) — pre-join on the
+    # driver and broadcast once
+    nation = pq.read_table(os.path.join(sf_dir, "nation.parquet"))
+    region = pq.read_table(os.path.join(sf_dir, "region.parquet"))
+    dim = nation.join(region, keys="n_regionkey", right_keys="r_regionkey",
+                      join_type="inner") \
+        .select(["n_nationkey", "n_name", "r_name"])
+    out = (broadcast_lookup(joined, dim, key="c_nationkey",
+                            dim_key="n_nationkey")
+           .groupby(["r_name", "n_name"])
+           .aggregate(Count(), Sum("o_totalprice"))
+           .rename_columns({"count()": "n_orders",
+                            "sum(o_totalprice)": "total_price"}))
+    def _round(t: pa.Table) -> pa.Table:
+        i = t.schema.get_field_index("total_price")
+        return t.set_column(i, "total_price", pc.round(t["total_price"], 2))
+    return out.map_batches(_round, batch_format="pyarrow")
+
+
+SQL_NATION_ORDER_STATS = """
+SELECT r_name, n_name, count(*) AS n_orders,
+       round(sum(o_totalprice), 2) AS total_price
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name, n_name
+"""
+
+
 def q_binary_payload_stats(sf_dir: str):
     """Opaque-binary plumbing check (multimodal column pattern): byte length
     of each doc's payload treated as a binary column."""
@@ -1013,6 +1092,8 @@ QUERIES = {
     "event_type_stats": q_event_type_stats,
     "user_activity": q_user_activity,
     "lineitem_pricing": q_lineitem_pricing,
+    "token_counts": q_token_counts,
+    "nation_order_stats": q_nation_order_stats,
     "binary_payload_stats": q_binary_payload_stats,
     "bm25_topk": q_bm25_topk,
     "minhash_neardup": q_minhash_neardup,
@@ -1044,6 +1125,8 @@ ORACLE_SQL = {
     "event_type_stats": SQL_EVENT_TYPE_STATS,
     "user_activity": SQL_USER_ACTIVITY,
     "lineitem_pricing": SQL_LINEITEM_PRICING,
+    "token_counts": SQL_TOKEN_COUNTS,
+    "nation_order_stats": SQL_NATION_ORDER_STATS,
     "binary_payload_stats": SQL_BINARY_PAYLOAD_STATS,
     "events_tumbling": SQL_EVENTS_TUMBLING,
     "user_sessions": SQL_USER_SESSIONS,

@@ -36,15 +36,31 @@ DRIVER_CPP = r"""
 #include "KaggleFinanceSourceEngine.h"
 #include "SearchEngine.h"
 
+// The reference's parse pipeline is racy at ANY thread count: filler
+// threads exit once `currently_parsing_` flips false and their alpha
+// buffer is momentarily empty, while the arbitrator may still be draining
+// its queue — whole (term -> doc) posting pairs are silently dropped
+// (KaggleFinanceSourceEngine.cpp:284-324).  Drops only ever LOSE entries,
+// so the parse with the MAXIMAL posting-pair count is the most complete
+// one; parse several times and keep the best.
+static size_t Digest(search_engine::KaggleFinanceEngine& eng) {
+    size_t d = eng.GetRuntimeDatabase()->id_map.size() * 1000000007ULL;
+    for (auto& m : eng.GetRuntimeDatabase()->value_index)
+        for (auto& kv : m) d += kv.second.size();
+    return d;
+}
+
 int main(int argc, char** argv) {
     std::string path = argv[1];
-    // 1 parser / 1 filler thread: the reference's multithreaded parse is
-    // racy (docs are occasionally dropped — observed empirically on this
-    // corpus with 2/2), so conformance pins the deterministic configuration
-    search_engine::KaggleFinanceEngine eng(1, 1);
-    eng.ParseSources(path);
-    search_engine::SearchEngine<size_t, size_t, std::string> se(
-        std::make_unique<search_engine::KaggleFinanceEngine>(eng));
+    std::unique_ptr<search_engine::KaggleFinanceEngine> best;
+    size_t best_d = 0;
+    for (int attempt = 0; attempt < 5; attempt++) {
+        auto eng = std::make_unique<search_engine::KaggleFinanceEngine>(1, 1);
+        eng->ParseSources(path);
+        size_t d = Digest(*eng);
+        if (!best || d > best_d) { best = std::move(eng); best_d = d; }
+    }
+    search_engine::SearchEngine<size_t, size_t, std::string> se(std::move(best));
     std::string line;
     while (std::getline(std::cin, line)) {
         // HandleQuery also prints skip diagnostics to stdout; result lines

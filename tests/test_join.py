@@ -1,0 +1,59 @@
+"""Distributed hash join + broadcast dim lookup (stages/join.py)."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+
+def _ds(tbl: pa.Table, blocks: int = 3):
+    import ray.data
+    return ray.data.from_arrow(tbl).repartition(blocks)
+
+
+def test_hash_join_inner_matches_arrow(ray_session):
+    from search_engine_ray.stages.join import hash_join
+    rng = np.random.default_rng(3)
+    left = pa.table({"k": rng.integers(0, 50, 200),
+                     "lv": np.arange(200, dtype=np.int64)})
+    right = pa.table({"rk": np.arange(0, 60, 2, dtype=np.int64),
+                      "rv": np.arange(30, dtype=np.int64) * 10})
+    got = hash_join(_ds(left), _ds(right), left_key="k", right_key="rk",
+                    n_buckets=8).to_pandas().sort_values(
+        ["k", "lv"]).reset_index(drop=True)
+    want = left.join(right, keys="k", right_keys="rk",
+                     join_type="inner").to_pandas().sort_values(
+        ["k", "lv"]).reset_index(drop=True)
+    assert len(got) == len(want) > 0
+    assert (got[["k", "lv", "rv"]].values ==
+            want[["k", "lv", "rv"]].values).all()
+
+
+def test_hash_join_string_keys(ray_session):
+    from search_engine_ray.stages.join import hash_join
+    left = pa.table({"name": ["a", "b", "c", "a"],
+                     "x": [1, 2, 3, 4]})
+    right = pa.table({"name": ["a", "c", "z"], "y": [10, 30, 99]})
+    got = hash_join(_ds(left, 2), _ds(right, 2), left_key="name",
+                    right_key="name", n_buckets=4).to_pandas() \
+        .sort_values(["name", "x"]).reset_index(drop=True)
+    assert list(got["name"]) == ["a", "a", "c"]
+    assert list(got["y"]) == [10, 10, 30]
+
+
+def test_hash_join_rejects_column_collision(ray_session):
+    from search_engine_ray.stages.join import hash_join
+    left = _ds(pa.table({"k": [1], "v": [1]}))
+    right = _ds(pa.table({"k2": [1], "v": [2]}))
+    with pytest.raises(ValueError, match="collision"):
+        hash_join(left, right, left_key="k", right_key="k2")
+
+
+def test_broadcast_lookup_with_misses(ray_session):
+    from search_engine_ray.stages.join import broadcast_lookup
+    facts = _ds(pa.table({"nk": pa.array([2, 0, 7, 1], type=pa.int32()),
+                          "v": [1.0, 2.0, 3.0, 4.0]}), 2)
+    dim = pa.table({"nk": pa.array([0, 1, 2], type=pa.int32()),
+                    "name": ["zero", "one", "two"]})
+    out = broadcast_lookup(facts, dim, key="nk", dim_key="nk") \
+        .to_pandas().sort_values("v").reset_index(drop=True)
+    assert list(out["name"]) == ["two", "zero", None, "one"]
