@@ -54,9 +54,15 @@ def varint_encode_with_sizes(values: np.ndarray) -> tuple[bytes, np.ndarray]:
     return out.tobytes(), nbytes
 
 
-def varint_decode(data: bytes) -> np.ndarray:
-    """Inverse of :func:`varint_encode` → uint64 array."""
-    buf = np.frombuffer(data, dtype=np.uint8)
+def varint_decode(data: bytes | np.ndarray) -> np.ndarray:
+    """Inverse of :func:`varint_encode` → uint64 array.
+
+    Accepts a CONCATENATION of independently encoded streams too (the
+    boundary between values is self-delimiting), which lets a caller decode
+    a whole segment's posting lists in one vectorized pass.
+    """
+    buf = (data if isinstance(data, np.ndarray)
+           else np.frombuffer(data, dtype=np.uint8))
     if buf.size == 0:
         return np.zeros(0, dtype=np.uint64)
     is_end = buf < 128
@@ -65,10 +71,32 @@ def varint_decode(data: bytes) -> np.ndarray:
     starts[0] = 0
     starts[1:] = ends[:-1] + 1
     lengths = ends - starts + 1
+    multi = np.flatnonzero(lengths > 1)
+    # fast path — nearly every value fits one byte.  This is the
+    # POSTING-LIST hot case (head-term docID deltas and tfs are tiny; only
+    # the absolute first docID and rare large gaps go multi-byte): one
+    # vectorized gather for the 1-byte majority + a scalar loop over the
+    # handful of stragglers cuts a cold 400k-entry decode ~5×.
+    if multi.size * 16 < ends.size:
+        vals = buf[ends].astype(np.uint64)
+        for i in multi:
+            v = 0
+            for k in range(int(lengths[i]) - 1, -1, -1):
+                v = (v << 7) | int(buf[starts[i] + k] & 0x7F)
+            vals[i] = v
+        return vals
+    # generic path, grouped by encoded length: posting docID deltas over a
+    # hashed 64-bit id space are almost all the SAME width (e.g. 7 bytes),
+    # so one contiguous (m, L) gather + shift-reduce per length class beats
+    # a per-byte-position masked loop ~4× on segment-load-sized inputs.
     vals = np.zeros(ends.size, dtype=np.uint64)
-    for k in range(int(lengths.max())):
-        mask = lengths > k
-        vals[mask] |= (buf[starts[mask] + k] & np.uint64(0x7F)).astype(np.uint64) << np.uint64(7 * k)
+    shifts = np.uint64(7) * np.arange(_MAX_VARINT_BYTES, dtype=np.uint64)
+    for L in np.unique(lengths):
+        sel = np.flatnonzero(lengths == L)
+        idx = starts[sel][:, None] + np.arange(int(L))
+        b = (buf[idx] & np.uint8(0x7F)).astype(np.uint64)
+        b <<= shifts[: int(L)]
+        vals[sel] = np.bitwise_or.reduce(b, axis=1)
     return vals
 
 

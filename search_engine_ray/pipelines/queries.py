@@ -884,15 +884,31 @@ def q_simhash_neardup(sf_dir: str, *, max_hamming: int = 3):
     Hamming verification."""
     docs = _docs(sf_dir, ["doc_id", "text"])
     sigs = docs.map_batches(SimHash(), batch_format="pyarrow")
-    pair_parts = []
-    for c in range(4):
-        grouped = sigs.select_columns([f"chunk{c}", "doc_id", "simhash"]) \
-            .groupby(f"chunk{c}").map_groups(
-                functools.partial(_simhash_pairs_in_group,
-                                  max_hamming=max_hamming),
-                batch_format="pyarrow")
-        pair_parts.append(grouped)
-    allp = pair_parts[0].union(*pair_parts[1:])
+
+    # one signature pass + ONE shuffle: explode to (chunk_id, chunk_val)
+    # rows and group on the composite key.  Four per-chunk groupbys would
+    # re-execute the tokenize+SimHash upstream four times (Datasets are
+    # lazy, not cached) and serialize four exchanges.
+    def explode(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        sh = t["simhash"].to_numpy(zero_copy_only=False)
+        vals = np.concatenate(
+            [t[f"chunk{c}"].to_numpy(zero_copy_only=False)
+             for c in range(4)])
+        return pa.table({
+            "chunk_id": pa.array(np.repeat(np.arange(4, dtype=np.int32), n),
+                                 type=pa.int32()),
+            "chunk_val": pa.array(vals),
+            "doc_id": pa.array(np.tile(ids, 4), type=pa.int64()),
+            "simhash": pa.array(np.tile(sh, 4)),
+        })
+
+    allp = (sigs.map_batches(explode, batch_format="pyarrow")
+            .groupby(["chunk_id", "chunk_val"])
+            .map_groups(functools.partial(_simhash_pairs_in_group,
+                                          max_hamming=max_hamming),
+                        batch_format="pyarrow"))
     empty = pa.schema([("doc_a", pa.int64()), ("doc_b", pa.int64()),
                        ("hamming", pa.int32())])
     tbl = _collect_table(allp, empty)

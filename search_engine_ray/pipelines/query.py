@@ -44,6 +44,21 @@ def bm25_idf(n_docs: int, df: np.ndarray | float) -> np.ndarray | float:
     return np.log((n_docs - df + 0.5) / (df + 0.5) + 1.0)
 
 
+def _binary_column_bytes(col: pa.ChunkedArray | pa.Array
+                         ) -> tuple[np.ndarray, np.ndarray]:
+    """Zero-copy view of a (large_)binary column's packed payload:
+    (uint8 data over all values concatenated, int64 byte offsets len n+1,
+    rebased to 0)."""
+    arr = (col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col)
+    off_dtype = (np.int64 if pa.types.is_large_binary(arr.type)
+                 else np.int32)
+    offsets = np.frombuffer(arr.buffers()[1], dtype=off_dtype)[
+        arr.offset:arr.offset + len(arr) + 1].astype(np.int64)
+    data = np.frombuffer(arr.buffers()[2], dtype=np.uint8)[
+        offsets[0]:offsets[-1]]
+    return data, offsets - offsets[0]
+
+
 class SegmentSearcher:
     """Holds the postings of a set of DOC SHARDS in memory; answers queries
     with complete per-doc scores for its shards' documents.
@@ -70,12 +85,23 @@ class SegmentSearcher:
         # array probed by binary search — no per-term Python loop, no
         # Python-object copies of the vocabulary.  A probe matches only if
         # BOTH independent 64-bit hashes match (collision ~2^-128).
+        cache_base = self._postcache_base(index_dir, shards, field)
+        cache_hit = bool(cache_base) and all(
+            os.path.exists(f"{cache_base}.{n}.npy")
+            for n in ("local", "tf", "off"))
         tables = []
         for s in shards:
             pattern = os.path.join(ckpt.shard_dir(index_dir, s),
                                    "bucket=*", "postings.parquet")
             for path in sorted(glob.glob(pattern)):
-                t = pq.read_table(path)
+                if cache_hit:
+                    # postings come from the decoded cache — column-pruned
+                    # read skips the binary payloads entirely
+                    names = pq.read_schema(path).names
+                    t = pq.read_table(path, columns=[
+                        c for c in names if c not in ("doc_ids", "tfs")])
+                else:
+                    t = pq.read_table(path)
                 if "field" not in t.column_names:
                     t = t.append_column(
                         "field", pa.array([field] * t.num_rows,
@@ -84,8 +110,6 @@ class SegmentSearcher:
         seg = (pa.concat_tables(tables).combine_chunks() if tables
                else None)
         self._seg = seg
-        self._seg_ids = seg["doc_ids"] if seg is not None else None
-        self._seg_tfs = seg["tfs"] if seg is not None else None
         self._max_tf_col = (seg["max_tf"].to_numpy(zero_copy_only=False)
                             .astype(np.int64) if seg is not None
                             else np.zeros(0, dtype=np.int64))
@@ -169,6 +193,51 @@ class SegmentSearcher:
         self._doc_len = all_lens[mask][order].astype(np.float64)
         pos = self._doc_len[self._doc_len > 0]
         self._dl_min = float(pos.min()) if pos.size else 1.0
+        # ---- eager posting decode, ONE vectorized pass over all slots ----
+        # docIDs are content hashes spread over the full 64-bit space, so
+        # delta+varint deltas average ~7 bytes and a lazy per-term decode
+        # costs ~15 ms per head term — first-touch tail latency.  Decoding
+        # everything at load (concatenated varint stream + segmented-cumsum
+        # delta reconstruction + one global docID→local searchsorted) costs
+        # a few seconds once per actor, and the dense (int32 local, uint32
+        # tf) arrays are no LARGER than the compressed binaries they
+        # replace, which are dropped from memory below.
+        if seg is not None and seg.num_rows:
+            # decoded arrays are cached beside the index (memory-mapped on
+            # reload), so only the FIRST actor to load a given shard set
+            # after a (re)build pays the decode — restarts and scale-outs
+            # on the same node start in page-cache time
+            base = cache_base
+            if cache_hit:
+                self._post_local = np.load(f"{base}.local.npy", mmap_mode="r")
+                self._post_tf = np.load(f"{base}.tf.npy", mmap_mode="r")
+                self._slot_off = np.load(f"{base}.off.npy")
+            else:
+                ids_buf, byte_off = _binary_column_bytes(seg["doc_ids"])
+                tfs_buf, _ = _binary_column_bytes(seg["tfs"])
+                deltas = varint_decode(ids_buf)
+                end_pos = np.flatnonzero(ids_buf < 128)
+                voff = np.searchsorted(end_pos, byte_off[:-1], side="left")
+                self._slot_off = np.append(voff, deltas.size).astype(np.int64)
+                counts = np.diff(self._slot_off)
+                prefix = np.cumsum(deltas, dtype=np.uint64)
+                starts = self._slot_off[:-1]
+                base_v = np.where(starts > 0,
+                                  prefix[np.maximum(starts, 1) - 1],
+                                  np.uint64(0))
+                doc_ids = (prefix - np.repeat(base_v, counts)) \
+                    .astype(np.int64)
+                self._post_local = np.searchsorted(self._docs, doc_ids) \
+                    .astype(np.int32)
+                self._post_tf = varint_decode(tfs_buf).astype(np.uint32)
+                if base:
+                    self._write_postcache(base)
+            self._seg = seg = seg.drop_columns(
+                [c for c in ("doc_ids", "tfs") if c in seg.column_names])
+        else:
+            self._slot_off = np.zeros(1, dtype=np.int64)
+            self._post_local = np.zeros(0, dtype=np.int32)
+            self._post_tf = np.zeros(0, dtype=np.uint32)
         # decode-once cache: term → (local int32 ids, bm25 contributions);
         # BM25 per posting depends only on (tf, dl, df) — all fixed at build
         # time — so the per-term score vector is decoded+scored once and
@@ -178,6 +247,35 @@ class SegmentSearcher:
         self._score_cache: OrderedDict[str, tuple[np.ndarray, np.ndarray]] = \
             OrderedDict()
         self._cache_max_terms = 100_000
+
+    @staticmethod
+    def _postcache_base(index_dir: str, shards: list[int],
+                        field: str) -> str | None:
+        """Cache-file stem for this (index build, shard set, field) —
+        keyed by the manifest content so a rebuild/merge invalidates."""
+        from ..functions.hashing import fnv1a64_scalar
+        man_path = os.path.join(index_dir, "manifest.json")
+        try:
+            with open(man_path, "rb") as f:
+                man_bytes = f.read()
+        except OSError:
+            return None
+        key = man_bytes + repr((sorted(shards), field)).encode()
+        return os.path.join(index_dir, "_postcache",
+                            f"{fnv1a64_scalar(key):016x}")
+
+    def _write_postcache(self, base: str) -> None:
+        """Atomic best-effort write (read-only index dirs just skip)."""
+        try:
+            os.makedirs(os.path.dirname(base), exist_ok=True)
+            for name, arr in (("local", self._post_local),
+                              ("tf", self._post_tf),
+                              ("off", self._slot_off)):
+                tmp = f"{base}.{name}.{os.getpid()}.tmp.npy"
+                np.save(tmp, arr)
+                os.replace(tmp, f"{base}.{name}.npy")
+        except OSError:
+            pass
 
     def _slots_of(self, field: str, term: str) -> np.ndarray:
         """Binary-search the sorted 128-bit key-hash arrays → slot indices
@@ -205,10 +303,11 @@ class SegmentSearcher:
         return int(self._df_vals[lo + sel[0]]) if sel.size else 0
 
     def _decode_slot(self, slot: int) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
-        """One posting run → (local int32 ids, tf float64, doc_len float64)."""
-        doc_ids = delta_decode(self._seg_ids[slot].as_py()).astype(np.int64)
-        tf = varint_decode(self._seg_tfs[slot].as_py()).astype(np.float64)
-        local = np.searchsorted(self._docs, doc_ids).astype(np.int32)
+        """One posting run → (local int32 ids, tf float64, doc_len float64).
+        Postings were decoded once at load — this is a pure slice."""
+        s, e = self._slot_off[slot], self._slot_off[slot + 1]
+        local = self._post_local[s:e]
+        tf = self._post_tf[s:e].astype(np.float64)
         return (local, tf, self._doc_len[local])
 
     def _term_scores(self, term: str) -> tuple[np.ndarray, np.ndarray] | None:
@@ -240,9 +339,12 @@ class SegmentSearcher:
                  if p is not None]
         if not parts:
             return (np.zeros(0, dtype=np.int64), np.zeros(0, dtype=np.float64))
-        dense = np.bincount(np.concatenate([p[0] for p in parts]),
-                            weights=np.concatenate([p[1] for p in parts]),
-                            minlength=len(self._docs))
+        dense = np.zeros(len(self._docs), dtype=np.float64)
+        for ids, sc in parts:
+            # ids are unique within a term (one posting per doc), so the
+            # fused gather-add is exact — and ~2× cheaper than
+            # bincount(concat) at head-term sizes
+            dense[ids] += sc
         hits = np.flatnonzero(dense > 0.0)   # BM25 contributions are > 0
         if hits.size > 4 * k > 0:
             # exact prefilter: keep every doc scoring >= the k-th largest
@@ -321,7 +423,7 @@ class SegmentSearcher:
                 split = i
                 break
             ids, sc = self._term_scores(t)
-            dense += np.bincount(ids, weights=sc, minlength=len(self._docs))
+            dense[ids] += sc   # ids unique within a term — exact
             hits = np.flatnonzero(dense > 0.0)
             if hits.size >= k:
                 theta = np.partition(dense[hits], hits.size - k)[hits.size - k]

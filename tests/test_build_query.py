@@ -68,8 +68,8 @@ def test_doc_sharding_is_disjoint_and_complete(built_index, oracle):
         shard_docs: set[int] = set()
         for term in s.vocabulary("text"):
             for slot in s._slots_of("text", term):
-                shard_docs.update(
-                    delta_decode(s._seg_ids[slot].as_py()).tolist())
+                local, _tf, _dl = s._decode_slot(slot)
+                shard_docs.update(s._docs[local].tolist())
         assert not (seen & shard_docs)
         seen |= shard_docs
         total += len(shard_docs)

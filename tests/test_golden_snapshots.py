@@ -1,0 +1,53 @@
+"""Golden snapshots for the rows-only driver queries.
+
+The driver's oracle check can't verify values for non-SQL-expressible
+pipelines (seeded LSH candidate generation, approximate ANN, media); these
+snapshots pin their EXACT outputs on the deterministic sf0.001 corpus so a
+behavior change can't land silently.  If a change is intentional, update
+the digests (printed on failure).
+"""
+
+import hashlib
+
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+# sha256 of the canonicalized result table (sorted columns, sorted rows,
+# repr-stable formatting) — computed on the sf0.001 testdata
+GOLDEN = {
+    "minhash_neardup":
+        "61b92dc10187a18842eb81eafef679d773d63d07d25ab3e4dbc32f3139c12042",
+    "simhash_neardup":
+        "6312a4dbcf618ff8fa4f98a08b20190f771de80da19626d3558e3135cf0835de",
+    "embedding_neardup":
+        "eb51064db0bd677bf7d561ba36b085b2ae9b20551bb5ff2a3ae6f6f0479cccb6",
+    "fingerprints":
+        "b9ee54c511000a97bd4f7cf44bfa4c2ede984df877c2853f6b7c313e92978684",
+    "lang_id_counts":
+        "8f802d8c7038a132e4347e1ad3616d5456ad881c03fe78aeb79bdbb357dbb245",
+}
+
+
+def canonical_digest(result) -> str:
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data
+    if isinstance(result, ray.data.Dataset):
+        df = result.to_pandas()
+    elif isinstance(result, pa.Table):
+        df = result.to_pandas()
+    else:
+        df = pd.DataFrame(result)
+    df = df[sorted(df.columns)]
+    df = df.sort_values(list(df.columns)).reset_index(drop=True)
+    body = df.to_csv(index=False, float_format="%.9g")
+    return hashlib.sha256(body.encode()).hexdigest()
+
+
+@pytest.mark.parametrize("name", sorted(GOLDEN))
+def test_rows_only_query_snapshot(name, ray_session):
+    from search_engine_ray.pipelines.queries import QUERIES
+    got = canonical_digest(QUERIES[name](SF))
+    assert got == GOLDEN[name], (
+        f"{name} snapshot changed: {got} (update GOLDEN if intentional)")
