@@ -580,6 +580,44 @@ FROM events GROUP BY user_id, date_trunc('hour', ts)
 """
 
 
+def q_events_hopping(sf_dir: str):
+    """HOPPING (sliding) window aggregate: 10-minute windows every 5
+    minutes — each event belongs to exactly 2 windows, assigned by a
+    vectorized flat-map (2 rows/event), then one groupby.  The general
+    streaming-window restatement: window fan-out is window_len/hop rows
+    per event, never a per-row loop."""
+    HOP_US = 300 * 1_000_000          # 5 min
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                               columns=["ts", "value"])
+
+    def assign(t: pa.Table) -> pa.Table:
+        ts = t["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        val = t["value"].to_numpy(zero_copy_only=False)
+        w0 = (ts // HOP_US) * HOP_US
+        ws = np.concatenate([w0, w0 - HOP_US])
+        return pa.table({
+            "window_start": pa.array(ws).cast(pa.timestamp("us")),
+            "value": pa.array(np.tile(val, 2), type=pa.float64())})
+
+    return (ds.map_batches(assign, batch_format="pyarrow")
+            .groupby("window_start")
+            .aggregate(Count(), Sum("value"))
+            .rename_columns({"count()": "n_events",
+                             "sum(value)": "total_value"})
+            .map_batches(functools.partial(_round_col, col="total_value"),
+                         batch_format="pyarrow"))
+
+
+SQL_EVENTS_HOPPING = """
+WITH hops AS (SELECT unnest([0, 1]) AS k)
+SELECT make_timestamp(((epoch_us(ts) // 300000000) - k) * 300000000)
+           AS window_start,
+       count(*) AS n_events, round(sum(value), 6) AS total_value
+FROM events, hops
+GROUP BY 1
+"""
+
+
 def q_user_sessions(sf_dir: str, *, gap_s: int = 1800):
     """Gap-based sessionization: events of one user sorted by time; a gap
     over ``gap_s`` starts a new session.  The per-user state is confined to
@@ -680,6 +718,79 @@ SELECT e.event_id, e.user_id,
            AND r.sortval <= epoch(e.ts)::BIGINT * 100000 + 99999)
          AS last_orderkey
 FROM events e
+"""
+
+
+def q_events_range_orders(sf_dir: str):
+    """RANGE (interval) join: per order, count + sum of the customer's
+    events with ``o_orderdate ≤ ts < o_orderdate + 3 days``.
+
+    Scale shape: both streams are tagged and co-located by the equi-key
+    (``groupby(user)``); inside each group the interval matches are
+    computed with sorted-timestamp ``searchsorted`` + a value prefix sum —
+    NO row expansion (an orders×events cross join within key would blow up
+    on active users)."""
+    WINDOW_US = 3 * 24 * 3600 * 1_000_000
+    orders = ray.data.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_custkey", "o_orderkey", "o_orderdate"])
+    events = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["user_id", "ts", "value"])
+
+    def tag_orders(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        return pa.table({
+            "user_id": t["o_custkey"].cast(pa.int64()),
+            "side": pa.nulls(n, pa.int8()).fill_null(1),
+            "ts_us": t["o_orderdate"].cast(pa.int64()),
+            "value": pa.nulls(n, pa.float64()),
+            "o_orderkey": t["o_orderkey"].cast(pa.int64())})
+
+    def tag_events(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        return pa.table({
+            "user_id": t["user_id"].cast(pa.int64()),
+            "side": pa.nulls(n, pa.int8()).fill_null(0),
+            "ts_us": t["ts"].cast(pa.int64()),
+            "value": t["value"].cast(pa.float64()),
+            "o_orderkey": pa.nulls(n, pa.int64())})
+
+    def per_user(g: pa.Table) -> pa.Table:
+        side = g["side"].to_numpy(zero_copy_only=False)
+        ts = g["ts_us"].to_numpy(zero_copy_only=False)
+        is_order = side == 1
+        okey = g["o_orderkey"].to_numpy(zero_copy_only=False)[is_order]
+        ostart = ts[is_order]
+        ets = ts[~is_order]
+        ev = np.argsort(ets, kind="stable")
+        ets = ets[ev]
+        evals = g["value"].to_numpy(zero_copy_only=False)[~is_order][ev]
+        prefix = np.r_[0.0, np.cumsum(evals)]
+        lo = np.searchsorted(ets, ostart, side="left")
+        hi = np.searchsorted(ets, ostart + WINDOW_US, side="left")
+        return pa.table({
+            "o_orderkey": pa.array(okey, type=pa.int64()),
+            "n_events": pa.array(hi - lo, type=pa.int64()),
+            "sum_value": pa.array(np.round(prefix[hi] - prefix[lo], 6),
+                                  type=pa.float64())})
+
+    return (orders.map_batches(tag_orders, batch_format="pyarrow")
+            .union(events.map_batches(tag_events, batch_format="pyarrow"))
+            .groupby("user_id")
+            .map_groups(per_user, batch_format="pyarrow"))
+
+
+SQL_EVENTS_RANGE_ORDERS = """
+SELECT o_orderkey,
+       count(e.event_id)::BIGINT AS n_events,
+       round(coalesce(sum(e.value), 0), 6) AS sum_value
+FROM orders o
+LEFT JOIN events e
+  ON e.user_id = o.o_custkey
+ AND e.ts >= o.o_orderdate
+ AND e.ts < o.o_orderdate + INTERVAL 3 DAY
+GROUP BY o_orderkey
 """
 
 
@@ -1118,6 +1229,8 @@ QUERIES = {
     "events_tumbling": q_events_tumbling,
     "user_sessions": q_user_sessions,
     "events_asof_orders": q_events_asof_orders,
+    "events_range_orders": q_events_range_orders,
+    "events_hopping": q_events_hopping,
     "embedding_neardup": q_embedding_neardup,
     "ivf_topk": q_ivf_topk,
     "lang_id_counts": q_lang_id_counts,
@@ -1147,6 +1260,8 @@ ORACLE_SQL = {
     "events_tumbling": SQL_EVENTS_TUMBLING,
     "user_sessions": SQL_USER_SESSIONS,
     "events_asof_orders": SQL_EVENTS_ASOF_ORDERS,
+    "events_range_orders": SQL_EVENTS_RANGE_ORDERS,
+    "events_hopping": SQL_EVENTS_HOPPING,
     "bm25_topk": _sql_bm25_topk(),
     "knn_topk": SQL_KNN_TOPK,
     "lang_id_counts": _sql_lang_id_counts(),
