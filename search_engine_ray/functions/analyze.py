@@ -104,11 +104,8 @@ def fnv1a64(data: bytes) -> int:
     never persists hashes, so only *consistency* matters — but we keep the
     same "identify by 64-bit hash" structure for docIDs.
     """
-    h = 0xCBF29CE484222325
-    for b in data:
-        h ^= b
-        h = (h * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
-    return h
+    from .hashing import fnv1a64_scalar
+    return fnv1a64_scalar(data)
 
 
 def doc_id_from_url(url: str) -> int:

@@ -53,6 +53,17 @@ _GROUP_RE = re.compile(r"(\w+)\s*:\s*([^|]*)")
 # an unterminated quote is NOT a phrase — the word token keeps the quote char
 # and later fails the quote-matching check)
 _TERM_RE = re.compile(r'"[^"]+"|“[^”]+”|[^,\s]+')
+# strict-compat uses the reference regexes VERBATIM.  Group scan
+# (SearchEngine.h:106): named categories immediately followed by ':', body
+# up to '|'; the category LABEL is inside the match, so it re-matches the
+# term regex naturally (and fuses with the first term when no space/comma
+# separates them).  Term scan (SearchEngine.h:110,
+# `"((?:\\"|[^"])+)"|([^, ]+)`): escaped quotes are legal inside phrases,
+# and bare tokens split ONLY on comma/space (tabs stay inside a token).
+_GROUP_RE_STRICT = re.compile(
+    r"(?:(?:values)|(?:title)|(?:sites)|(?:langs)|(?:locations)|"
+    r"(?:people)|(?:orgs)|(?:authors)|(?:countries)):[^|]*")
+_TERM_RE_STRICT = re.compile(r'"(?:\\"|[^"])+"|[^, ]+')
 
 
 @dataclass(frozen=True)
@@ -73,42 +84,31 @@ def parse_query(raw: str, *, strict_compat: bool = False) -> list[Probe]:
 
     Driver-side pure function — no Dataset work (SURVEY §2.2 M7 RD mapping).
     """
+    if strict_compat:
+        return _parse_query_strict(raw)
     probes: list[Probe] = []
     for m in _GROUP_RE.finditer(raw):
         category, body = m.group(1).lower(), m.group(2)
         field = CATEGORY_FIELD.get(category)
         if field is None:
-            if strict_compat:
-                continue  # reference: unknown hash → no matching case, skipped
             raise QueryParseError(f"unknown category {category!r}")
         group_terms: list[tuple[str, bool]] = []
-        if strict_compat:
-            # quirk: the label itself ("values:") re-matches the term regex
-            # in the reference scan and is probed as a term
-            group_terms.append((category + ":", False))
         ok = True
         for tm in _TERM_RE.finditer(body):
             tok = tm.group(0)
-            if strict_compat and len(tok) <= 2:
-                continue  # quirk: length check BEFORE quote stripping
             quoted = (tok.startswith('"') or tok.startswith("“"))
             endq = (tok.endswith('"') or tok.endswith("”"))
             if quoted != endq:
-                if strict_compat:
-                    # reference prints "term was skipped" and continues —
-                    # only the offending term is dropped, the rest of the
-                    # group is still probed (SearchEngine.h:121-127)
-                    continue
                 ok = False  # fixed mode: mismatched quotes reject the group
                 break
             if quoted:
                 tok = tok[1:-1]
             if not tok:
                 continue
-            if not strict_compat and len(tok) <= 2 and not quoted:
+            if len(tok) <= 2 and not quoted:
                 continue
             is_phrase = quoted and (" " in tok)
-            if not strict_compat and is_phrase and category in TEXT_CATEGORIES:
+            if is_phrase and category in TEXT_CATEGORIES:
                 # fixed behavior: tokenized fields cannot match phrases —
                 # split into individual terms instead of a dead probe
                 for w in tok.split():
@@ -116,10 +116,41 @@ def parse_query(raw: str, *, strict_compat: bool = False) -> list[Probe]:
                 continue
             group_terms.append((tok, is_phrase))
         if not ok:
-            if strict_compat:
-                continue
             raise QueryParseError(f"mismatched quotes in {category!r} group")
         for term, is_phrase in group_terms:
             probes.append(Probe(category=category, field=field, term=term,
                                 is_phrase=is_phrase))
+    return probes
+
+
+def _parse_query_strict(raw: str) -> list[Probe]:
+    """The reference's ``HandleQuery`` scan, quirk for quirk
+    (``SearchEngine.h:106-133``): the label is part of the group match and
+    re-matches the term regex (fusing with the first term when nothing
+    separates them), unknown categories simply never match the group regex,
+    short terms are skipped before quote stripping, a mismatched-quote term
+    is skipped alone, and a trailing ESCAPED quote does not close a
+    phrase."""
+    probes: list[Probe] = []
+    for m in _GROUP_RE_STRICT.finditer(raw):
+        gm = m.group(0)
+        category = gm.split(":", 1)[0]
+        field = CATEGORY_FIELD[category]
+        for tm in _TERM_RE_STRICT.finditer(gm):
+            tok = tm.group(0)
+            if len(tok) <= 2:
+                continue  # quirk: length check BEFORE quote stripping
+            front = tok.startswith('"')
+            back = tok.endswith('"')
+            esc = back and len(tok) >= 2 and tok[-2] == "\\"
+            if (front and (not back or esc)) or \
+                    (not front and back and not esc):
+                continue  # "term was skipped" — rest of group still probed
+            quoted = front and back and not esc
+            if quoted:
+                tok = tok[1:-1]
+            if not tok:
+                continue
+            probes.append(Probe(category=category, field=field, term=tok,
+                                is_phrase=quoted and " " in tok))
     return probes

@@ -198,7 +198,28 @@ def _scratch_dir(index_dir: str) -> str:
     else:
         return os.path.join(index_dir, "_exchange")
     from ..functions.analyze import fnv1a64
-    tag = fnv1a64(os.path.abspath(index_dir).encode("utf-8"))
+    # scratch is keyed by (index path, per-build nonce): the nonce lives
+    # INSIDE index_dir, so `rm -rf index_dir` + rebuild can never resume a
+    # previous build's stale stage-1 marker/fragments from shared scratch
+    token_path = os.path.join(index_dir, "_build_token")
+    try:
+        with open(token_path) as f:
+            token = f.read().strip()
+    except OSError:
+        import uuid
+        token = uuid.uuid4().hex
+        os.makedirs(index_dir, exist_ok=True)
+        tmp = f"{token_path}.{os.getpid()}.tmp"
+        with open(tmp, "w") as f:
+            f.write(token)
+        try:
+            os.link(tmp, token_path)   # atomic: first writer wins
+        except FileExistsError:
+            with open(token_path) as f:
+                token = f.read().strip()
+        finally:
+            os.unlink(tmp)
+    tag = fnv1a64(f"{os.path.abspath(index_dir)}\x00{token}".encode("utf-8"))
     return os.path.join(base, f"{tag:016x}")
 
 
@@ -225,52 +246,76 @@ def _exchange_fs(ds, index_dir: str, cfg: IndexConfig, stage, batch_size,
     doc_tmp = os.path.join(tmp_base, "docstore")
     marker = os.path.join(tmp_base, "_STAGE1_DONE")
     cfg_tag = f"{cfg.n_buckets}x{cfg.n_doc_shards}"
-    stage1_stats: dict | None = None
-    if os.path.exists(marker):
-        with open(marker) as f:
-            try:
-                payload = _json.load(f)
-            except ValueError:
-                payload = {}
-        if payload.get("tag") == cfg_tag:
-            stage1_stats = payload
-    if stage1_stats is None:
-        shutil.rmtree(tmp_base, ignore_errors=True)
-        os.makedirs(frag_dir, exist_ok=True)
-        spiller = FragmentSpiller(frag_dir, doc_tmp)
-        # batch = whole block: one fragment per (task, partition) keeps the
-        # reduce side's file count at blocks × partitions minimum.  The
-        # consuming aggregate folds the docstats (n_docs, Σ doc_len) out of
-        # the spillers' metric rows — no later docstore re-read pass.
-        sums = ds.map_batches(_TokenizeAndSpill(stage, spiller),
-                              batch_format="pyarrow", batch_size=None,
-                              concurrency=concurrency) \
-            .sum(["n_docs", "total_tokens"]) or {}
-        stage1_stats = {
-            "tag": cfg_tag,
-            "n_docs": int(sums.get("sum(n_docs)") or 0),
-            "total_tokens": int(sums.get("sum(total_tokens)") or 0)}
-        with open(marker, "w") as f:
-            _json.dump(stage1_stats, f)
-        mark("stage1 tokenize+spill")
-    if need_docstore:
+    for attempt in (0, 1):
+        stage1_stats: dict | None = None
+        if os.path.exists(marker):
+            with open(marker) as f:
+                try:
+                    payload = _json.load(f)
+                except ValueError:
+                    payload = {}
+            if payload.get("tag") == cfg_tag:
+                stage1_stats = payload
+        if stage1_stats is None:
+            shutil.rmtree(tmp_base, ignore_errors=True)
+            os.makedirs(frag_dir, exist_ok=True)
+            spiller = FragmentSpiller(frag_dir, doc_tmp)
+            # batch = whole block: one fragment per (task, partition) keeps
+            # the reduce side's file count at blocks × partitions minimum.
+            # The consuming aggregate folds the docstats (n_docs, Σ doc_len)
+            # out of the spillers' metric rows — no docstore re-read pass.
+            sums = ds.map_batches(_TokenizeAndSpill(stage, spiller),
+                                  batch_format="pyarrow", batch_size=None,
+                                  concurrency=concurrency) \
+                .sum(["n_docs", "total_tokens"]) or {}
+            stage1_stats = {
+                "tag": cfg_tag,
+                "n_docs": int(sums.get("sum(n_docs)") or 0),
+                "total_tokens": int(sums.get("sum(total_tokens)") or 0)}
+            with open(marker, "w") as f:
+                _json.dump(stage1_stats, f)
+            mark("stage1 tokenize+spill")
+        if not need_docstore:
+            break
         docstore = os.path.join(index_dir, "docstore")
+        dst_tmp = docstore + ".tmp"
         if os.path.exists(doc_tmp):
-            # scratch may live on a different device (shm) → move, not rename
-            dst_tmp = docstore + ".tmp"
+            # scratch may be another device (shm): COPY to the index
+            # device, PUBLISH atomically, only then delete the source —
+            # every kill point leaves either doc_tmp intact (re-copy) or
+            # the published docstore (done); no partial state survives
             shutil.rmtree(dst_tmp, ignore_errors=True)
-            shutil.move(doc_tmp, dst_tmp)
+            shutil.copytree(doc_tmp, dst_tmp)
             shutil.rmtree(docstore, ignore_errors=True)
             os.replace(dst_tmp, docstore)
-        elif not os.path.exists(docstore):
+            shutil.rmtree(doc_tmp, ignore_errors=True)
+            break
+        if os.path.exists(docstore):
+            break   # published by an earlier (interrupted) run
+        if os.path.exists(dst_tmp):
+            # killed between copy completion and publish: dst_tmp is a
+            # complete copy (doc_tmp is only removed after publish)
+            os.replace(dst_tmp, docstore)
+            break
+        if stage1_stats.get("n_docs", 0) == 0:
             # empty corpus: stage 1 spilled no doc rows at all
             os.makedirs(docstore, exist_ok=True)
             pq.write_table(
                 pa.table({cfg.id_col: pa.array([], type=pa.int64()),
                           "doc_len": pa.array([], type=pa.int32())}),
                 os.path.join(docstore, "empty.parquet"))
-        # else: docstore already moved into place by an interrupted run
-        # (killed after the move, before docstats) — keep it
+            break
+        # marker claims docs but no docstore anywhere: stale/corrupt
+        # scratch — invalidate stage 1 and redo it once
+        if attempt == 0:
+            shutil.rmtree(tmp_base, ignore_errors=True)
+            continue
+        raise RuntimeError(
+            f"stage-1 marker in {tmp_base} claims "
+            f"{stage1_stats['n_docs']} docs but no docstore exists in "
+            f"scratch or {index_dir} even after a rebuild — inspect "
+            f"scratch storage")
+    if need_docstore:
         if "n_docs" in stage1_stats:
             # docstats folded out of the stage-1 metric rows — the build no
             # longer re-reads the docstore it just wrote

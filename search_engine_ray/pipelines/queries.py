@@ -223,16 +223,21 @@ def q_dedup_keep(sf_dir: str):
     round-1 ``take_all()`` broadcast was ∝ corpus cardinality)."""
     import functools as _ft
 
-    def keeper_row(group: pa.Table) -> pa.Table:
-        ids = group["doc_id"].to_numpy(zero_copy_only=False)
-        i = int(np.argmin(ids))
-        return group.slice(i, 1).select(["doc_id", "n_chars"])
+    def strip_keys(t: pa.Table) -> pa.Table:
+        return t.select(["doc_id", "n_chars"])
 
+    # rows in one (h1, h2) group carry IDENTICAL text, so every column
+    # that is a function of the text (n_chars) is constant within the
+    # group — plain Min aggregates (vectorized, map-side combined) select
+    # the keeper with no per-group Python dispatch
     return (_docs(sf_dir, ["doc_id", "text", "n_chars"])
             .map_batches(_ft.partial(_content_hash_stage, keep=("n_chars",)),
                          batch_format="pyarrow")
             .groupby(["h1", "h2"])
-            .map_groups(keeper_row, batch_format="pyarrow"))
+            .aggregate(Min("doc_id"), Min("n_chars"))
+            .rename_columns({"min(doc_id)": "doc_id",
+                             "min(n_chars)": "n_chars"})
+            .map_batches(strip_keys, batch_format="pyarrow"))
 
 
 SQL_DEDUP_KEEP = """
@@ -1062,14 +1067,25 @@ def _simhash_pairs_in_group(group: pa.Table, *, max_hamming: int,
                      "hamming": pa.array(d[keep].astype(np.int32), type=pa.int32())})
 
 
+def _query_vectors(path: str, n_queries: int) -> np.ndarray:
+    """The ANN query matrix: vectors with ``vec_id`` 0..n_queries-1, in
+    vec_id order — selected BY ID, not by file position, so ``query_idx``
+    means the same thing in the Ray pipelines and the SQL oracles whatever
+    the parquet row order."""
+    import pyarrow.parquet as pq
+    t = pq.read_table(path, columns=["vec_id", "embedding"],
+                      filters=[("vec_id", "<", n_queries)])
+    t = t.take(pc.sort_indices(t["vec_id"]))
+    assert t.num_rows == n_queries, "missing query vec_ids"
+    return np.asarray(t["embedding"].to_pylist(), dtype=np.float64)
+
+
 def q_knn_topk(sf_dir: str, *, n_queries: int = 4, k: int = 10):
     """Brute-force ANN baseline: broadcast query matrix, per-batch partial
     top-k, small driver merge (num_blocks × k rows)."""
     import pyarrow.parquet as pq
     path = os.path.join(sf_dir, "embeddings.parquet")
-    head = next(pq.ParquetFile(path).iter_batches(
-        batch_size=n_queries, columns=["vec_id", "embedding"]))
-    queries = np.asarray(head["embedding"].to_pylist(), dtype=np.float64)
+    queries = _query_vectors(path, n_queries)
     ds = ray.data.read_parquet(path, columns=["vec_id", "embedding"])
     partials = ds.map_batches(CosineScorer(queries, k=k),
                               batch_format="pyarrow", batch_size=1024)
@@ -1091,10 +1107,7 @@ def q_ivf_topk(sf_dir: str, *, n_queries: int = 4, k: int = 10):
     if not os.path.exists(os.path.join(idx_dir, "centroids.npy")):
         IVFIndex.build(path, idx_dir, n_cells=16)
     ivf = IVFIndex(idx_dir)
-    head = next(pq.ParquetFile(path).iter_batches(
-        batch_size=n_queries, columns=["embedding"]))
-    queries = np.asarray(head["embedding"].to_pylist(), dtype=np.float64)
-    return ivf.search(queries, k=k, nprobe=6)
+    return ivf.search(_query_vectors(path, n_queries), k=k, nprobe=6)
 
 
 def q_lang_id_counts(sf_dir: str):

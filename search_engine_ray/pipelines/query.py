@@ -71,6 +71,10 @@ class SegmentSearcher:
                  field: str = "text"):
         from ..functions.hashing import fnv1a64_array
         from ..functions.hashing import _ALT_OFFSET, _ALT_PRIME
+        # canonical order: slot numbering (and therefore the decoded-
+        # postings cache, keyed on the sorted set) must not depend on the
+        # caller's shard ordering
+        shards = sorted(set(shards))
         stats = ckpt.read_docstats(index_dir)
         man = ckpt.read_manifest(index_dir)
         self.n_docs = stats["n_docs"]
@@ -102,6 +106,16 @@ class SegmentSearcher:
                         c for c in names if c not in ("doc_ids", "tfs")])
                 else:
                     t = pq.read_table(path)
+                    # int32-offset binary caps the CONCATENATED postings at
+                    # 2 GiB in combine_chunks — large_binary lifts it (each
+                    # file is under the encoder's own guard, the searcher's
+                    # shard-set union need not be)
+                    for col in ("doc_ids", "tfs"):
+                        if col in t.column_names and pa.types.is_binary(
+                                t.schema.field(col).type):
+                            i = t.schema.get_field_index(col)
+                            t = t.set_column(
+                                i, col, t[col].cast(pa.large_binary()))
                 if "field" not in t.column_names:
                     t = t.append_column(
                         "field", pa.array([field] * t.num_rows,
@@ -251,8 +265,10 @@ class SegmentSearcher:
     @staticmethod
     def _postcache_base(index_dir: str, shards: list[int],
                         field: str) -> str | None:
-        """Cache-file stem for this (index build, shard set, field) —
-        keyed by the manifest content so a rebuild/merge invalidates."""
+        """Cache-file stem for this (index build, shard set, field):
+        ``<manifest-hash>-<shardset-hash>`` — a rebuild/merge rewrites the
+        manifest, changing the prefix, which both invalidates and lets the
+        writer GC caches of superseded builds."""
         from ..functions.hashing import fnv1a64_scalar
         man_path = os.path.join(index_dir, "manifest.json")
         try:
@@ -260,14 +276,25 @@ class SegmentSearcher:
                 man_bytes = f.read()
         except OSError:
             return None
-        key = man_bytes + repr((sorted(shards), field)).encode()
+        man_h = fnv1a64_scalar(man_bytes)
+        set_h = fnv1a64_scalar(repr((sorted(shards), field)).encode())
         return os.path.join(index_dir, "_postcache",
-                            f"{fnv1a64_scalar(key):016x}")
+                            f"{man_h:016x}-{set_h:016x}")
 
     def _write_postcache(self, base: str) -> None:
-        """Atomic best-effort write (read-only index dirs just skip)."""
+        """Atomic best-effort write (read-only index dirs just skip);
+        drops cache files whose manifest-hash prefix no longer matches —
+        they belong to a superseded build and can never be read again."""
         try:
-            os.makedirs(os.path.dirname(base), exist_ok=True)
+            cache_dir = os.path.dirname(base)
+            os.makedirs(cache_dir, exist_ok=True)
+            prefix = os.path.basename(base).split("-")[0]
+            for fn in os.listdir(cache_dir):
+                if not fn.startswith(prefix):
+                    try:
+                        os.unlink(os.path.join(cache_dir, fn))
+                    except OSError:
+                        pass
             for name, arr in (("local", self._post_local),
                               ("tf", self._post_tf),
                               ("off", self._slot_off)):

@@ -220,10 +220,20 @@ class AudioFeatures:
             return sr, data.mean(axis=1) if data.ndim == 2 else data
         with self._lib.open(io.BytesIO(blob), "rb") as w:  # stdlib wave
             sr = w.getframerate()
-            raw = np.frombuffer(w.readframes(w.getnframes()), dtype=np.int16)
+            width = w.getsampwidth()
+            frames = w.readframes(w.getnframes())
+            if width == 2:
+                raw = np.frombuffer(frames, dtype="<i2").astype(np.float64)
+            elif width == 1:  # 8-bit WAV is unsigned; rescale to int16 range
+                raw = (np.frombuffer(frames, dtype=np.uint8)
+                       .astype(np.float64) - 128.0) * 256.0
+            else:
+                raise NotImplementedError(
+                    f"{width * 8}-bit PCM WAV needs soundfile; stdlib-wave "
+                    f"backend handles 8/16-bit only")
             if w.getnchannels() > 1:
                 raw = raw.reshape(-1, w.getnchannels()).mean(axis=1)
-            return sr, raw.astype(np.float64)
+            return sr, raw
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         srs, durs, rms = [], [], []

@@ -88,6 +88,10 @@ CONFORMANCE_QUERIES = [
     'people: "eaton vance',       # mismatched quote: term-skip path
     "values: a an the income",    # short-term skip path
     "values: nosuchwordatall",
+    'values: "german\\" income" market',   # escaped quote inside a phrase
+    "values:\tgerman\tincome | title: funds",  # tabs: label fuses with term
+    "values:german income",       # no space: label-term fusion
+    'people: market\\" bank',     # trailing escaped quote on a bare token
 ]
 
 
