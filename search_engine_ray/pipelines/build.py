@@ -280,12 +280,16 @@ def _exchange_fs(ds, index_dir: str, cfg: IndexConfig, stage, batch_size,
         docstore = os.path.join(index_dir, "docstore")
         dst_tmp = docstore + ".tmp"
         if os.path.exists(doc_tmp):
-            # scratch may be another device (shm): COPY to the index
-            # device, PUBLISH atomically, only then delete the source —
-            # every kill point leaves either doc_tmp intact (re-copy) or
-            # the published docstore (done); no partial state survives
+            # stage to the index device, PUBLISH atomically, only then
+            # delete the source — every kill point leaves either doc_tmp
+            # intact (re-stage) or the published docstore (done); no
+            # partial state survives.  Same-device staging is an atomic
+            # rename (free); cross-device (shm scratch → disk index) copies
             shutil.rmtree(dst_tmp, ignore_errors=True)
-            shutil.copytree(doc_tmp, dst_tmp)
+            try:
+                os.rename(doc_tmp, dst_tmp)
+            except OSError:
+                shutil.copytree(doc_tmp, dst_tmp)
             shutil.rmtree(docstore, ignore_errors=True)
             os.replace(dst_tmp, docstore)
             shutil.rmtree(doc_tmp, ignore_errors=True)
