@@ -556,6 +556,95 @@ FROM events GROUP BY user_id
 """
 
 
+def q_event_value_quantiles(sf_dir: str):
+    """Exact distributed quantiles per group (p50/p95/p99 of event value by
+    type): values co-locate via one groupby, the quantile is one vectorized
+    ``np.quantile`` per group.  PARTITIONING ASSUMPTION: one group's values
+    fit a worker (fine for bounded group counts like event types; for
+    unbounded/hot keys switch to a mergeable sketch — t-digest — and drop
+    the exactness/oracle)."""
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                               columns=["event_type", "value"])
+
+    def quantiles(g: pa.Table) -> pa.Table:
+        v = g["value"].to_numpy(zero_copy_only=False)
+        p50, p95, p99 = np.quantile(v, [0.5, 0.95, 0.99])
+        return pa.table({
+            "event_type": g["event_type"].slice(0, 1),
+            "p50": pa.array([round(p50, 6)], type=pa.float64()),
+            "p95": pa.array([round(p95, 6)], type=pa.float64()),
+            "p99": pa.array([round(p99, 6)], type=pa.float64())})
+
+    return ds.groupby("event_type").map_groups(quantiles,
+                                               batch_format="pyarrow")
+
+
+# quantile_cont uses the same linear interpolation as np.quantile's default
+SQL_EVENT_VALUE_QUANTILES = """
+SELECT event_type,
+       round(quantile_cont(value, 0.50), 6) AS p50,
+       round(quantile_cont(value, 0.95), 6) AS p95,
+       round(quantile_cont(value, 0.99), 6) AS p99
+FROM events GROUP BY event_type
+"""
+
+
+def q_event_user_reach(sf_dir: str):
+    """Exact distinct-count per group (users reached per event type):
+    two-level aggregation — dedup on the composite key first (map-side
+    combined), then a cheap count per group; the second exchange carries
+    one row per DISTINCT pair, not per event."""
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                               columns=["event_type", "user_id"])
+    return (ds.groupby(["event_type", "user_id"]).aggregate(Count())
+            .select_columns(["event_type", "user_id"])
+            .groupby("event_type").aggregate(Count())
+            .rename_columns({"count()": "n_users"}))
+
+
+SQL_EVENT_USER_REACH = """
+SELECT event_type, count(DISTINCT user_id) AS n_users
+FROM events GROUP BY event_type
+"""
+
+
+def q_top_users_per_type(sf_dir: str, *, k: int = 3):
+    """Grouped top-k (window-function analogue): top-3 users by total value
+    within each event type, deterministic ties by ascending user_id.
+    Pre-aggregate to (type, user) totals first — the top-k group scan then
+    touches one row per user, not per event."""
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                               columns=["event_type", "user_id", "value"])
+    totals = (ds.groupby(["event_type", "user_id"]).aggregate(Sum("value"))
+              .rename_columns({"sum(value)": "total_value"}))
+
+    def topk(g: pa.Table) -> pa.Table:
+        tv = np.round(g["total_value"].to_numpy(zero_copy_only=False), 6)
+        uid = g["user_id"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((uid, -tv))[:k]
+        return pa.table({
+            "event_type": g["event_type"].take(pa.array(order)),
+            "user_id": pa.array(uid[order], type=pa.int64()),
+            "total_value": pa.array(tv[order], type=pa.float64()),
+            "rank": pa.array(np.arange(1, len(order) + 1), type=pa.int32())})
+
+    return totals.groupby("event_type").map_groups(topk,
+                                                   batch_format="pyarrow")
+
+
+SQL_TOP_USERS_PER_TYPE = """
+WITH totals AS (
+  SELECT event_type, user_id, round(sum(value), 6) AS total_value
+  FROM events GROUP BY event_type, user_id),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY event_type
+                               ORDER BY total_value DESC, user_id ASC) AS rn
+  FROM totals)
+SELECT event_type, user_id, total_value, rn::INTEGER AS rank
+FROM ranked WHERE rn <= 3
+"""
+
+
 def q_events_tumbling(sf_dir: str):
     """Tumbling-window aggregate (1-hour windows) over the events stream:
     the batch-engine restatement of a streaming windowed aggregate —
@@ -1244,6 +1333,9 @@ QUERIES = {
     "events_asof_orders": q_events_asof_orders,
     "events_range_orders": q_events_range_orders,
     "events_hopping": q_events_hopping,
+    "event_value_quantiles": q_event_value_quantiles,
+    "event_user_reach": q_event_user_reach,
+    "top_users_per_type": q_top_users_per_type,
     "embedding_neardup": q_embedding_neardup,
     "ivf_topk": q_ivf_topk,
     "lang_id_counts": q_lang_id_counts,
@@ -1275,6 +1367,9 @@ ORACLE_SQL = {
     "events_asof_orders": SQL_EVENTS_ASOF_ORDERS,
     "events_range_orders": SQL_EVENTS_RANGE_ORDERS,
     "events_hopping": SQL_EVENTS_HOPPING,
+    "event_value_quantiles": SQL_EVENT_VALUE_QUANTILES,
+    "event_user_reach": SQL_EVENT_USER_REACH,
+    "top_users_per_type": SQL_TOP_USERS_PER_TYPE,
     "bm25_topk": _sql_bm25_topk(),
     "knn_topk": SQL_KNN_TOPK,
     "lang_id_counts": _sql_lang_id_counts(),
