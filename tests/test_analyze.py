@@ -137,6 +137,18 @@ class TestVarint:
         ids = np.arange(10_000, dtype=np.uint64) * 3 + 5
         assert len(delta_encode(ids)) < ids.nbytes / 4
 
+    def test_concatenated_streams_decode_in_one_pass(self):
+        # the searcher decodes a whole segment's posting lists as ONE
+        # concatenated stream (values are self-delimiting) — the mostly-
+        # 1-byte fast path and the per-length generic path must both hold
+        rng = np.random.default_rng(5)
+        streams = [rng.integers(0, 100, 50).astype(np.uint64),       # 1-byte
+                   rng.integers(0, 2**62, 50).astype(np.uint64),     # wide
+                   np.array([2**63, 1, 127, 128], dtype=np.uint64)]
+        blob = b"".join(varint_encode(s) for s in streams)
+        got = varint_decode(blob)
+        assert np.array_equal(got, np.concatenate(streams))
+
 
 @given(st.text(max_size=200))
 @settings(max_examples=300, deadline=None)
