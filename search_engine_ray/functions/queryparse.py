@@ -123,7 +123,19 @@ def parse_query(raw: str, *, strict_compat: bool = False) -> list[Probe]:
     return probes
 
 
-def _parse_query_strict(raw: str) -> list[Probe]:
+def strict_skipped_terms(raw: str) -> list[tuple[str, str]]:
+    """The (reason, token) skip decisions the reference prints while
+    scanning ``raw`` (``"size"`` → 'Invalid term size', ``"quote"`` →
+    'Invalid quote matching'), in scan order — conformance fuzzing compares
+    this against the compiled engine's actual stdout."""
+    skipped: list[tuple[str, str]] = []
+    _parse_query_strict(raw, skipped=skipped)
+    return skipped
+
+
+def _parse_query_strict(raw: str,
+                        skipped: list[tuple[str, str]] | None = None
+                        ) -> list[Probe]:
     """The reference's ``HandleQuery`` scan, quirk for quirk
     (``SearchEngine.h:106-133``): the label is part of the group match and
     re-matches the term regex (fusing with the first term when nothing
@@ -139,12 +151,16 @@ def _parse_query_strict(raw: str) -> list[Probe]:
         for tm in _TERM_RE_STRICT.finditer(gm):
             tok = tm.group(0)
             if len(tok) <= 2:
+                if skipped is not None:
+                    skipped.append(("size", tok))
                 continue  # quirk: length check BEFORE quote stripping
             front = tok.startswith('"')
             back = tok.endswith('"')
             esc = back and len(tok) >= 2 and tok[-2] == "\\"
             if (front and (not back or esc)) or \
                     (not front and back and not esc):
+                if skipped is not None:
+                    skipped.append(("quote", tok))
                 continue  # "term was skipped" — rest of group still probed
             quoted = front and back and not esc
             if quoted:

@@ -176,6 +176,55 @@ def _compiled_probes(raw: str) -> list[tuple[str, str]]:
     return probes
 
 
+_SKIP_PREFIXES = (
+    ("size", "Invalid term size. The following term was skipped: "),
+    ("quote", "Invalid quote matching. The following term was skipped: "),
+)
+
+
+def test_skip_decision_fuzz_matches_reference(ref_engine):
+    """The reference prints every token it skips (with the reason) while
+    scanning a query — fuzz random grammar-shaped strings and require our
+    strict parser to make the IDENTICAL skip decisions in the identical
+    order.  This pins the term regex, the length-before-strip quirk, and
+    the escaped-quote logic far beyond the curated query list."""
+    import random
+    from search_engine_ray.functions.queryparse import strict_skipped_terms
+    rng = random.Random(42)
+    labels = ["values:", "title:", "people:", "sites:", "langs:", "bogus:"]
+    pieces = [" ", " ", ",", "|", '"', '\\"', "ab", "a", "income", "german",
+              '"eaton vance"', '"eaton', 'vance"', "\t", "x", "::",
+              '"a"', "zz,", " a ", '"ab\\" cd"']
+    queries = []
+    for _ in range(80):
+        q = rng.choice(labels) + "".join(
+            rng.choice(pieces) for _ in range(rng.randint(2, 12)))
+        if rng.random() < 0.4:
+            q += " | " + rng.choice(labels) + " " + rng.choice(pieces)
+        queries.append(q)
+
+    proc = subprocess.run([ref_engine, SAMPLES],
+                          input="\n".join(queries) + "\n",
+                          capture_output=True, text=True, timeout=300)
+    assert proc.returncode == 0, proc.stderr[:800]
+    sections: list[list[tuple[str, str]]] = [[]]
+    for line in proc.stdout.splitlines():
+        if line == "E":
+            sections.append([])
+            continue
+        for reason, prefix in _SKIP_PREFIXES:
+            if line.startswith(prefix):
+                sections[-1].append((reason, line[len(prefix):]))
+    assert len(sections) - 1 == len(queries)
+
+    n_with_skips = 0
+    for q, want in zip(queries, sections):
+        got = strict_skipped_terms(q)
+        assert got == want, repr(q)
+        n_with_skips += bool(want)
+    assert n_with_skips >= 10   # the fuzz actually exercised the paths
+
+
 def test_ranked_results_match_compiled_reference(ref_engine, golden_engine,
                                                  ray_session):
     qe, doc_of_path, orc = golden_engine
