@@ -294,13 +294,19 @@ def _exchange_fs(ds, index_dir: str, cfg: IndexConfig, stage, batch_size,
             os.replace(dst_tmp, docstore)
             shutil.rmtree(doc_tmp, ignore_errors=True)
             break
-        if os.path.exists(docstore):
-            break   # published by an earlier (interrupted) run
         if os.path.exists(dst_tmp):
-            # killed between copy completion and publish: dst_tmp is a
-            # complete copy (doc_tmp is only removed after publish)
+            # killed between staging completion and publish.  dst_tmp is
+            # always COMPLETE here: a rename is atomic, and a partial
+            # copytree implies doc_tmp still exists (handled above).  It is
+            # also always the NEWEST data — every staging attempt rmtree's
+            # any older dst_tmp first — so it must win over a docstore a
+            # previous run may have published (checked dst_tmp FIRST for
+            # exactly that reason).
+            shutil.rmtree(docstore, ignore_errors=True)
             os.replace(dst_tmp, docstore)
             break
+        if os.path.exists(docstore):
+            break   # published by an earlier (interrupted) run
         if stage1_stats.get("n_docs", 0) == 0:
             # empty corpus: stage 1 spilled no doc rows at all
             os.makedirs(docstore, exist_ok=True)

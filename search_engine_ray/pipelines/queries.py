@@ -608,7 +608,10 @@ FROM events GROUP BY event_type
 """
 
 
-def q_top_users_per_type(sf_dir: str, *, k: int = 3):
+_TOP_USERS_K = 3   # shared by the query AND its SQL oracle ('rn <= 3')
+
+
+def q_top_users_per_type(sf_dir: str, *, k: int = _TOP_USERS_K):
     """Grouped top-k (window-function analogue): top-3 users by total value
     within each event type, deterministic ties by ascending user_id.
     Pre-aggregate to (type, user) totals first — the top-k group scan then
@@ -632,7 +635,7 @@ def q_top_users_per_type(sf_dir: str, *, k: int = 3):
                                                    batch_format="pyarrow")
 
 
-SQL_TOP_USERS_PER_TYPE = """
+SQL_TOP_USERS_PER_TYPE = f"""
 WITH totals AS (
   SELECT event_type, user_id, round(sum(value), 6) AS total_value
   FROM events GROUP BY event_type, user_id),
@@ -641,7 +644,7 @@ ranked AS (
                                ORDER BY total_value DESC, user_id ASC) AS rn
   FROM totals)
 SELECT event_type, user_id, total_value, rn::INTEGER AS rank
-FROM ranked WHERE rn <= 3
+FROM ranked WHERE rn <= {_TOP_USERS_K}
 """
 
 
