@@ -26,6 +26,12 @@ GOLDEN = {
         "b9ee54c511000a97bd4f7cf44bfa4c2ede984df877c2853f6b7c313e92978684",
     "lang_id_counts":
         "8f802d8c7038a132e4347e1ad3616d5456ad881c03fe78aeb79bdbb357dbb245",
+    # seeded (seed=42) sample-trained k-means → deterministic probe results
+    "ivf_topk":
+        "9f99b273a906abb1e1b2a1fcd5e024e1ee8423b802fa7c8c3c1e6f06e1a7fd61",
+    # synthesized fake media payloads are Philox-seeded → deterministic
+    "media_frame_stats":
+        "441d8dbe72de432a8e638be5661d3c432a4fc3e39693fe7399ac3fdbca7e52fb",
 }
 
 
