@@ -39,9 +39,21 @@ def docstore_lookup(index_dir: str, doc_id: int) -> dict | None:
     ``DisplaySource`` re-opens the source file by path,
     ``KaggleFinanceSourceEngine.cpp:99-116``; here the docstore carries the
     stored metadata)."""
+    import json as _json
     import pyarrow.compute as pc
     import pyarrow.parquet as pq
-    ds = pq.read_table(os.path.join(index_dir, "docstore"))
+    from .state import checkpoint as ckpt
+    # shard-partitioned docstore: read only the owning shard's partition
+    store = os.path.join(index_dir, "docstore")
+    try:
+        with open(os.path.join(index_dir, "manifest.json")) as f:
+            n_shards = _json.load(f)["config"]["n_doc_shards"]
+        sdir = ckpt.docstore_shard_dir(index_dir, doc_id % n_shards)
+        if os.path.isdir(sdir):
+            store = sdir
+    except (OSError, KeyError, ValueError):
+        pass
+    ds = pq.read_table(store)
     hit = ds.filter(pc.equal(ds["doc_id"], doc_id))
     return hit.to_pylist()[0] if hit.num_rows else None
 

@@ -259,7 +259,7 @@ def _exchange_fs(ds, index_dir: str, cfg: IndexConfig, stage, batch_size,
         if stage1_stats is None:
             shutil.rmtree(tmp_base, ignore_errors=True)
             os.makedirs(frag_dir, exist_ok=True)
-            spiller = FragmentSpiller(frag_dir, doc_tmp)
+            spiller = FragmentSpiller(frag_dir, doc_tmp, cfg.n_doc_shards)
             # batch = whole block: one fragment per (task, partition) keeps
             # the reduce side's file count at blocks × partitions minimum.
             # The consuming aggregate folds the docstats (n_docs, Σ doc_len)
@@ -339,8 +339,12 @@ def _exchange_fs(ds, index_dir: str, cfg: IndexConfig, stage, batch_size,
         parts = ray.data.from_items(
             [{"part": int(p)} for p in pending],
             override_num_blocks=len(pending))
+        # docstore published above → encode in LOCAL docID space against the
+        # shard dictionaries (postings shrink ~4×, searcher load decode is a
+        # cumsum instead of a global searchsorted)
         enc = FragmentEncoder(frag_dir, ckpt.segments_dir(index_dir),
-                              cfg.n_buckets)
+                              cfg.n_buckets,
+                              docstore_dir=os.path.join(index_dir, "docstore"))
         parts.map_batches(enc, batch_format="pyarrow",
                           batch_size=1).materialize()
         mark("stage2 encode+commit")
@@ -361,12 +365,23 @@ def _exchange_groupby(ds, index_dir: str, cfg: IndexConfig, stage, batch_size,
     if need_docstore:
         # tmp + swap (mirrors the fs path): a build killed mid-docstore-write
         # and resumed must not leave BOTH runs' uniquely-named parquet files
-        # in docstore/ (that would double n_docs/avgdl and corrupt BM25)
+        # in docstore/ (that would double n_docs/avgdl and corrupt BM25).
+        # Partitioned by doc shard (``shard=K/``) so each searcher actor —
+        # and the local-docID encoder below — reads only its own shard.
         doc_cols = [cfg.id_col, "doc_len", *keep]
         doc_tmp = docstore_path + ".tmp"
         shutil.rmtree(doc_tmp, ignore_errors=True)
+
+        def add_shard(t: pa.Table, _n=cfg.n_doc_shards, _id=cfg.id_col
+                      ) -> pa.Table:
+            import numpy as np
+            ids = t[_id].to_numpy(zero_copy_only=False)
+            return t.append_column(
+                "shard", pa.array((ids % _n).astype(np.int32)))
+
         tokenized.filter(expr="part == -1").select_columns(doc_cols) \
-            .write_parquet(doc_tmp)
+            .map_batches(add_shard, batch_format="pyarrow") \
+            .write_parquet(doc_tmp, partition_cols=["shard"])
         shutil.rmtree(docstore_path, ignore_errors=True)
         os.replace(doc_tmp, docstore_path)
     if pending:
@@ -380,7 +395,9 @@ def _exchange_groupby(ds, index_dir: str, cfg: IndexConfig, stage, batch_size,
                 batch_format="pyarrow")
         else:
             postings = postings.filter(expr="part >= 0")
-        writer = EncodePartitionWriter(seg_dir, cfg.n_buckets)
+        # docstore committed above → local-docID encoding (as in the fs path)
+        writer = EncodePartitionWriter(seg_dir, cfg.n_buckets,
+                                       docstore_dir=docstore_path)
 
         def encode_partition(group: pa.Table) -> pa.Table:
             return writer(group)
@@ -393,7 +410,8 @@ def _exchange_groupby(ds, index_dir: str, cfg: IndexConfig, stage, batch_size,
         from ..stages.postings import commit_empty_partition
         still = set(ckpt.pending_partitions(index_dir, cfg)) & set(pending)
         for p in sorted(still):
-            commit_empty_partition(seg_dir, p, cfg.n_buckets)
+            commit_empty_partition(seg_dir, p, cfg.n_buckets,
+                                   docstore_dir=docstore_path)
 
 
 def build_index(source: str | DatasetFactory, index_dir: str,

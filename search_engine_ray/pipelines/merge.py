@@ -35,7 +35,12 @@ from ..state.checkpoint import IndexConfig
 
 class _MergePartition:
     """map_batches callable over a table of ``part`` ids: merges one
-    partition per input row."""
+    partition per input row.
+
+    Input segments in LOCAL docID space decode through their own index's
+    shard dictionary; the merged output re-encodes against the MERGED
+    docstore's shard dictionary (written before this stage runs), so the
+    local↔global remap lives entirely inside the per-partition task."""
 
     def __init__(self, index_dirs: list[str], out_dir: str, n_buckets: int,
                  doc_id_offsets: list[int] | None):
@@ -47,17 +52,22 @@ class _MergePartition:
     def __call__(self, batch: pa.Table) -> pa.Table:
         import json
         import uuid as uuidlib
+        from ..stages.postings import load_shard_dict
         out_rows = []
         for part in batch["part"].to_pylist():
             shard, bucket = ckpt.split_part(part, self.n_buckets)
-            segs, offsets = [], []
+            segs, offsets, in_dicts = [], [], []
             for rank, d in enumerate(self.index_dirs):
                 path = os.path.join(ckpt.partition_dir(d, shard, bucket),
                                     "postings.parquet")
                 if os.path.exists(path):
                     segs.append(pq.read_table(path))
                     offsets.append(self.offsets[rank] if self.offsets else 0)
-            merged = merge_segment_tables(segs, offsets if any(offsets) else None)
+                    in_dicts.append(
+                        load_shard_dict(ckpt.docstore_dir(d), shard))
+            out_dict = load_shard_dict(ckpt.docstore_dir(self.out_dir), shard)
+            merged = merge_segment_tables(segs, offsets if any(offsets) else None,
+                                          in_dicts=in_dicts, out_dict=out_dict)
             part_dir = os.path.join(self.out_dir, "segments",
                                     f"shard={shard:03d}", f"bucket={bucket:05d}")
             os.makedirs(part_dir, exist_ok=True)
@@ -94,6 +104,43 @@ def merge_indexes(index_dirs: list[str], out_dir: str, *,
                          for k, v in cfg0.items()})
     os.makedirs(out_dir, exist_ok=True)
 
+    # docstore FIRST: the partition merges below re-encode postings against
+    # the merged docstore's shard dictionaries.  Concat with last-input-wins
+    # per doc_id; output shard-partitioned (``shard=K/``) like the build's.
+    # Idempotent tmp+swap; an existing output docstore (a resumed merge —
+    # inputs are immutable) is reused as-is.
+    store_dir = ckpt.docstore_dir(out_dir)
+    if not os.path.isdir(store_dir):
+        stores = []
+        for rank, d in enumerate(index_dirs):
+            s = ray.data.read_parquet(os.path.join(d, "docstore"))
+            if "shard" in s.schema().names:
+                s = s.drop_columns(["shard"])   # recomputed below
+            stores.append(s.map_batches(
+                lambda t, r=rank: t.append_column(
+                    "rank", pa.array([r] * t.num_rows, type=pa.int32())),
+                batch_format="pyarrow"))
+        merged_store = stores[0].union(*stores[1:]) if len(stores) > 1 else stores[0]
+
+        n_shards = cfg.n_doc_shards
+
+        def keep_last(group: pa.Table) -> pa.Table:
+            import numpy as np
+            idx = pa.compute.sort_indices(group,
+                                          sort_keys=[("rank", "descending")])
+            row = group.take(idx[:1]).drop_columns(["rank"])
+            ids = row["doc_id"].to_numpy(zero_copy_only=False)
+            return row.append_column(
+                "shard", pa.array((ids % n_shards).astype(np.int32)))
+
+        import shutil
+        tmp_store = store_dir + ".tmp"
+        shutil.rmtree(tmp_store, ignore_errors=True)
+        merged_store.groupby("doc_id").map_groups(
+            keep_last, batch_format="pyarrow") \
+            .write_parquet(tmp_store, partition_cols=["shard"])
+        os.replace(tmp_store, store_dir)
+
     pending = ckpt.pending_partitions(out_dir, cfg)
     if pending:
         # one block per partition → one merge task per partition
@@ -104,29 +151,6 @@ def merge_indexes(index_dirs: list[str], out_dir: str, *,
                                  doc_id_offsets)
         parts.map_batches(worker, batch_format="pyarrow",
                           batch_size=1).materialize()
-
-    # docstore: concat with last-input-wins per doc_id
-    stores = []
-    for rank, d in enumerate(index_dirs):
-        s = ray.data.read_parquet(os.path.join(d, "docstore"))
-        stores.append(s.map_batches(
-            lambda t, r=rank: t.append_column(
-                "rank", pa.array([r] * t.num_rows, type=pa.int32())),
-            batch_format="pyarrow"))
-    merged_store = stores[0].union(*stores[1:]) if len(stores) > 1 else stores[0]
-
-    def keep_last(group: pa.Table) -> pa.Table:
-        idx = pa.compute.sort_indices(group, sort_keys=[("rank", "descending")])
-        return group.take(idx[:1]).drop_columns(["rank"])
-
-    store_dir = os.path.join(out_dir, "docstore")
-    import shutil
-    tmp_store = store_dir + ".tmp"
-    shutil.rmtree(tmp_store, ignore_errors=True)
-    merged_store.groupby("doc_id").map_groups(
-        keep_last, batch_format="pyarrow").write_parquet(tmp_store)
-    shutil.rmtree(store_dir, ignore_errors=True)
-    os.replace(tmp_store, store_dir)
 
     lens = ray.data.read_parquet(store_dir, columns=["doc_len"])
     ckpt.write_docstats(out_dir, n_docs=lens.count(),

@@ -1022,7 +1022,7 @@ SELECT doc_id, octet_length(encode(text)) AS payload_bytes FROM documents
 # Rows-only queries (non-SQL-expressible pipelines)
 # ---------------------------------------------------------------------------
 
-_INDEX_CACHE = "/tmp/serx_index_cache_v3"
+_INDEX_CACHE = "/tmp/serx_index_cache_v4"   # v4: local-docID segment format
 
 
 def _collect_table(ds: "ray.data.Dataset", schema: pa.Schema | None = None) -> pa.Table:

@@ -36,27 +36,12 @@ import pyarrow.parquet as pq
 import ray
 
 from ..functions.analyze import ENGLISH_STOPWORDS, tokenize
-from ..functions.varint import delta_decode, varint_decode
+from ..stages.postings import decode_segment_streams, segment_docid_space
 from ..state import checkpoint as ckpt
 
 
 def bm25_idf(n_docs: int, df: np.ndarray | float) -> np.ndarray | float:
     return np.log((n_docs - df + 0.5) / (df + 0.5) + 1.0)
-
-
-def _binary_column_bytes(col: pa.ChunkedArray | pa.Array
-                         ) -> tuple[np.ndarray, np.ndarray]:
-    """Zero-copy view of a (large_)binary column's packed payload:
-    (uint8 data over all values concatenated, int64 byte offsets len n+1,
-    rebased to 0)."""
-    arr = (col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col)
-    off_dtype = (np.int64 if pa.types.is_large_binary(arr.type)
-                 else np.int32)
-    offsets = np.frombuffer(arr.buffers()[1], dtype=off_dtype)[
-        arr.offset:arr.offset + len(arr) + 1].astype(np.int64)
-    data = np.frombuffer(arr.buffers()[2], dtype=np.uint8)[
-        offsets[0]:offsets[-1]]
-    return data, offsets - offsets[0]
 
 
 class SegmentSearcher:
@@ -83,39 +68,89 @@ class SegmentSearcher:
         self.b = man["config"]["bm25_b"]
         self.field = field  # BM25-scored text field
 
-        # ---- Arrow-native load: the segment tables are kept as-is (the
-        # posting binaries stay in Arrow buffers, one copy) and the
-        # (field, term) → slots dictionary is a SORTED 128-bit key-hash
-        # array probed by binary search — no per-term Python loop, no
-        # Python-object copies of the vocabulary.  A probe matches only if
-        # BOTH independent 64-bit hashes match (collision ~2^-128).
-        cache_base = self._postcache_base(index_dir, shards, field)
-        cache_hit = bool(cache_base) and all(
-            os.path.exists(f"{cache_base}.{n}.npy")
-            for n in ("local", "tf", "off"))
-        tables = []
+        # ---- docstore: shard-partitioned layout (round 3) reads ONLY the
+        # owned shards' rows — O(corpus / n_searchers) per actor; flat
+        # (round-1/2) docstores fall back to the full-read + modulo filter.
+        # The per-shard SORTED UNIQUE docID array is the shard's local-docID
+        # dictionary, shared with the build-time encoder.
+        n_shards_total = man["config"]["n_doc_shards"]
+        shard_dicts: dict[int, np.ndarray] = {}
+        shard_lens: dict[int, np.ndarray] = {}
+        store_root = ckpt.docstore_dir(index_dir)
+        partitioned = any(
+            os.path.isdir(ckpt.docstore_shard_dir(index_dir, s))
+            for s in range(n_shards_total))
+        for s in shards:
+            if partitioned:
+                sdir = ckpt.docstore_shard_dir(index_dir, s)
+                if os.path.isdir(sdir):
+                    t = pq.read_table(sdir, columns=["doc_id", "doc_len"])
+                    ids = t["doc_id"].to_numpy(zero_copy_only=False) \
+                        .astype(np.int64)
+                    lens = t["doc_len"].to_numpy(zero_copy_only=False) \
+                        .astype(np.int64)
+                else:
+                    ids = np.zeros(0, dtype=np.int64)
+                    lens = np.zeros(0, dtype=np.int64)
+            else:
+                store = pq.read_table(store_root,
+                                      columns=["doc_id", "doc_len"])
+                all_ids = store["doc_id"].to_numpy(zero_copy_only=False) \
+                    .astype(np.int64)
+                all_lens = store["doc_len"].to_numpy(zero_copy_only=False) \
+                    .astype(np.int64)
+                mask = (all_ids % n_shards_total) == s
+                ids, lens = all_ids[mask], all_lens[mask]
+            order = np.argsort(ids, kind="stable")
+            ids, lens = ids[order], lens[order]
+            first = np.ones(ids.size, dtype=bool)
+            first[1:] = ids[1:] != ids[:-1]
+            shard_dicts[s] = ids[first]
+            shard_lens[s] = lens[first]
+        cat_ids = (np.concatenate([shard_dicts[s] for s in shards])
+                   if shards else np.zeros(0, dtype=np.int64))
+        cat_lens = (np.concatenate([shard_lens[s] for s in shards])
+                    if shards else np.zeros(0, dtype=np.int64))
+        order = np.argsort(cat_ids, kind="stable")
+        self._docs = cat_ids[order]
+        # BM25 doc-length norms, aligned with the local docID dictionary
+        self._doc_len = cat_lens[order].astype(np.float64)
+        pos = self._doc_len[self._doc_len > 0]
+        self._dl_min = float(pos.min()) if pos.size else 1.0
+        # per-shard local id → searcher-dense index (shards are disjoint
+        # modulo classes, so every dictionary entry is present exactly once)
+        shard_map = {s: np.searchsorted(self._docs, shard_dicts[s])
+                     .astype(np.int64) for s in shards}
+
+        # ---- Arrow-native load: posting binaries are decoded ONCE per
+        # file in a single vectorized concatenated-stream pass
+        # (decode_segment_streams).  Local-space segments (round-3 format)
+        # decode straight into per-shard local ids — a cumsum + one gather
+        # through shard_map, NO global searchsorted — which removes the
+        # multi-second post-build decode the round-2 _postcache existed to
+        # hide; the cache machinery is gone with it.  Legacy global-space
+        # segments take the searchsorted path.  The (field, term) → slots
+        # dictionary is a SORTED 128-bit key-hash array probed by binary
+        # search; a probe matches only if BOTH independent 64-bit hashes
+        # match (collision ~2^-128).
+        tables, local_parts, tf_parts, count_parts = [], [], [], []
         for s in shards:
             pattern = os.path.join(ckpt.shard_dir(index_dir, s),
                                    "bucket=*", "postings.parquet")
             for path in sorted(glob.glob(pattern)):
-                if cache_hit:
-                    # postings come from the decoded cache — column-pruned
-                    # read skips the binary payloads entirely
-                    names = pq.read_schema(path).names
-                    t = pq.read_table(path, columns=[
-                        c for c in names if c not in ("doc_ids", "tfs")])
+                t = pq.read_table(path)
+                space = segment_docid_space(t)
+                doc_vals, tfs, slot_off = decode_segment_streams(t)
+                if space == "local":
+                    local = shard_map[s][doc_vals]
                 else:
-                    t = pq.read_table(path)
-                    # int32-offset binary caps the CONCATENATED postings at
-                    # 2 GiB in combine_chunks — large_binary lifts it (each
-                    # file is under the encoder's own guard, the searcher's
-                    # shard-set union need not be)
-                    for col in ("doc_ids", "tfs"):
-                        if col in t.column_names and pa.types.is_binary(
-                                t.schema.field(col).type):
-                            i = t.schema.get_field_index(col)
-                            t = t.set_column(
-                                i, col, t[col].cast(pa.large_binary()))
+                    local = np.searchsorted(self._docs, doc_vals)
+                local_parts.append(local.astype(np.int32))
+                tf_parts.append(tfs.astype(np.uint32))
+                count_parts.append(np.diff(slot_off))
+                t = t.drop_columns(
+                    [c for c in ("doc_ids", "tfs") if c in t.column_names])
+                t = t.replace_schema_metadata(None)
                 if "field" not in t.column_names:
                     t = t.append_column(
                         "field", pa.array([field] * t.num_rows,
@@ -124,6 +159,16 @@ class SegmentSearcher:
         seg = (pa.concat_tables(tables).combine_chunks() if tables
                else None)
         self._seg = seg
+        if seg is not None and seg.num_rows:
+            self._post_local = np.concatenate(local_parts)
+            self._post_tf = np.concatenate(tf_parts)
+            counts = np.concatenate(count_parts)
+            self._slot_off = np.zeros(counts.size + 1, dtype=np.int64)
+            np.cumsum(counts, out=self._slot_off[1:])
+        else:
+            self._slot_off = np.zeros(1, dtype=np.int64)
+            self._post_local = np.zeros(0, dtype=np.int32)
+            self._post_tf = np.zeros(0, dtype=np.uint32)
         self._max_tf_col = (seg["max_tf"].to_numpy(zero_copy_only=False)
                             .astype(np.int64) if seg is not None
                             else np.zeros(0, dtype=np.int64))
@@ -189,69 +234,6 @@ class SegmentSearcher:
             self._df_h1 = np.zeros(0, dtype=np.uint64)
             self._df_h2 = np.zeros(0, dtype=np.uint64)
             self._df_vals = np.zeros(0, dtype=np.int64)
-        # local docID dictionary: sorted global docIDs of this searcher's
-        # shards (from the docstore, filtered to owned shards).  Posting
-        # lists are mapped to dense int32 local ids so per-query score
-        # accumulation is one C-speed np.bincount instead of a sort-merge.
-        n_shards_total = man["config"]["n_doc_shards"]
-        own = set(shards)
-        store = pq.read_table(os.path.join(index_dir, "docstore"),
-                              columns=["doc_id", "doc_len"])
-        all_ids = store["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-        all_lens = store["doc_len"].to_numpy(zero_copy_only=False).astype(np.int64)
-        mask = np.isin(all_ids % n_shards_total, list(own))
-        order = np.argsort(all_ids[mask], kind="stable")
-        self._docs = all_ids[mask][order]
-        # BM25 doc-length norms, aligned with the local docID dictionary
-        # (normalized out of the postings — see stages/postings.py)
-        self._doc_len = all_lens[mask][order].astype(np.float64)
-        pos = self._doc_len[self._doc_len > 0]
-        self._dl_min = float(pos.min()) if pos.size else 1.0
-        # ---- eager posting decode, ONE vectorized pass over all slots ----
-        # docIDs are content hashes spread over the full 64-bit space, so
-        # delta+varint deltas average ~7 bytes and a lazy per-term decode
-        # costs ~15 ms per head term — first-touch tail latency.  Decoding
-        # everything at load (concatenated varint stream + segmented-cumsum
-        # delta reconstruction + one global docID→local searchsorted) costs
-        # a few seconds once per actor, and the dense (int32 local, uint32
-        # tf) arrays are no LARGER than the compressed binaries they
-        # replace, which are dropped from memory below.
-        if seg is not None and seg.num_rows:
-            # decoded arrays are cached beside the index (memory-mapped on
-            # reload), so only the FIRST actor to load a given shard set
-            # after a (re)build pays the decode — restarts and scale-outs
-            # on the same node start in page-cache time
-            base = cache_base
-            if cache_hit:
-                self._post_local = np.load(f"{base}.local.npy", mmap_mode="r")
-                self._post_tf = np.load(f"{base}.tf.npy", mmap_mode="r")
-                self._slot_off = np.load(f"{base}.off.npy")
-            else:
-                ids_buf, byte_off = _binary_column_bytes(seg["doc_ids"])
-                tfs_buf, _ = _binary_column_bytes(seg["tfs"])
-                deltas = varint_decode(ids_buf)
-                end_pos = np.flatnonzero(ids_buf < 128)
-                voff = np.searchsorted(end_pos, byte_off[:-1], side="left")
-                self._slot_off = np.append(voff, deltas.size).astype(np.int64)
-                counts = np.diff(self._slot_off)
-                prefix = np.cumsum(deltas, dtype=np.uint64)
-                starts = self._slot_off[:-1]
-                base_v = np.where(starts > 0,
-                                  prefix[np.maximum(starts, 1) - 1],
-                                  np.uint64(0))
-                doc_ids = (prefix - np.repeat(base_v, counts)) \
-                    .astype(np.int64)
-                self._post_local = np.searchsorted(self._docs, doc_ids) \
-                    .astype(np.int32)
-                self._post_tf = varint_decode(tfs_buf).astype(np.uint32)
-                if base:
-                    self._write_postcache(base)
-            self._seg = seg = seg.drop_columns(
-                [c for c in ("doc_ids", "tfs") if c in seg.column_names])
-        else:
-            self._slot_off = np.zeros(1, dtype=np.int64)
-            self._post_local = np.zeros(0, dtype=np.int32)
-            self._post_tf = np.zeros(0, dtype=np.uint32)
         # decode-once cache: term → (local int32 ids, bm25 contributions);
         # BM25 per posting depends only on (tf, dl, df) — all fixed at build
         # time — so the per-term score vector is decoded+scored once and
@@ -261,48 +243,6 @@ class SegmentSearcher:
         self._score_cache: OrderedDict[str, tuple[np.ndarray, np.ndarray]] = \
             OrderedDict()
         self._cache_max_terms = 100_000
-
-    @staticmethod
-    def _postcache_base(index_dir: str, shards: list[int],
-                        field: str) -> str | None:
-        """Cache-file stem for this (index build, shard set, field):
-        ``<manifest-hash>-<shardset-hash>`` — a rebuild/merge rewrites the
-        manifest, changing the prefix, which both invalidates and lets the
-        writer GC caches of superseded builds."""
-        from ..functions.hashing import fnv1a64_scalar
-        man_path = os.path.join(index_dir, "manifest.json")
-        try:
-            with open(man_path, "rb") as f:
-                man_bytes = f.read()
-        except OSError:
-            return None
-        man_h = fnv1a64_scalar(man_bytes)
-        set_h = fnv1a64_scalar(repr((sorted(shards), field)).encode())
-        return os.path.join(index_dir, "_postcache",
-                            f"{man_h:016x}-{set_h:016x}")
-
-    def _write_postcache(self, base: str) -> None:
-        """Atomic best-effort write (read-only index dirs just skip);
-        drops cache files whose manifest-hash prefix no longer matches —
-        they belong to a superseded build and can never be read again."""
-        try:
-            cache_dir = os.path.dirname(base)
-            os.makedirs(cache_dir, exist_ok=True)
-            prefix = os.path.basename(base).split("-")[0]
-            for fn in os.listdir(cache_dir):
-                if not fn.startswith(prefix):
-                    try:
-                        os.unlink(os.path.join(cache_dir, fn))
-                    except OSError:
-                        pass
-            for name, arr in (("local", self._post_local),
-                              ("tf", self._post_tf),
-                              ("off", self._slot_off)):
-                tmp = f"{base}.{name}.{os.getpid()}.tmp.npy"
-                np.save(tmp, arr)
-                os.replace(tmp, f"{base}.{name}.npy")
-        except OSError:
-            pass
 
     def _slots_of(self, field: str, term: str) -> np.ndarray:
         """Binary-search the sorted 128-bit key-hash arrays → slot indices

@@ -40,6 +40,67 @@ SEGMENT_SCHEMA = pa.schema([
 # postings — carrying them per posting tripled encode work and segment bytes;
 # the searcher joins them through its local docID dictionary at score time.
 
+# Segment docID space, recorded as schema metadata on every written segment:
+# - "global": ``doc_ids`` deltas reconstruct the 64-bit content-hash docIDs
+#   (hash-random → ~7-byte varints; the round-1/2 format).
+# - "local":  ``doc_ids`` deltas reconstruct int32 LOCAL ids — positions in
+#   the owning doc shard's SORTED docID dictionary (``docstore/shard=K``).
+#   Local ids are dense within the shard, so deltas are 1-2 bytes and the
+#   searcher's load decode needs no global→local searchsorted at all — the
+#   round-3 fix for the per-actor O(corpus) startup decode.
+DOCID_SPACE_KEY = b"docid_space"
+
+
+def segment_docid_space(seg: pa.Table) -> str:
+    """``"local"`` or ``"global"`` (absent metadata = legacy global)."""
+    meta = seg.schema.metadata or {}
+    return (meta.get(DOCID_SPACE_KEY) or b"global").decode()
+
+
+def binary_column_bytes(col: pa.ChunkedArray | pa.Array
+                        ) -> tuple[np.ndarray, np.ndarray]:
+    """Zero-copy view of a (large_)binary column's packed payload:
+    (uint8 data over all values concatenated, int64 byte offsets len n+1,
+    rebased to 0)."""
+    arr = (col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col)
+    off_dtype = (np.int64 if pa.types.is_large_binary(arr.type)
+                 else np.int32)
+    offsets = np.frombuffer(arr.buffers()[1], dtype=off_dtype)[
+        arr.offset:arr.offset + len(arr) + 1].astype(np.int64)
+    data = np.frombuffer(arr.buffers()[2], dtype=np.uint8)[
+        offsets[0]:offsets[-1]]
+    return data, offsets - offsets[0]
+
+
+def decode_segment_streams(seg: pa.Table
+                           ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Whole-segment posting decode in ONE vectorized pass (no per-term
+    loop): → ``(doc_vals int64, tfs uint64, slot_off int64[n_rows+1])``
+    where ``doc_vals[slot_off[i]:slot_off[i+1]]`` are row i's absolute
+    (local or global, per :func:`segment_docid_space`) ascending docIDs.
+
+    The trick: varint streams are self-delimiting, so the CONCATENATION of
+    all rows' ``doc_ids`` cells decodes in one :func:`varint_decode` call;
+    per-row boundaries come from mapping Arrow's byte offsets to value
+    indices, and the segmented delta→absolute reconstruction is a global
+    cumsum minus a per-run base (vectorized ``np.repeat``)."""
+    if seg.num_rows == 0:
+        return (np.zeros(0, np.int64), np.zeros(0, np.uint64),
+                np.zeros(1, np.int64))
+    ids_buf, byte_off = binary_column_bytes(seg["doc_ids"])
+    tfs_buf, _ = binary_column_bytes(seg["tfs"])
+    deltas = varint_decode(ids_buf)
+    end_pos = np.flatnonzero(ids_buf < 128)
+    voff = np.searchsorted(end_pos, byte_off[:-1], side="left")
+    slot_off = np.append(voff, deltas.size).astype(np.int64)
+    counts = np.diff(slot_off)
+    prefix = np.cumsum(deltas, dtype=np.uint64)
+    starts = slot_off[:-1]
+    base_v = np.where(starts > 0, prefix[np.maximum(starts, 1) - 1],
+                      np.uint64(0))
+    doc_vals = (prefix - np.repeat(base_v, counts)).astype(np.int64)
+    return doc_vals, varint_decode(tfs_buf), slot_off
+
 
 def _binary_from_slices(packed: bytes, byte_offsets: np.ndarray) -> pa.Array:
     """Zero-copy pa.binary array whose cell i is packed[off[i]:off[i+1]]."""
@@ -56,23 +117,44 @@ def _binary_from_slices(packed: bytes, byte_offsets: np.ndarray) -> pa.Array:
          pa.py_buffer(packed)])
 
 
-def encode_postings_table(group: pa.Table) -> pa.Table:
+def encode_postings_table(group: pa.Table,
+                          doc_dict: np.ndarray | None = None) -> pa.Table:
     """One partition's ``(term, field?, doc_id, tf)`` rows → SEGMENT_SCHEMA.
 
     Fully vectorized; no per-term Python loop.  A ``doc_len`` column, if
     present (doc rows from the single-pass build), is ignored.
+
+    ``doc_dict`` — the owning doc shard's SORTED UNIQUE global docID array —
+    switches the output to the LOCAL docID space (see ``DOCID_SPACE_KEY``):
+    each posting's global docID is replaced by its position in ``doc_dict``
+    before delta+varint packing.  Every group docID must be present in the
+    dictionary (postings and docstore rows come from the same tokenize pass).
     """
     n = group.num_rows
+    space = b"local" if doc_dict is not None else b"global"
+    out_schema = SEGMENT_SCHEMA.with_metadata({DOCID_SPACE_KEY: space})
     empty_cols = {name: pa.array([], type=typ)
                   for name, typ in zip(SEGMENT_SCHEMA.names, SEGMENT_SCHEMA.types)}
     if n == 0:
-        return pa.table(empty_cols, schema=SEGMENT_SCHEMA)
+        return pa.table(empty_cols, schema=out_schema)
 
     has_field = "field" in group.column_names
     field = (group["field"].combine_chunks() if has_field
              else pa.array(["text"] * n, type=pa.string()))
     term = group["term"].combine_chunks()
-    doc_id = group["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+    doc_id = group["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    if doc_dict is not None:
+        local = np.searchsorted(doc_dict, doc_id)
+        ok = (local < doc_dict.size)
+        ok[ok] = doc_dict[local[ok]] == doc_id[ok]
+        if not ok.all():
+            missing = np.unique(doc_id[~ok])[:5]
+            raise ValueError(
+                f"{int((~ok).sum())} posting docIDs absent from the shard "
+                f"docstore dictionary (e.g. {missing.tolist()}) — postings "
+                "and docstore must come from the same build pass")
+        doc_id = local
+    doc_id = doc_id.astype(np.uint64)
     tf = group["tf"].to_numpy(zero_copy_only=False).astype(np.uint64)
 
     # canonical order: (field, term, doc_id) ascending — true string order,
@@ -122,7 +204,7 @@ def encode_postings_table(group: pa.Table) -> pa.Table:
         "max_tf": pa.array(max_tf, type=pa.int32()),
         "doc_ids": _binary_from_slices(packed_ids, offsets(sz_ids)),
         "tfs": _binary_from_slices(packed_tfs, offsets(sz_tfs)),
-    }, schema=SEGMENT_SCHEMA)
+    }, schema=out_schema)
 
 
 def decode_posting(row: dict) -> tuple[np.ndarray, np.ndarray]:
@@ -131,32 +213,36 @@ def decode_posting(row: dict) -> tuple[np.ndarray, np.ndarray]:
             varint_decode(row["tfs"]))
 
 
-def decode_segment_to_rows(seg: pa.Table) -> pa.Table:
+def decode_segment_to_rows(seg: pa.Table,
+                           doc_dict: np.ndarray | None = None) -> pa.Table:
     """SEGMENT_SCHEMA table → flat ``(field, term, doc_id, tf)`` rows (the
-    encode input layout), vectorized per posting list."""
-    ids, tfs = [], []
-    df = seg["df"].to_numpy(zero_copy_only=False)
-    for i in range(seg.num_rows):
-        d, t = decode_posting({
-            "doc_ids": seg["doc_ids"][i].as_py(),
-            "tfs": seg["tfs"][i].as_py()})
-        ids.append(d); tfs.append(t)
-    n_per = df.astype(np.int64)
-    field_rep = np.repeat(np.arange(seg.num_rows), n_per)
+    encode input layout), decoded in ONE vectorized concatenated-stream pass
+    (:func:`decode_segment_streams` — no per-term Python loop).
+
+    Local-space segments (see ``DOCID_SPACE_KEY``) require ``doc_dict``, the
+    owning shard's sorted docID dictionary, to restore GLOBAL docIDs.
+    """
+    doc_vals, tfs, slot_off = decode_segment_streams(seg)
+    if segment_docid_space(seg) == "local":
+        if doc_dict is None:
+            raise ValueError("local-docID segment needs the shard's docstore "
+                             "dictionary to decode to global docIDs")
+        doc_vals = doc_dict[doc_vals]
+    field_rep = np.repeat(np.arange(seg.num_rows), np.diff(slot_off))
     fields = seg["field"].take(pa.array(field_rep))
     terms = seg["term"].take(pa.array(field_rep))
-    cat = (np.concatenate(ids) if ids else np.zeros(0, np.uint64),
-           np.concatenate(tfs) if tfs else np.zeros(0, np.uint64))
     return pa.table({
         "field": fields.combine_chunks() if isinstance(fields, pa.ChunkedArray) else fields,
         "term": terms.combine_chunks() if isinstance(terms, pa.ChunkedArray) else terms,
-        "doc_id": pa.array(cat[0].astype(np.int64), type=pa.int64()),
-        "tf": pa.array(cat[1].astype(np.int32), type=pa.int32()),
+        "doc_id": pa.array(doc_vals.astype(np.int64), type=pa.int64()),
+        "tf": pa.array(tfs.astype(np.int32), type=pa.int32()),
     })
 
 
 def merge_segment_tables(segs: list[pa.Table],
-                         doc_id_offsets: list[int] | None = None) -> pa.Table:
+                         doc_id_offsets: list[int] | None = None,
+                         in_dicts: list[np.ndarray | None] | None = None,
+                         out_dict: np.ndarray | None = None) -> pa.Table:
     """K-way merge of segment partitions into one SEGMENT_SCHEMA table.
 
     Inputs are docID-sorted posting lists; the merged list is produced by a
@@ -166,10 +252,15 @@ def merge_segment_tables(segs: list[pa.Table],
     inputs (re-crawled doc in a delta build), the LAST input wins.
     ``doc_id_offsets`` optionally remaps each input's docID space by a fixed
     offset (north-rule "docID remapping" for locally-numbered segments).
+
+    ``in_dicts[i]`` is input i's shard docID dictionary (required when that
+    input is a local-space segment); ``out_dict`` re-encodes the merged
+    output in local space against the MERGED shard's dictionary.
     """
     rows = []
     for rank, seg in enumerate(segs):
-        r = decode_segment_to_rows(seg)
+        r = decode_segment_to_rows(
+            seg, in_dicts[rank] if in_dicts is not None else None)
         if doc_id_offsets is not None and doc_id_offsets[rank]:
             r = r.set_column(r.schema.get_field_index("doc_id"), "doc_id",
                              pa.array(r["doc_id"].to_numpy(zero_copy_only=False)
@@ -177,7 +268,9 @@ def merge_segment_tables(segs: list[pa.Table],
         rows.append(r.append_column(
             "rank", pa.array(np.full(r.num_rows, rank, dtype=np.int32))))
     if not rows:
-        return SEGMENT_SCHEMA.empty_table()
+        return SEGMENT_SCHEMA.with_metadata(
+            {DOCID_SPACE_KEY: b"local" if out_dict is not None else b"global"}
+        ).empty_table()
     flat = pa.concat_tables(rows)
     # last-input-wins dedup on (field, term, doc_id)
     fld = flat["field"].combine_chunks().dictionary_encode()
@@ -193,7 +286,7 @@ def merge_segment_tables(segs: list[pa.Table],
         same = (f[1:] == f[:-1]) & (t[1:] == t[:-1]) & (d[1:] == d[:-1])
         keep[:-1][same] = False  # keep the last (highest-rank) duplicate
     kept = flat.take(pa.array(order[keep]))
-    return encode_postings_table(kept.drop_columns(["rank"]))
+    return encode_postings_table(kept.drop_columns(["rank"]), out_dict)
 
 
 class FragmentSpiller:
@@ -201,8 +294,10 @@ class FragmentSpiller:
     exchange (external shuffle): each batch's posting rows are split by
     ``part`` and appended as parquet fragments under
     ``tmp_dir/part=P/frag-<h>.parquet``; doc rows (part == -1) are spilled to
-    ``docstore_tmp``.  Only a tiny metrics row returns through the object
-    store.
+    ``docstore_tmp/shard=K/`` (K = doc_id % n_doc_shards — the doc-shard
+    partitioning that lets each query searcher read ONLY its own shards'
+    docstore rows instead of filtering the full corpus).  Only a tiny
+    metrics row returns through the object store.
 
     Rationale: on a single node, Ray's sort-based shuffle funnels the full
     posting stream through one plasma store three times (materialize, sort
@@ -215,9 +310,11 @@ class FragmentSpiller:
     idempotently while distinct blocks never collide.
     """
 
-    def __init__(self, tmp_dir: str, docstore_tmp: str | None):
+    def __init__(self, tmp_dir: str, docstore_tmp: str | None,
+                 n_doc_shards: int = 1):
         self.tmp_dir = tmp_dir
         self.docstore_tmp = docstore_tmp
+        self.n_doc_shards = n_doc_shards
 
     @staticmethod
     def _metrics(n_rows: int, n_docs: int, total_tokens: int) -> pa.Table:
@@ -247,12 +344,22 @@ class FragmentSpiller:
         if self.docstore_tmp is not None and doc_rows.num_rows:
             drop = [c for c in ("term", "tf", "part", "field")
                     if c in doc_rows.column_names]
-            os.makedirs(self.docstore_tmp, exist_ok=True)
-            tmp = os.path.join(self.docstore_tmp, f".tmp-{tag}.parquet")
-            pq.write_table(doc_rows.drop_columns(drop), tmp,
-                           compression="zstd")
-            os.replace(tmp, os.path.join(self.docstore_tmp,
-                                         f"frag-{tag}.parquet"))
+            doc_rows = doc_rows.drop_columns(drop)
+            # shard-partitioned spill: sort by shard once, slice runs
+            dshard = (doc_rows["doc_id"].to_numpy(zero_copy_only=False)
+                      % self.n_doc_shards)
+            dorder = np.argsort(dshard, kind="stable")
+            doc_rows = doc_rows.take(pa.array(dorder))
+            dshard = dshard[dorder]
+            dstarts = np.flatnonzero(np.r_[True, np.diff(dshard) != 0])
+            dends = np.append(dstarts[1:], len(dshard))
+            for s, e in zip(dstarts, dends):
+                d = os.path.join(self.docstore_tmp, f"shard={int(dshard[s])}")
+                os.makedirs(d, exist_ok=True)
+                tmp = os.path.join(d, f".tmp-{tag}.parquet")
+                pq.write_table(doc_rows.slice(s, e - s), tmp,
+                               compression="zstd")
+                os.replace(tmp, os.path.join(d, f"frag-{tag}.parquet"))
         postings = batch.filter(pa.compute.greater_equal(batch["part"], 0))
         postings = postings.select(
             [c for c in ("field", "term", "doc_id", "tf", "part")
@@ -275,14 +382,31 @@ class FragmentSpiller:
         return self._metrics(batch.num_rows, doc_rows.num_rows, total_tokens)
 
 
+def load_shard_dict(docstore_dir: str, shard: int) -> np.ndarray | None:
+    """Sorted unique global docIDs of ``docstore_dir/shard=K`` — the local
+    docID dictionary.  ``None`` when the docstore isn't shard-partitioned
+    (legacy layout or docstore-less build) → callers encode in global space.
+    One int64 column read of O(corpus / n_doc_shards) rows."""
+    d = os.path.join(docstore_dir, f"shard={shard}")
+    if not os.path.isdir(d):
+        return None
+    ids = pq.read_table(d, columns=["doc_id"])["doc_id"] \
+        .to_numpy(zero_copy_only=False).astype(np.int64)
+    return np.unique(ids)
+
+
 class FragmentEncoder:
     """Reduce side of the filesystem exchange: one task per pending
-    partition reads its fragments, encodes, and commits atomically."""
+    partition reads its fragments, encodes (in LOCAL docID space when the
+    shard-partitioned docstore is available — published before this stage
+    runs), and commits atomically."""
 
-    def __init__(self, tmp_dir: str, out_dir: str, n_buckets: int):
+    def __init__(self, tmp_dir: str, out_dir: str, n_buckets: int,
+                 docstore_dir: str | None = None):
         self.tmp_dir = tmp_dir
         self.out_dir = out_dir
         self.n_buckets = n_buckets
+        self.docstore_dir = docstore_dir
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         import time
@@ -295,11 +419,13 @@ class FragmentEncoder:
                             if f.startswith("frag-")])
                        if os.path.isdir(part_dir) else 0)
             shard, bucket = part // self.n_buckets, part % self.n_buckets
-            seg = encode_postings_table(rows) if rows is not None else \
-                encode_postings_table(pa.table(
+            doc_dict = (load_shard_dict(self.docstore_dir, shard)
+                        if self.docstore_dir else None)
+            seg = encode_postings_table(rows, doc_dict) if rows is not None \
+                else encode_postings_table(pa.table(
                     {"term": pa.array([], type=pa.string()),
                      "doc_id": pa.array([], type=pa.int64()),
-                     "tf": pa.array([], type=pa.int32())}))
+                     "tf": pa.array([], type=pa.int32())}), doc_dict)
             part_dir = os.path.join(self.out_dir, f"shard={shard:03d}",
                                     f"bucket={bucket:05d}")
             os.makedirs(part_dir, exist_ok=True)
@@ -325,15 +451,18 @@ class FragmentEncoder:
                                    "n_fragments", "wall_ms")})
 
 
-def commit_empty_partition(out_dir: str, part: int, n_buckets: int) -> dict:
+def commit_empty_partition(out_dir: str, part: int, n_buckets: int,
+                           docstore_dir: str | None = None) -> dict:
     """Write an empty segment + ``_DONE`` for a partition that received no
     posting rows (common with many partitions on small corpora) so the
     manifest completes and resume doesn't re-run the whole build."""
     shard, bucket = part // n_buckets, part % n_buckets
+    doc_dict = (load_shard_dict(docstore_dir, shard)
+                if docstore_dir else None)
     seg = encode_postings_table(pa.table(
         {"term": pa.array([], type=pa.string()),
          "doc_id": pa.array([], type=pa.int64()),
-         "tf": pa.array([], type=pa.int32())}))
+         "tf": pa.array([], type=pa.int32())}), doc_dict)
     part_dir = os.path.join(out_dir, f"shard={shard:03d}",
                             f"bucket={bucket:05d}")
     os.makedirs(part_dir, exist_ok=True)
@@ -353,16 +482,24 @@ class EncodePartitionWriter:
     """``groupby('part').map_groups`` callable: encode one (doc-shard,
     term-bucket) partition and write it atomically (tmp file + rename +
     ``_DONE`` marker) — the north-rule checkpoint unit.  Returns one metrics
-    row per partition."""
+    row per partition.
 
-    def __init__(self, out_dir: str, n_buckets: int):
+    ``docstore_dir``: when the shard-partitioned docstore is already
+    published (the build writes it before this stage), postings encode in
+    LOCAL docID space against the shard's dictionary."""
+
+    def __init__(self, out_dir: str, n_buckets: int,
+                 docstore_dir: str | None = None):
         self.out_dir = out_dir
         self.n_buckets = n_buckets
+        self.docstore_dir = docstore_dir
 
     def __call__(self, group: pa.Table) -> pa.Table:
         part = int(group["part"][0].as_py()) if group.num_rows else -1
         shard, bucket = part // self.n_buckets, part % self.n_buckets
-        seg = encode_postings_table(group.drop_columns(["part"]))
+        doc_dict = (load_shard_dict(self.docstore_dir, shard)
+                    if self.docstore_dir else None)
+        seg = encode_postings_table(group.drop_columns(["part"]), doc_dict)
         part_dir = os.path.join(self.out_dir, f"shard={shard:03d}",
                                 f"bucket={bucket:05d}")
         os.makedirs(part_dir, exist_ok=True)

@@ -25,12 +25,20 @@ Layout::
     index_dir/
       manifest.json              # config + per-partition metrics, written last
       docstats.json              # N, avgdl, total_tokens  (BM25 globals)
-      docstore/ *.parquet        # doc_id, doc_len, url/lang passthroughs
+      docstore/
+        shard=K/ *.parquet       # doc_id, doc_len, url/lang passthroughs,
+                                 #   partitioned by doc shard (K = doc_id %
+                                 #   n_doc_shards) so a searcher actor reads
+                                 #   ONLY its own shards — O(corpus/actors)
+                                 #   startup, not O(corpus).  (Round-1/2
+                                 #   indexes are flat; readers fall back.)
       termstats/ *.parquet       # term, df, total_tf — GLOBAL term stats
                                  #   (aggregated across shards after segments)
       segments/
         shard=000/bucket=00000/
-          postings.parquet       # SEGMENT_SCHEMA (stages/postings.py)
+          postings.parquet       # SEGMENT_SCHEMA (stages/postings.py);
+                                 #   docIDs in per-shard LOCAL space when the
+                                 #   schema metadata says so (DOCID_SPACE_KEY)
           _DONE                  # json metrics; presence = partition committed
 """
 
@@ -83,6 +91,16 @@ def termstats_dir(index_dir: str) -> str:
 
 def shard_dir(index_dir: str, shard: int) -> str:
     return os.path.join(segments_dir(index_dir), f"shard={shard:03d}")
+
+
+def docstore_dir(index_dir: str) -> str:
+    return os.path.join(index_dir, "docstore")
+
+
+def docstore_shard_dir(index_dir: str, shard: int) -> str:
+    """Hive-style doc-shard partition of the docstore (unpadded ``shard=K``
+    to match ``write_parquet(partition_cols=['shard'])`` output)."""
+    return os.path.join(docstore_dir(index_dir), f"shard={shard}")
 
 
 def partition_dir(index_dir: str, shard: int, bucket: int) -> str:
