@@ -61,43 +61,43 @@ def varint_decode(data: bytes | np.ndarray) -> np.ndarray:
     boundary between values is self-delimiting), which lets a caller decode
     a whole segment's posting lists in one vectorized pass.
     """
+    return varint_decode_with_ends(data)[0]
+
+
+def varint_decode_with_ends(data: bytes | np.ndarray
+                            ) -> tuple[np.ndarray, np.ndarray]:
+    """:func:`varint_decode` that also returns each value's terminal byte
+    position (callers slicing a concatenated stream by byte offsets map
+    them to value indices with one searchsorted — no second buffer scan)."""
     buf = (data if isinstance(data, np.ndarray)
            else np.frombuffer(data, dtype=np.uint8))
     if buf.size == 0:
-        return np.zeros(0, dtype=np.uint64)
-    is_end = buf < 128
-    ends = np.flatnonzero(is_end)
+        return np.zeros(0, dtype=np.uint64), np.zeros(0, dtype=np.int64)
+    ends = np.flatnonzero(buf < 128)
     starts = np.empty_like(ends)
     starts[0] = 0
     starts[1:] = ends[:-1] + 1
     lengths = ends - starts + 1
+    # 1-byte values (the posting-list majority: dense local-docID deltas and
+    # small tfs) decode as a single gather; multi-byte stragglers are
+    # grouped by encoded length — lengths are ≤10, so a bincount histogram
+    # (NOT an np.unique sort of the whole array) picks the classes, and each
+    # class decodes as one contiguous (m, L) gather + shift-reduce.
+    vals = buf[ends].astype(np.uint64)
     multi = np.flatnonzero(lengths > 1)
-    # fast path — nearly every value fits one byte.  This is the
-    # POSTING-LIST hot case (head-term docID deltas and tfs are tiny; only
-    # the absolute first docID and rare large gaps go multi-byte): one
-    # vectorized gather for the 1-byte majority + a scalar loop over the
-    # handful of stragglers cuts a cold 400k-entry decode ~5×.
-    if multi.size * 16 < ends.size:
-        vals = buf[ends].astype(np.uint64)
-        for i in multi:
-            v = 0
-            for k in range(int(lengths[i]) - 1, -1, -1):
-                v = (v << 7) | int(buf[starts[i] + k] & 0x7F)
-            vals[i] = v
-        return vals
-    # generic path, grouped by encoded length: posting docID deltas over a
-    # hashed 64-bit id space are almost all the SAME width (e.g. 7 bytes),
-    # so one contiguous (m, L) gather + shift-reduce per length class beats
-    # a per-byte-position masked loop ~4× on segment-load-sized inputs.
-    vals = np.zeros(ends.size, dtype=np.uint64)
-    shifts = np.uint64(7) * np.arange(_MAX_VARINT_BYTES, dtype=np.uint64)
-    for L in np.unique(lengths):
-        sel = np.flatnonzero(lengths == L)
-        idx = starts[sel][:, None] + np.arange(int(L))
-        b = (buf[idx] & np.uint8(0x7F)).astype(np.uint64)
-        b <<= shifts[: int(L)]
-        vals[sel] = np.bitwise_or.reduce(b, axis=1)
-    return vals
+    if multi.size:
+        mlen = lengths[multi]
+        shifts = np.uint64(7) * np.arange(_MAX_VARINT_BYTES, dtype=np.uint64)
+        counts = np.bincount(mlen, minlength=_MAX_VARINT_BYTES + 1)
+        for L in range(2, len(counts)):
+            if not counts[L]:
+                continue
+            sel = multi[mlen == L]
+            idx = starts[sel][:, None] + np.arange(L)
+            b = (buf[idx] & np.uint8(0x7F)).astype(np.uint64)
+            b <<= shifts[:L]
+            vals[sel] = np.bitwise_or.reduce(b, axis=1)
+    return vals, ends
 
 
 def delta_encode(sorted_values: np.ndarray) -> bytes:

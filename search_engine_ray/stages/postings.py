@@ -25,7 +25,9 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.parquet as pq
 
-from ..functions.varint import delta_decode, varint_decode, varint_encode_with_sizes
+from ..functions.varint import (delta_decode, varint_decode,
+                                varint_decode_with_ends,
+                                varint_encode_with_sizes)
 
 SEGMENT_SCHEMA = pa.schema([
     ("term", pa.string()),
@@ -89,8 +91,7 @@ def decode_segment_streams(seg: pa.Table
                 np.zeros(1, np.int64))
     ids_buf, byte_off = binary_column_bytes(seg["doc_ids"])
     tfs_buf, _ = binary_column_bytes(seg["tfs"])
-    deltas = varint_decode(ids_buf)
-    end_pos = np.flatnonzero(ids_buf < 128)
+    deltas, end_pos = varint_decode_with_ends(ids_buf)
     voff = np.searchsorted(end_pos, byte_off[:-1], side="left")
     slot_off = np.append(voff, deltas.size).astype(np.int64)
     counts = np.diff(slot_off)
