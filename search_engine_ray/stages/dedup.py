@@ -86,11 +86,19 @@ class MinHashLSH:
     ``num_perm // bands`` rows; ``bucket`` is the hash of the band's slice of
     the signature.  Downstream: ``groupby(['band','bucket'])`` colocates LSH
     collision candidates.
+
+    ``carry_shingles=True`` replicates each doc's SORTED UNIQUE shingle-hash
+    set (``shingles: list<int64>``) onto its band rows, so the downstream
+    group DELIVERS everything the exact-Jaccard verifier needs — no
+    driver-side collection of candidate texts (the round-2 scale gap).
+    Shipping the shingle set ``bands``× through the shuffle is the standard
+    LSH locality trade, the same one ``HyperplaneLSH(carry_vec=True)``
+    makes for embeddings (stages/similarity.py).
     """
 
     def __init__(self, *, text_col: str = "text", id_col: str = "doc_id",
                  num_perm: int = 64, bands: int = 16, shingle_k: int = 3,
-                 seed: int = 42):
+                 seed: int = 42, carry_shingles: bool = False):
         assert num_perm % bands == 0
         self.text_col = text_col
         self.id_col = id_col
@@ -98,18 +106,26 @@ class MinHashLSH:
         self.bands = bands
         self.rows_per_band = num_perm // bands
         self.shingle_k = shingle_k
+        self.carry_shingles = carry_shingles
         self.a, self.b = _minhash_params(num_perm, seed)
 
-    def signatures(self, batch: pa.Table) -> tuple[np.ndarray, np.ndarray]:
+    def signatures(self, batch: pa.Table, *, return_shingles: bool = False):
         """→ (doc_ids kept, signature matrix [n_kept, num_perm]) for docs
-        with at least one token."""
+        with at least one token; with ``return_shingles`` also the per-doc
+        sorted-unique shingle sets as ``(values uint64, offsets int64)``
+        aligned with the kept docs."""
         n = batch.num_rows
         row_idx, terms = split_and_normalize(batch[self.text_col])
         th = fnv1a64_array(terms)
         s_rows, s_hashes = shingle_hashes(row_idx, th, n, self.shingle_k)
         doc_ids = batch[self.id_col].to_numpy(zero_copy_only=False).astype(np.int64)
         if s_rows.size == 0:
-            return np.zeros(0, dtype=np.int64), np.zeros((0, self.num_perm), np.uint64)
+            empty = (np.zeros(0, dtype=np.int64),
+                     np.zeros((0, self.num_perm), np.uint64))
+            if return_shingles:
+                return empty + ((np.zeros(0, np.uint64),
+                                 np.zeros(1, np.int64)),)
+            return empty
         order = np.argsort(s_rows, kind="stable")
         s_rows, s_hashes = s_rows[order], s_hashes[order]
         boundaries = np.flatnonzero(np.r_[True, np.diff(s_rows) != 0])
@@ -123,14 +139,31 @@ class MinHashLSH:
                 sig[:, p] = np.minimum.reduceat(hp, boundaries)
         finally:
             np.seterr(**err)
-        return doc_ids[kept_rows], sig
+        if not return_shingles:
+            return doc_ids[kept_rows], sig
+        # per-doc SET of shingle hashes, sorted: lexsort + consecutive dedup
+        o2 = np.lexsort((s_hashes, s_rows))
+        r2, h2 = s_rows[o2], s_hashes[o2]
+        keep = np.r_[True, (r2[1:] != r2[:-1]) | (h2[1:] != h2[:-1])]
+        r2, h2 = r2[keep], h2[keep]
+        counts = np.bincount(r2, minlength=n)[kept_rows]
+        offsets = np.zeros(kept_rows.size + 1, dtype=np.int64)
+        np.cumsum(counts, out=offsets[1:])
+        return doc_ids[kept_rows], sig, (h2, offsets)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        ids, sig = self.signatures(batch)
+        if self.carry_shingles:
+            ids, sig, (sh_vals, sh_off) = self.signatures(
+                batch, return_shingles=True)
+        else:
+            ids, sig = self.signatures(batch)
         if ids.size == 0:
-            return pa.table({"band": pa.array([], type=pa.int32()),
-                             "bucket": pa.array([], type=pa.int64()),
-                             "doc_id": pa.array([], type=pa.int64())})
+            cols = {"band": pa.array([], type=pa.int32()),
+                    "bucket": pa.array([], type=pa.int64()),
+                    "doc_id": pa.array([], type=pa.int64())}
+            if self.carry_shingles:
+                cols["shingles"] = pa.array([], type=pa.list_(pa.int64()))
+            return pa.table(cols)
         err = np.seterr(over="ignore")
         try:
             # hash each band's slice: mix the r values with FNV-ish fold
@@ -143,13 +176,21 @@ class MinHashLSH:
                 buckets[:, band] = h
         finally:
             np.seterr(**err)
-        return pa.table({
+        cols = {
             "band": pa.array(np.tile(np.arange(self.bands, dtype=np.int32),
                                      ids.size), type=pa.int32()),
             "bucket": pa.array((buckets.reshape(-1).astype(np.int64)
                                 & 0x7FFFFFFFFFFFFFFF), type=pa.int64()),
             "doc_id": pa.array(np.repeat(ids, self.bands), type=pa.int64()),
-        })
+        }
+        if self.carry_shingles:
+            sets = pa.ListArray.from_arrays(
+                pa.array(sh_off, type=pa.int32()),
+                pa.array(sh_vals.view(np.int64), type=pa.int64()))
+            rep = pa.array(np.repeat(np.arange(ids.size, dtype=np.int64),
+                                     self.bands))
+            cols["shingles"] = sets.take(rep)
+        return pa.table(cols)
 
 
 def candidate_pairs_from_group(group: pa.Table,
@@ -173,6 +214,61 @@ def candidate_pairs_from_group(group: pa.Table,
         a, b = ids[iu[0]], ids[iu[1]]
     return pa.table({"doc_a": pa.array(a, type=pa.int64()),
                      "doc_b": pa.array(b, type=pa.int64())})
+
+
+def verify_jaccard_in_group(group: pa.Table, *, threshold: float = 0.5,
+                            max_group: int = 2048) -> pa.Table:
+    """``groupby(['band','bucket']).map_groups`` callable over
+    shingle-carrying band rows (``MinHashLSH(carry_shingles=True)``):
+    candidate pairs AND their exact shingle-set Jaccard, entirely inside the
+    group — the distributed replacement for driver-side text collection.
+
+    Pair policy matches :func:`candidate_pairs_from_group` exactly (unique
+    docs, all pairs up to ``max_group``, star expansion beyond), so the
+    surviving pair set is identical to the round-2 collect-then-verify
+    pipeline.  Pairs below ``threshold`` are dropped HERE, so only true
+    near-duplicates flow back to the driver."""
+    ids = group["doc_id"].to_numpy(zero_copy_only=False)
+    empty = pa.table({"doc_a": pa.array([], type=pa.int64()),
+                      "doc_b": pa.array([], type=pa.int64()),
+                      "jaccard": pa.array([], type=pa.float64())})
+    if ids.size < 2:
+        return empty
+    order = np.argsort(ids, kind="stable")
+    first = np.ones(ids.size, dtype=bool)
+    first[1:] = ids[order][1:] != ids[order][:-1]
+    sel = order[first]                      # first row of each unique doc
+    uids = ids[sel]
+    if uids.size < 2:
+        return empty
+    sh = group["shingles"].combine_chunks() \
+        if isinstance(group["shingles"], pa.ChunkedArray) else group["shingles"]
+    flat = sh.flatten().to_numpy(zero_copy_only=False)
+    offs = sh.offsets.to_numpy(zero_copy_only=False)
+    offs = offs - offs[0]       # rebase: sliced arrays keep raw offsets
+
+    def sset(i: int) -> np.ndarray:
+        return flat[offs[sel[i]]:offs[sel[i] + 1]]
+
+    if uids.size > max_group:               # pathological bucket: star
+        a_idx = np.zeros(uids.size - 1, dtype=np.int64)
+        b_idx = np.arange(1, uids.size)
+    else:
+        iu = np.triu_indices(uids.size, k=1)
+        a_idx, b_idx = iu[0], iu[1]
+    jac = np.zeros(a_idx.size, dtype=np.float64)
+    for p in range(a_idx.size):
+        sa, sb = sset(int(a_idx[p])), sset(int(b_idx[p]))
+        union = sa.size + sb.size
+        if union:
+            inter = np.intersect1d(sa, sb, assume_unique=True).size
+            jac[p] = inter / (union - inter)
+    keep = jac >= threshold
+    if not keep.any():
+        return empty
+    return pa.table({"doc_a": pa.array(uids[a_idx[keep]], type=pa.int64()),
+                     "doc_b": pa.array(uids[b_idx[keep]], type=pa.int64()),
+                     "jaccard": pa.array(jac[keep], type=pa.float64())})
 
 
 def exact_jaccard(texts_by_id: dict[int, str], pairs: np.ndarray,
