@@ -12,8 +12,11 @@ Ray-Data-first layout:
 - **assign**: ``map_batches`` matmul per batch → ``(cell, vec_id)`` +
   normalized vectors persisted per cell (``write_parquet`` partitioned by
   cell = the IVF posting lists);
-- **search**: read only the probed cells' parquet (partition pruning),
-  exact cosine rerank — candidates ≪ corpus.
+- **search**: cell-pinned :class:`CellSearcher` actors (the
+  ``SegmentSearcher`` pattern from ``pipelines/query.py``) each hold a
+  disjoint subset of cells resident; a query ships only its normalized
+  vector + probe list to every actor and gets back a per-actor top-k —
+  k·n_actors rows per query reach the driver, never cell contents.
 """
 
 from __future__ import annotations
@@ -24,6 +27,35 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 import pyarrow.parquet as pq
+
+
+def sample_vectors(source_path: str, vec_col: str, sample_rows: int,
+                   seed: int = 42) -> np.ndarray:
+    """Seeded UNBIASED sample of ``sample_rows`` vectors across the WHOLE
+    parquet file: random row indices drawn over ``metadata.num_rows``, then
+    only the row groups containing them are read (a head sample is biased
+    when the file is clustered — e.g. already sorted by some key).  At
+    multi-file scale, apply per file with ``sample_rows`` split
+    proportionally to file row counts."""
+    from .similarity import _vectors_from_batch
+    pf = pq.ParquetFile(source_path)
+    total = pf.metadata.num_rows
+    if total <= sample_rows:
+        idx = np.arange(total, dtype=np.int64)
+    else:
+        rng = np.random.RandomState(seed)
+        idx = np.sort(rng.choice(total, size=sample_rows, replace=False))
+    rg_rows = np.array([pf.metadata.row_group(i).num_rows
+                        for i in range(pf.metadata.num_row_groups)],
+                       dtype=np.int64)
+    rg_starts = np.concatenate([[0], np.cumsum(rg_rows)])
+    parts = []
+    for rg in np.unique(np.searchsorted(rg_starts, idx, side="right") - 1):
+        local = idx[(idx >= rg_starts[rg]) & (idx < rg_starts[rg + 1])] \
+            - rg_starts[rg]
+        t = pf.read_row_group(int(rg), columns=[vec_col])
+        parts.append(t.take(pa.array(local)))
+    return _vectors_from_batch(pa.concat_tables(parts), vec_col)
 
 
 def train_centroids(sample: np.ndarray, n_cells: int, *, n_iter: int = 10,
@@ -68,6 +100,54 @@ class AssignCells:
                          "embedding": batch[self.vec_col]})
 
 
+class CellSearcher:
+    """Cell-pinned resident searcher: owns cells with
+    ``cell % n_searchers == shard`` and loads ONLY their partitions in
+    ``__init__`` (once per actor) — O(corpus / n_searchers) memory each,
+    mirroring ``SegmentSearcher``'s shard ownership.  Plain class, wrapped
+    in ``ray.remote`` by :meth:`IVFIndex.search`."""
+
+    def __init__(self, index_dir: str, shard: int, n_searchers: int):
+        from .similarity import _vectors_from_batch
+        cells_dir = os.path.join(index_dir, "cells")
+        self.cells: dict[int, tuple[np.ndarray, np.ndarray]] = {}
+        for name in os.listdir(cells_dir):
+            if not name.startswith("cell="):
+                continue
+            c = int(name.split("=", 1)[1])
+            if c % n_searchers != shard:
+                continue
+            t = pq.read_table(os.path.join(cells_dir, name),
+                              columns=["vec_id", "embedding"])
+            v = _vectors_from_batch(t, "embedding")
+            vn = v / np.maximum(np.linalg.norm(v, axis=1, keepdims=True),
+                                1e-30)
+            self.cells[c] = (t["vec_id"].to_numpy(zero_copy_only=False), vn)
+
+    def search(self, qn: np.ndarray, probe: np.ndarray, k: int
+               ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """Per-query exact cosine top-k over this actor's share of the
+        probed cells → ``(vec_ids, sims, query_idx)`` partials (≤ k rows
+        per query; the driver merges across actors)."""
+        out_v, out_s, out_q = [], [], []
+        for qi in range(qn.shape[0]):
+            owned = [self.cells[int(c)] for c in probe[qi]
+                     if int(c) in self.cells]
+            if not owned:
+                continue
+            ids = np.concatenate([o[0] for o in owned])
+            sims = np.concatenate([o[1] for o in owned]) @ qn[qi]
+            order = np.lexsort((ids, -sims))[:k]
+            out_v.append(ids[order])
+            out_s.append(sims[order])
+            out_q.append(np.full(order.size, qi, dtype=np.int32))
+        if not out_v:
+            return (np.zeros(0, np.int64), np.zeros(0, np.float64),
+                    np.zeros(0, np.int32))
+        return (np.concatenate(out_v), np.concatenate(out_s),
+                np.concatenate(out_q))
+
+
 class IVFIndex:
     """Build-once / probe-many IVF index persisted as cell-partitioned
     parquet."""
@@ -75,6 +155,7 @@ class IVFIndex:
     def __init__(self, index_dir: str):
         self.index_dir = index_dir
         self.centroids = np.load(os.path.join(index_dir, "centroids.npy"))
+        self._pool = None
 
     @classmethod
     def build(cls, source_path: str, index_dir: str, *, n_cells: int = 16,
@@ -82,17 +163,7 @@ class IVFIndex:
               vec_col: str = "embedding", id_col: str = "vec_id") -> "IVFIndex":
         import ray.data
         os.makedirs(index_dir, exist_ok=True)
-        pf = pq.ParquetFile(source_path)
-        sample_batches = []
-        got = 0
-        for b in pf.iter_batches(batch_size=1024, columns=[vec_col]):
-            sample_batches.append(b)
-            got += b.num_rows
-            if got >= sample_rows:
-                break
-        from .similarity import _vectors_from_batch
-        sample = _vectors_from_batch(
-            pa.Table.from_batches(sample_batches), vec_col)
+        sample = sample_vectors(source_path, vec_col, sample_rows, seed=seed)
         cents = train_centroids(sample, n_cells, seed=seed)
         np.save(os.path.join(index_dir, "centroids.npy"), cents)
 
@@ -105,36 +176,40 @@ class IVFIndex:
          .write_parquet(cells_dir, partition_cols=["cell"]))
         return cls(index_dir)
 
+    def _searchers(self, n_searchers: int) -> list:
+        """Lazily start (and cache) the cell-pinned searcher actor pool —
+        resident state loads once per actor, not per query."""
+        import ray
+        if getattr(self, "_pool", None) is not None \
+                and len(self._pool) == n_searchers:
+            return self._pool
+        remote = ray.remote(CellSearcher)
+        self._pool = [remote.remote(self.index_dir, s, n_searchers)
+                      for s in range(n_searchers)]
+        return self._pool
+
     def search(self, queries: np.ndarray, k: int = 10, *,
-               nprobe: int = 4) -> pa.Table:
-        """→ ``(query_idx, rank, vec_id, cos_sim)``; probes only the
-        ``nprobe`` nearest cells per query (partition-pruned reads)."""
+               nprobe: int = 4, n_searchers: int = 4) -> pa.Table:
+        """→ ``(query_idx, rank, vec_id, cos_sim)``; each query probes only
+        its ``nprobe`` nearest cells, scored INSIDE the owning
+        :class:`CellSearcher` actors — the driver ships the tiny normalized
+        query matrix + probe lists and merges k·n_searchers rows per query
+        (never cell contents; round-2's driver-side cell reads removed)."""
+        import ray
         q = np.asarray(queries, dtype=np.float64)
         qn = q / np.maximum(np.linalg.norm(q, axis=1, keepdims=True), 1e-30)
         cell_sims = qn @ self.centroids.T
-        probe = np.argsort(-cell_sims, axis=1)[:, :nprobe]
-        needed = sorted(set(probe.reshape(-1).tolist()))
-        cells = {}
-        from .similarity import _vectors_from_batch
-        for c in needed:
-            path = os.path.join(self.index_dir, "cells", f"cell={c}")
-            if not os.path.isdir(path):
-                continue
-            t = pq.read_table(path, columns=["vec_id", "embedding"])
-            v = _vectors_from_batch(t, "embedding")
-            vn = v / np.maximum(np.linalg.norm(v, axis=1, keepdims=True), 1e-30)
-            cells[c] = (t["vec_id"].to_numpy(zero_copy_only=False), vn)
+        probe = np.argsort(-cell_sims, axis=1)[:, :nprobe].astype(np.int32)
+        parts = ray.get([a.search.remote(qn, probe, k)
+                         for a in self._searchers(n_searchers)])
         out_q, out_r, out_v, out_s = [], [], [], []
         for qi in range(qn.shape[0]):
-            ids_parts, vec_parts = [], []
-            for c in probe[qi]:
-                if int(c) in cells:
-                    ids_parts.append(cells[int(c)][0])
-                    vec_parts.append(cells[int(c)][1])
-            if not ids_parts:
+            ids = np.concatenate([p[0][p[2] == qi] for p in parts])
+            if ids.size == 0:
                 continue
-            ids = np.concatenate(ids_parts)
-            sims = np.concatenate(vec_parts) @ qn[qi]
+            sims = np.concatenate([p[1][p[2] == qi] for p in parts])
+            # same comparator as a single global pass: merging per-actor
+            # top-k under a total order is exact
             order = np.lexsort((ids, -sims))[:k]
             out_q.append(np.full(order.size, qi, dtype=np.int32))
             out_r.append(np.arange(order.size, dtype=np.int32))

@@ -64,3 +64,24 @@ def test_ivf_low_nprobe_good_recall(ivf_index):
         hits += len(want & got)
         total += 5
     assert hits / total >= 0.8  # clustered data: 2 probes recall most
+
+
+def test_sample_vectors_unbiased_across_row_groups(tmp_path):
+    """A file CLUSTERED by value (sorted) must yield a whole-range sample,
+    not the head — the round-2 head-sample bias."""
+    import pyarrow.parquet as pq
+    from search_engine_ray.stages.ivf import sample_vectors
+    n = 10_000
+    vals = np.arange(n, dtype=np.float64)          # sorted → head is biased
+    src = str(tmp_path / "clustered.parquet")
+    pq.write_table(pa.table({
+        "vec_id": pa.array(range(n), type=pa.int64()),
+        "embedding": pa.array([[v] for v in vals]),
+    }), src, row_group_size=1000)
+    s = sample_vectors(src, "embedding", 256).reshape(-1)
+    assert s.size == 256
+    assert s.max() > n * 0.8 and s.min() < n * 0.2   # spans the file
+    s2 = sample_vectors(src, "embedding", 256).reshape(-1)
+    assert np.array_equal(s, s2)                     # seeded → deterministic
+    small = sample_vectors(src, "embedding", n + 5)
+    assert small.shape[0] == n                       # sample >= total: all
