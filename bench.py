@@ -29,6 +29,10 @@ os.environ.setdefault("NUMPY_MADVISE_HUGEPAGE", "0")
 
 SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+# partition exchange for the benched build: "fs" (single-node default) or
+# "groupby" (the multi-node object-store path) — lets the scaling harness
+# measure both (VERDICT r2 item 7)
+EXCHANGE = os.environ.get("SERX_BENCH_EXCHANGE", "fs")
 # Benchmark index output goes to RAM-backed storage: the reference anchor
 # (BASELINE.md) is an in-memory engine with NO persistence, and on a real
 # cluster every node writes its shard to node-local disk (bandwidth scales
@@ -90,7 +94,8 @@ def bench_index_build(pages_dir: str, idx_dir: str,
     shutil.rmtree(idx_dir, ignore_errors=True)
     t0 = time.time()
     build_index(_pages_factory(pages_dir), idx_dir,
-                IndexConfig(n_buckets=16, n_doc_shards=4), keep_cols=("url",))
+                IndexConfig(n_buckets=16, n_doc_shards=4), keep_cols=("url",),
+                exchange=EXCHANGE)
     dt = time.time() - t0
     return {"sec": dt, "docs_per_sec": n_docs / dt}
 
@@ -247,6 +252,7 @@ def scaling_main() -> None:
                       "docs_per_sec": round(results[hi]["docs_per_sec"], 1)},
         "speedup": round(t_lo / t_hi, 3),
         "scaling_efficiency": round(eff, 3),
+        "exchange": EXCHANGE,
     }))
 
 

@@ -143,7 +143,14 @@ SELECT 'source' AS field, source AS value, count(*) AS df FROM documents GROUP B
 
 def _content_hash_stage(t: pa.Table, *, keep: tuple[str, ...] = ()) -> pa.Table:
     """documents batch → ``(h1, h2, doc_id, *keep)``: the exact-dedup shuffle
-    carries a 128-bit content hash (16 bytes/doc), never the document text."""
+    carries a 128-bit content hash (16 bytes/doc), never the document text.
+
+    CAVEAT: both 64-bit halves are non-cryptographic byte polynomials
+    (FNV-style), so an ADVERSARY who can author corpus documents could
+    craft a pair colliding on both and silently drop a non-duplicate
+    (benign-input collision odds at 128 bits are negligible).  If hostile
+    input is in scope, swap ``content_hash128`` for a cryptographic digest
+    (e.g. blake2b halves) — same shuffle shape, same cost profile."""
     from ..functions.hashing import content_hash128
     h1, h2 = content_hash128(t["text"])
     cols = {"h1": pa.array(h1, type=pa.int64()),
@@ -556,17 +563,32 @@ FROM events GROUP BY user_id
 """
 
 
-def q_event_value_quantiles(sf_dir: str):
+# Hard bound ENFORCED on the exact per-group quantile: 64M float64 values
+# = 512 MB in one worker, the most a map_groups group may materialize.
+# Beyond it, the pipeline must switch to the mergeable-sketch variant
+# (q_event_value_quantiles_tdigest) instead of silently OOMing a worker.
+QUANTILE_MAX_GROUP_ROWS = 64_000_000
+
+
+def q_event_value_quantiles(sf_dir: str, *,
+                            max_group_rows: int = QUANTILE_MAX_GROUP_ROWS):
     """Exact distributed quantiles per group (p50/p95/p99 of event value by
     type): values co-locate via one groupby, the quantile is one vectorized
     ``np.quantile`` per group.  PARTITIONING ASSUMPTION: one group's values
-    fit a worker (fine for bounded group counts like event types; for
-    unbounded/hot keys switch to a mergeable sketch — t-digest — and drop
-    the exactness/oracle)."""
+    fit a worker — enforced in code via ``max_group_rows`` (raises with
+    guidance instead of OOMing); for unbounded/hot keys use
+    :func:`q_event_value_quantiles_tdigest`, the mergeable-sketch path with
+    no per-group materialization."""
     ds = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"),
                                columns=["event_type", "value"])
 
     def quantiles(g: pa.Table) -> pa.Table:
+        if g.num_rows > max_group_rows:
+            raise ValueError(
+                f"group {g['event_type'][0].as_py()!r} has {g.num_rows} "
+                f"rows > max_group_rows={max_group_rows}; exact per-group "
+                f"quantiles materialize the group in one worker — use "
+                f"q_event_value_quantiles_tdigest for unbounded groups")
         v = g["value"].to_numpy(zero_copy_only=False)
         p50, p95, p99 = np.quantile(v, [0.5, 0.95, 0.99])
         return pa.table({
@@ -587,6 +609,29 @@ SELECT event_type,
        round(quantile_cont(value, 0.99), 6) AS p99
 FROM events GROUP BY event_type
 """
+
+
+def q_event_value_quantiles_tdigest(sf_dir: str, *, delta: int = 128):
+    """Approximate per-group quantiles via mergeable t-digest — the
+    UNBOUNDED-group path past ``QUANTILE_MAX_GROUP_ROWS``: partial digests
+    build per batch (map-side combine), the groupby shuffles O(δ) centroids
+    per key per batch, and no worker ever materializes a group's values.
+    Approximate (not SQL-expressible bit-exactly) → golden-pinned +
+    accuracy-bounded in tests/test_sketch.py.  Fixed block/batch sizing
+    keeps the digest deterministic for the golden pin; at scale the
+    accuracy, not the exact centroids, is the contract."""
+    from ..stages.sketch import PartialDigests, merge_digests_in_group
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                               columns=["event_type", "value"],
+                               override_num_blocks=8)
+    return (ds.map_batches(PartialDigests(key_col="event_type",
+                                          value_col="value", delta=delta),
+                           batch_format="pyarrow", batch_size=4096)
+            .groupby("event_type")
+            .map_groups(functools.partial(
+                merge_digests_in_group, key_col="event_type",
+                quantiles={"p50": 0.5, "p95": 0.95, "p99": 0.99},
+                delta=delta), batch_format="pyarrow"))
 
 
 def q_event_user_reach(sf_dir: str):
@@ -1339,6 +1384,7 @@ QUERIES = {
     "events_range_orders": q_events_range_orders,
     "events_hopping": q_events_hopping,
     "event_value_quantiles": q_event_value_quantiles,
+    "event_value_quantiles_tdigest": q_event_value_quantiles_tdigest,
     "event_user_reach": q_event_user_reach,
     "top_users_per_type": q_top_users_per_type,
     "embedding_neardup": q_embedding_neardup,
@@ -1380,8 +1426,10 @@ ORACLE_SQL = {
     "lang_id_counts": _sql_lang_id_counts(),
     "fingerprints": SQL_FINGERPRINTS,
     # minhash_neardup / simhash_neardup / embedding_neardup / ivf_topk /
-    # media_frame_stats: seeded-signature LSH candidate generation or
-    # approximate / media pipelines — not SQL-expressible → rows-only driver
-    # check (SURVEY §5 item 4); recall and golden-value pytest coverage in
-    # tests/test_training_ops.py + tests/test_ivf.py.
+    # media_frame_stats / event_value_quantiles_tdigest: seeded-signature
+    # LSH candidate generation or approximate / media / sketch pipelines —
+    # not SQL-expressible → rows-only driver check (SURVEY §5 item 4);
+    # recall, accuracy-bound and golden-value pytest coverage in
+    # tests/test_training_ops.py + tests/test_ivf.py + tests/test_sketch.py
+    # + tests/test_golden_snapshots.py.
 }

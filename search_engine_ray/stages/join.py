@@ -98,13 +98,24 @@ def broadcast_lookup(ds: "ray.data.Dataset", dim: pa.Table, *, key: str,
     dim_sorted = dim.take(order)
     dim_ref = ray.put(dim_sorted)
     val_cols = [c for c in dim.column_names if c != dim_key]
+    val_types = {c: dim.schema.field(c).type for c in val_cols}
 
     def attach(t: pa.Table) -> pa.Table:
         d = ray.get(dim_ref)
+        if d.num_rows == 0:                 # empty dim: all-null values
+            out = t
+            for c in val_cols:
+                out = out.append_column(
+                    c, pa.nulls(t.num_rows, type=val_types[c]))
+            return out
         keys = d[dim_key].to_numpy()
-        idx = np.searchsorted(keys, t[key].to_numpy(zero_copy_only=False))
+        probe = t[key].to_numpy(zero_copy_only=False)
+        valid = pc.is_valid(t[key]).to_numpy(zero_copy_only=False)
+        # null probe keys must not reach searchsorted (NaN/None compare
+        # undefined there) — route them to index 0 and mask the hit
+        idx = np.searchsorted(keys, np.where(valid, probe, keys[0]))
         idx = np.clip(idx, 0, len(keys) - 1)
-        hit = keys[idx] == t[key].to_numpy(zero_copy_only=False)
+        hit = valid & (keys[idx] == np.where(valid, probe, keys[0]))
         out = t
         for c in val_cols:
             vals = d[c].take(pa.array(idx))

@@ -206,7 +206,11 @@ class AudioFeatures:
         self.id_col = id_col
 
     def _decode(self, blob: bytes) -> tuple[int, np.ndarray]:
-        if self.backend == "fake":
+        # Per-blob sniff: stdlib `wave` always imports, so `auto` resolves
+        # to `real` even on synthetic corpora — route FAUD payloads to the
+        # fake codec here so auto degrades per blob like the image/video
+        # stages degrade per library.
+        if self.backend == "fake" or blob[:4] == b"FAUD":
             assert blob[:4] == b"FAUD"
             (sr,) = struct.unpack("<I", blob[4:8])
             return sr, np.frombuffer(blob[8:], dtype=np.int16) \

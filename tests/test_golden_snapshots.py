@@ -32,6 +32,10 @@ GOLDEN = {
     # synthesized fake media payloads are Philox-seeded → deterministic
     "media_frame_stats":
         "441d8dbe72de432a8e638be5661d3c432a4fc3e39693fe7399ac3fdbca7e52fb",
+    # fixed block/batch sizing → deterministic partial digests + an
+    # order-independent merge (stages/sketch.py merge_all)
+    "event_value_quantiles_tdigest":
+        "2966d73c0644bdc0f3988c4ceb9b5597ee860879a7d0e89236f28c76348900eb",
 }
 
 

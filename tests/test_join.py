@@ -57,3 +57,26 @@ def test_broadcast_lookup_with_misses(ray_session):
     out = broadcast_lookup(facts, dim, key="nk", dim_key="nk") \
         .to_pandas().sort_values("v").reset_index(drop=True)
     assert list(out["name"]) == ["two", "zero", None, "one"]
+
+
+def test_broadcast_lookup_empty_dim(ray_session):
+    from search_engine_ray.stages.join import broadcast_lookup
+    facts = _ds(pa.table({"nk": pa.array([2, 0], type=pa.int32()),
+                          "v": [1.0, 2.0]}), 1)
+    dim = pa.table({"nk": pa.array([], type=pa.int32()),
+                    "name": pa.array([], type=pa.string())})
+    out = broadcast_lookup(facts, dim, key="nk", dim_key="nk").to_pandas()
+    assert len(out) == 2
+    assert out["name"].isna().all()
+    assert out["name"].dtype == object          # typed-null string column
+
+
+def test_broadcast_lookup_null_probe_keys(ray_session):
+    from search_engine_ray.stages.join import broadcast_lookup
+    facts = _ds(pa.table({"nk": pa.array([2, None, 0], type=pa.int32()),
+                          "v": [1.0, 2.0, 3.0]}), 1)
+    dim = pa.table({"nk": pa.array([0, 2], type=pa.int32()),
+                    "name": ["zero", "two"]})
+    out = broadcast_lookup(facts, dim, key="nk", dim_key="nk") \
+        .to_pandas().sort_values("v").reset_index(drop=True)
+    assert list(out["name"]) == ["two", None, "zero"]

@@ -111,3 +111,15 @@ def test_distributed_media_pipeline(ray_session):
     # stride-2 sampling of 3..7-frame videos → 2..4 frames per video
     assert all(2 <= r["n_frames"] <= 4 for r in rows)
     assert all(0.0 <= r["avg_frame_mean"] <= 255.0 for r in rows)
+
+
+def test_audio_auto_sniffs_fake_payloads():
+    """`auto` resolves to `real` (stdlib wave always imports), but FAUD
+    fake payloads must still decode — per-blob magic sniff, consistent
+    with how image/video auto degrades (ADVICE round 2)."""
+    stage = AudioFeatures(backend="auto")
+    assert stage.backend == "real"
+    out = stage(_tbl("audio",
+                     [make_fake_audio(8000, sample_rate=8000)])).to_pylist()[0]
+    assert out["sample_rate"] == 8000
+    assert out["duration_s"] == pytest.approx(1.0)
