@@ -634,6 +634,50 @@ def q_event_value_quantiles_tdigest(sf_dir: str, *, delta: int = 128):
                 delta=delta), batch_format="pyarrow"))
 
 
+def q_event_user_reach_hll(sf_dir: str, *, p: int = 12):
+    """Approximate distinct-count per group via HyperLogLog — the mergeable
+    companion to the exact ``event_user_reach``: register arrays (2^p bytes)
+    build per key per batch and merge by elementwise max, so the exchange
+    carries O(2^p) per key per batch and NO stage depends on group size.
+    Register state is independent of how values are batched → fully
+    deterministic output regardless of parallelism; error ≈ 1.04/√2^p
+    (~1.6 % at p=12), accuracy-bounded in tests/test_sketch.py."""
+    from ..stages.sketch import PartialHLL, merge_hll_in_group
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                               columns=["event_type", "user_id"])
+    return (ds.map_batches(PartialHLL(key_col="event_type",
+                                      value_col="user_id", p=p),
+                           batch_format="pyarrow", batch_size=4096)
+            .groupby("event_type")
+            .map_groups(functools.partial(
+                merge_hll_in_group, key_col="event_type", p=p,
+                out_col="approx_users"), batch_format="pyarrow"))
+
+
+def q_top_terms_sketch(sf_dir: str, *, k: int = 10, capacity: int = 256):
+    """Approximate heavy-hitter terms via mergeable Misra-Gries summaries:
+    one ≤capacity-counter partial per postings batch (map-side), a
+    ``map_batches`` tree-combine level bounding the final merge's fan-in,
+    then ONE single-group compaction → deterministic ``(item, est_count,
+    err_bound)`` top-k.  No term-keyed shuffle at all — the exchange moves
+    only summary rows — vs the exact ``top_terms``' full groupby(term).
+    est_count is a lower bound within n/(capacity+1) of truth; guaranteed
+    to contain every item with true share > 1/(capacity+1)."""
+    from ..stages.sketch import PartialMG, combine_mg_rows, mg_topk_in_group
+    return (_docs(sf_dir, ["doc_id", "text"])
+            .map_batches(TokenizePostings(), batch_format="pyarrow")
+            .map_batches(PartialMG(item_col="term", weight_col="tf",
+                                   capacity=capacity),
+                         batch_format="pyarrow", batch_size=4096)
+            .map_batches(functools.partial(combine_mg_rows,
+                                           capacity=capacity),
+                         batch_format="pyarrow", batch_size=64)
+            .groupby("g")
+            .map_groups(functools.partial(mg_topk_in_group, k=k,
+                                          capacity=capacity),
+                        batch_format="pyarrow"))
+
+
 def q_event_user_reach(sf_dir: str):
     """Exact distinct-count per group (users reached per event type):
     two-level aggregation — dedup on the composite key first (map-side
@@ -1386,6 +1430,8 @@ QUERIES = {
     "event_value_quantiles": q_event_value_quantiles,
     "event_value_quantiles_tdigest": q_event_value_quantiles_tdigest,
     "event_user_reach": q_event_user_reach,
+    "event_user_reach_hll": q_event_user_reach_hll,
+    "top_terms_sketch": q_top_terms_sketch,
     "top_users_per_type": q_top_users_per_type,
     "embedding_neardup": q_embedding_neardup,
     "ivf_topk": q_ivf_topk,
@@ -1426,7 +1472,8 @@ ORACLE_SQL = {
     "lang_id_counts": _sql_lang_id_counts(),
     "fingerprints": SQL_FINGERPRINTS,
     # minhash_neardup / simhash_neardup / embedding_neardup / ivf_topk /
-    # media_frame_stats / event_value_quantiles_tdigest: seeded-signature
+    # media_frame_stats / event_value_quantiles_tdigest /
+    # event_user_reach_hll / top_terms_sketch: seeded-signature
     # LSH candidate generation or approximate / media / sketch pipelines —
     # not SQL-expressible → rows-only driver check (SURVEY §5 item 4);
     # recall, accuracy-bound and golden-value pytest coverage in

@@ -178,3 +178,273 @@ def merge_digests_in_group(group: pa.Table, *, key_col: str,
         cols[name] = pa.array([round(float(d.quantile(q)[0]), 6)],
                               type=pa.float64())
     return pa.table(cols)
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog distinct-count sketch (Flajolet et al. 2007; public algorithm)
+# ---------------------------------------------------------------------------
+
+def _splitmix64(x: np.ndarray) -> np.ndarray:
+    """Vectorized splitmix64 finalizer (public domain) — turns raw int keys
+    into well-mixed uint64s for register/rank extraction."""
+    err = np.seterr(over="ignore")
+    try:
+        z = x.astype(np.uint64) + np.uint64(0x9E3779B97F4A7C15)
+        z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+        z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+        return z ^ (z >> np.uint64(31))
+    finally:
+        np.seterr(**err)
+
+
+def _bit_length_u64(w: np.ndarray) -> np.ndarray:
+    """Vectorized bit length of uint64 values (no float round-trip — exact
+    past 2^53 where log2 is not)."""
+    bl = np.zeros(w.shape, dtype=np.int64)
+    w = w.copy()
+    for shift in (32, 16, 8, 4, 2, 1):
+        s = np.uint64(shift)
+        big = w >= (np.uint64(1) << s)
+        bl[big] += shift
+        w[big] >>= s
+    bl[w > 0] += 1
+    return bl
+
+
+class HyperLogLog:
+    """Fixed 2^p uint8 register array; add is one vectorized
+    ``np.maximum.at``, merge is elementwise max (order-independent by
+    construction).  Standard error ≈ 1.04/√(2^p): p=12 → ~1.6 %."""
+
+    __slots__ = ("p", "m", "registers")
+
+    def __init__(self, p: int = 12, registers: np.ndarray | None = None):
+        self.p = p
+        self.m = 1 << p
+        self.registers = registers if registers is not None \
+            else np.zeros(self.m, dtype=np.uint8)
+
+    def add_hashes(self, h: np.ndarray) -> "HyperLogLog":
+        if h.size == 0:
+            return self
+        h = _splitmix64(h)
+        idx = (h >> np.uint64(64 - self.p)).astype(np.int64)
+        rest = (h << np.uint64(self.p)) >> np.uint64(self.p)
+        rank = ((64 - self.p) - _bit_length_u64(rest) + 1).astype(np.uint8)
+        np.maximum.at(self.registers, idx, rank)
+        return self
+
+    def merge(self, other: "HyperLogLog") -> "HyperLogLog":
+        np.maximum(self.registers, other.registers, out=self.registers)
+        return self
+
+    def estimate(self) -> float:
+        m = float(self.m)
+        alpha = 0.7213 / (1.0 + 1.079 / m)
+        est = alpha * m * m / np.sum(np.exp2(-self.registers.astype(np.float64)))
+        zeros = int(np.count_nonzero(self.registers == 0))
+        if est <= 2.5 * m and zeros:
+            est = m * np.log(m / zeros)       # linear counting regime
+        return float(est)
+
+
+class PartialHLL:
+    """``map_batches`` callable: ``(key, value)`` batch → one serialized HLL
+    register row per key per batch; the groupby shuffles 2^p bytes per key
+    per batch instead of raw values.  ``value_hash`` pre-hashes the value
+    column (int64 passthrough or FNV for strings)."""
+
+    def __init__(self, *, key_col: str, value_col: str, p: int = 12):
+        self.key_col = key_col
+        self.value_col = value_col
+        self.p = p
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..functions.hashing import fnv1a64_array
+        keys = batch[self.key_col].to_numpy(zero_copy_only=False)
+        col = batch[self.value_col]
+        if pa.types.is_string(col.type) or pa.types.is_large_string(col.type):
+            vals = fnv1a64_array(col).astype(np.uint64)
+        else:
+            vals = col.to_numpy(zero_copy_only=False).astype(np.uint64)
+        order = np.argsort(keys, kind="stable")
+        keys, vals = keys[order], vals[order]
+        bounds = np.flatnonzero(np.r_[True, keys[1:] != keys[:-1]])
+        out_k, out_r = [], []
+        for i, s in enumerate(bounds):
+            e = bounds[i + 1] if i + 1 < bounds.size else keys.size
+            out_k.append(keys[s])
+            out_r.append(HyperLogLog(self.p).add_hashes(vals[s:e])
+                         .registers.tobytes())
+        return pa.table({
+            self.key_col: pa.array(out_k, type=batch[self.key_col].type),
+            "hll": pa.array(out_r, type=pa.binary()),
+        })
+
+
+def merge_hll_in_group(group: pa.Table, *, key_col: str,
+                       p: int = 12, out_col: str = "approx_distinct"
+                       ) -> pa.Table:
+    """``groupby(key).map_groups`` over partial-HLL rows → one estimate per
+    key (register max over partials; any merge order gives the same
+    registers)."""
+    h = HyperLogLog(p)
+    for blob in group["hll"].to_pylist():
+        h.merge(HyperLogLog(p, np.frombuffer(blob, dtype=np.uint8).copy()))
+    return pa.table({key_col: group[key_col].slice(0, 1),
+                     out_col: pa.array([int(round(h.estimate()))],
+                                       type=pa.int64())})
+
+
+# ---------------------------------------------------------------------------
+# Misra-Gries heavy hitters (Misra & Gries 1982; mergeable summaries per
+# Agarwal et al. 2013 — both public algorithms)
+# ---------------------------------------------------------------------------
+
+def _mg_compact(items: np.ndarray, counts: np.ndarray, capacity: int
+                ) -> tuple[np.ndarray, np.ndarray]:
+    """Sum duplicate items, then apply the Misra-Gries decrement: subtract
+    the (capacity+1)-th largest count and drop non-positive counters.
+    Canonical item sort → order-independent merges."""
+    order = np.argsort(items, kind="stable")
+    items, counts = items[order], counts[order]
+    b = np.flatnonzero(np.r_[True, items[1:] != items[:-1]])
+    items = items[b]
+    counts = np.add.reduceat(counts, b)
+    if items.size > capacity:
+        kth = np.partition(counts, items.size - capacity - 1)[
+            items.size - capacity - 1]
+        keep = counts > kth
+        items, counts = items[keep], counts[keep] - kth
+    return items, counts
+
+
+class MisraGries:
+    """Heavy-hitter summary over int64 items: counts are LOWER bounds with
+    error ≤ n/capacity; items with true frequency > n/capacity are
+    guaranteed present (the ε-heavy hitters)."""
+
+    __slots__ = ("capacity", "items", "counts", "n")
+
+    def __init__(self, capacity: int = 256):
+        self.capacity = capacity
+        self.items = np.zeros(0, dtype=np.int64)
+        self.counts = np.zeros(0, dtype=np.int64)
+        self.n = 0
+
+    def add(self, items: np.ndarray) -> "MisraGries":
+        if items.size == 0:
+            return self
+        self.n += int(items.size)
+        u, c = np.unique(items.astype(np.int64), return_counts=True)
+        self.items, self.counts = _mg_compact(
+            np.concatenate([self.items, u]),
+            np.concatenate([self.counts, c]), self.capacity)
+        return self
+
+    @classmethod
+    def merge_all(cls, parts: list["MisraGries"], capacity: int = 256
+                  ) -> "MisraGries":
+        """ONE compaction over every partial's counters — merge order can't
+        matter because there is no pairwise merge chain."""
+        m = cls(capacity)
+        if not parts:
+            return m
+        m.n = sum(p.n for p in parts)
+        m.items, m.counts = _mg_compact(
+            np.concatenate([p.items for p in parts]),
+            np.concatenate([p.counts for p in parts]), capacity)
+        return m
+
+    def top_k(self, k: int) -> tuple[np.ndarray, np.ndarray]:
+        order = np.lexsort((self.items, -self.counts))[:k]
+        return self.items[order], self.counts[order]
+
+
+class PartialMG:
+    """``map_batches`` callable over ``(item, weight)`` rows (e.g. postings
+    ``(term, tf)``) → ONE partial-summary row per batch: surviving counter
+    ``(hash, count)`` pairs plus the item strings they decode to (≤
+    ``capacity`` entries, so the carried strings are bounded).  Weighted
+    Misra-Gries: a counter absorbs the row's full weight; the compaction
+    decrement keeps the ≤ n/capacity error bound."""
+
+    def __init__(self, *, item_col: str, weight_col: str | None = None,
+                 capacity: int = 256):
+        self.item_col = item_col
+        self.weight_col = weight_col
+        self.capacity = capacity
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..functions.hashing import fnv1a64_array
+        items = batch[self.item_col]
+        h = fnv1a64_array(items).astype(np.int64)
+        w = (batch[self.weight_col].to_numpy(zero_copy_only=False)
+             .astype(np.int64) if self.weight_col is not None
+             else np.ones(batch.num_rows, dtype=np.int64))
+        order = np.argsort(h, kind="stable")
+        hs, ws = h[order], w[order]
+        b = np.flatnonzero(np.r_[True, hs[1:] != hs[:-1]])
+        uh = hs[b]
+        uc = np.add.reduceat(ws, b)
+        first_row = order[b]                  # a representative row per hash
+        kh, kc = _mg_compact(uh, uc, self.capacity)
+        # decode surviving hashes back to item strings via the batch rows
+        pos = first_row[np.searchsorted(uh, kh)]
+        terms = items.take(pa.array(pos))
+        return pa.table({
+            "g": pa.array([0], type=pa.int32()),
+            "mg_hash": pa.array([kh.tolist()], type=pa.list_(pa.int64())),
+            "mg_count": pa.array([kc.tolist()], type=pa.list_(pa.int64())),
+            "mg_item": pa.array([terms.to_pylist()],
+                                type=pa.list_(pa.string())),
+            "mg_n": pa.array([int(w.sum())], type=pa.int64()),
+        })
+
+
+def combine_mg_rows(batch: pa.Table, *, capacity: int = 256) -> pa.Table:
+    """Intermediate combiner over partial-summary rows (``map_batches`` with
+    a row-count batch size): merges up to ``batch_size`` partials into one —
+    the tree level that keeps the FINAL single-group merge's input bounded
+    at web scale (partials per corpus / batch_size, each ≤ capacity
+    entries)."""
+    if batch.num_rows <= 1:
+        return batch
+    hs = np.concatenate([np.asarray(x, dtype=np.int64)
+                         for x in batch["mg_hash"].to_pylist()])
+    cs = np.concatenate([np.asarray(x, dtype=np.int64)
+                         for x in batch["mg_count"].to_pylist()])
+    names: dict[int, str] = {}
+    for row_h, row_t in zip(batch["mg_hash"].to_pylist(),
+                            batch["mg_item"].to_pylist()):
+        names.update(zip(row_h, row_t))
+    kh, kc = _mg_compact(hs, cs, capacity)
+    return pa.table({
+        "g": pa.array([0], type=pa.int32()),
+        "mg_hash": pa.array([kh.tolist()], type=pa.list_(pa.int64())),
+        "mg_count": pa.array([kc.tolist()], type=pa.list_(pa.int64())),
+        "mg_item": pa.array([[names[h] for h in kh.tolist()]],
+                            type=pa.list_(pa.string())),
+        "mg_n": pa.array([int(batch["mg_n"].to_numpy().sum())],
+                         type=pa.int64()),
+    })
+
+
+def mg_topk_in_group(group: pa.Table, *, k: int, capacity: int = 256
+                     ) -> pa.Table:
+    """Final ``groupby('g').map_groups``: one compaction over all (already
+    tree-combined) partials, then deterministic top-k by
+    ``(-count, item)`` → ``(item, est_count, err_bound)``.  ``est_count``
+    is a LOWER bound; the true count is within ``err_bound`` above it."""
+    merged = combine_mg_rows(group, capacity=capacity)
+    hs = np.asarray(merged["mg_hash"][0].as_py(), dtype=np.int64)
+    cs = np.asarray(merged["mg_count"][0].as_py(), dtype=np.int64)
+    ts = np.asarray(merged["mg_item"][0].as_py(), dtype=object)
+    n = int(merged["mg_n"][0].as_py())
+    order = np.lexsort((ts, -cs))[:k]
+    return pa.table({
+        "item": pa.array(ts[order].tolist(), type=pa.string()),
+        "est_count": pa.array(cs[order], type=pa.int64()),
+        "err_bound": pa.array([n // (capacity + 1)] * order.size,
+                              type=pa.int64()),
+    })

@@ -36,6 +36,12 @@ GOLDEN = {
     # order-independent merge (stages/sketch.py merge_all)
     "event_value_quantiles_tdigest":
         "2966d73c0644bdc0f3988c4ceb9b5597ee860879a7d0e89236f28c76348900eb",
+    # HLL registers are a pointwise max → batching-invariant
+    "event_user_reach_hll":
+        "1cc01782fe40e84debdcaf1459d4376ed1e96a22012cb928e72f1532a6880851",
+    # deterministic batching + one order-independent final compaction
+    "top_terms_sketch":
+        "a7b6f7b275c46e5c6ab2d997da82f0fd966bd2bdddc61a99675af8d3ad13cc19",
 }
 
 

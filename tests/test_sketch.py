@@ -107,3 +107,94 @@ def test_exact_quantiles_group_cap_enforced(ray_session):
     with pytest.raises(Exception, match="max_group_rows"):
         q_event_value_quantiles("/root/testdata/sf0.001",
                                 max_group_rows=1).to_pandas()
+
+
+# ---- HyperLogLog ----
+
+def test_hll_accuracy():
+    from search_engine_ray.stages.sketch import HyperLogLog
+    rng = np.random.RandomState(5)
+    vals = rng.randint(0, 2**62, size=100_000).astype(np.uint64)
+    n_true = np.unique(vals).size
+    est = HyperLogLog(p=12).add_hashes(vals).estimate()
+    assert abs(est - n_true) / n_true < 0.05
+
+
+def test_hll_batching_invariant():
+    """Registers are a pointwise max — ANY chunking yields the same
+    state (this is why the pipeline output is deterministic)."""
+    from search_engine_ray.stages.sketch import HyperLogLog
+    rng = np.random.RandomState(6)
+    vals = rng.randint(0, 2**62, size=50_000).astype(np.uint64)
+    one = HyperLogLog().add_hashes(vals)
+    parts = HyperLogLog()
+    for chunk in np.array_split(vals, 17):
+        parts.merge(HyperLogLog().add_hashes(chunk))
+    assert np.array_equal(one.registers, parts.registers)
+
+
+def test_hll_small_range_linear_counting():
+    from search_engine_ray.stages.sketch import HyperLogLog
+    vals = np.arange(200, dtype=np.uint64)
+    est = HyperLogLog().add_hashes(vals).estimate()
+    assert abs(est - 200) <= 6       # linear-counting regime: near exact
+
+
+def test_hll_pipeline_close_to_exact(ray_session):
+    from search_engine_ray.pipelines.queries import (
+        q_event_user_reach, q_event_user_reach_hll)
+    sf = "/root/testdata/sf0.001"
+    exact = q_event_user_reach(sf).to_pandas() \
+        .set_index("event_type").sort_index()["n_users"]
+    approx = q_event_user_reach_hll(sf).to_pandas() \
+        .set_index("event_type").sort_index()["approx_users"]
+    assert list(exact.index) == list(approx.index)
+    assert ((exact - approx).abs() / exact).max() < 0.05
+
+
+# ---- Misra-Gries ----
+
+def test_mg_heavy_hitters_guaranteed():
+    from search_engine_ray.stages.sketch import MisraGries
+    rng = np.random.RandomState(7)
+    # zipf-ish: item i appears ~ 10000/i times
+    items = np.concatenate([np.full(10_000 // (i + 1), i)
+                            for i in range(500)])
+    rng.shuffle(items)
+    mg = MisraGries(capacity=64)
+    for chunk in np.array_split(items, 23):
+        mg.add(chunk)
+    top, counts = mg.top_k(5)
+    true = {i: 10_000 // (i + 1) for i in range(5)}
+    assert set(top) == set(true)                 # heavy head always kept
+    for it, c in zip(top, counts):
+        assert c <= true[int(it)]                # lower bound
+        assert true[int(it)] - c <= mg.n // 64   # within error budget
+
+
+def test_mg_merge_order_independent():
+    from search_engine_ray.stages.sketch import MisraGries
+    rng = np.random.RandomState(8)
+    parts = []
+    for _ in range(6):
+        p = MisraGries(capacity=32)
+        p.add(rng.zipf(1.5, size=5000).astype(np.int64))
+        parts.append(p)
+    a = MisraGries.merge_all(parts, 32)
+    b = MisraGries.merge_all(parts[::-1], 32)
+    assert np.array_equal(a.items, b.items)
+    assert np.array_equal(a.counts, b.counts)
+
+
+def test_mg_pipeline_matches_exact_head(ray_session):
+    """On the zipf-headed synthetic corpus the MG top-10 must equal the
+    exact top-10 (head counts ≫ n/capacity error)."""
+    from search_engine_ray.pipelines.queries import (
+        q_top_terms, q_top_terms_sketch)
+    sf = "/root/testdata/sf0.001"
+    exact = q_top_terms(sf, 10).to_pandas()
+    approx = q_top_terms_sketch(sf).to_pandas()
+    assert list(approx["item"]) == list(exact["term"])
+    assert (approx["est_count"] <= exact["total_tf"]).all()
+    assert ((exact["total_tf"] - approx["est_count"])
+            <= approx["err_bound"]).all()
