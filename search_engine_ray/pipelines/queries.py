@@ -1178,6 +1178,33 @@ def q_minhash_neardup(sf_dir: str, *, threshold: float = 0.5):
                      "jaccard": pa.array(np.round(jac[order], 6))})
 
 
+def q_minhash_dedup_keep(sf_dir: str, *, threshold: float = 0.5):
+    """Cluster-level near-dup removal — the step after pair generation that
+    a production dedup actually ships: verified minhash pairs →
+    distributed connected components (min-label propagation over bucketed
+    joins, ``stages/graph.py``) → keep one representative (min docID) per
+    duplicate CLUSTER, so transitive duplicates (A~B, B~C, A≁C) still
+    collapse to one survivor.  Non-keepers (pair-graph nodes whose
+    component label isn't their own id) broadcast as a single hash set —
+    bounded by the near-duplicate count; at adversarial dup rates switch
+    the final filter to a bucketed anti-join with the same key hash."""
+    from ..stages.graph import connected_components
+    comps = connected_components(q_minhash_neardup(sf_dir,
+                                                   threshold=threshold))
+    node = comps["node"].to_numpy(zero_copy_only=False)
+    comp = comps["component"].to_numpy(zero_copy_only=False)
+    drop = ray.put(node[node != comp])          # non-representatives
+
+    def keep(t: pa.Table) -> pa.Table:
+        d = ray.get(drop)
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        return t.filter(pa.array(~np.isin(ids, d)))
+
+    return (_docs(sf_dir, ["doc_id", "n_chars"])
+            .map_batches(keep, batch_format="pyarrow")
+            .sort("doc_id"))
+
+
 def q_simhash_neardup(sf_dir: str, *, max_hamming: int = 3):
     """SimHash near-dup: 4×16-bit chunk tables → candidate pairs → exact
     Hamming verification."""
@@ -1420,6 +1447,7 @@ QUERIES = {
     "binary_payload_stats": q_binary_payload_stats,
     "bm25_topk": q_bm25_topk,
     "minhash_neardup": q_minhash_neardup,
+    "minhash_dedup_keep": q_minhash_dedup_keep,
     "simhash_neardup": q_simhash_neardup,
     "knn_topk": q_knn_topk,
     "events_tumbling": q_events_tumbling,

@@ -18,6 +18,9 @@ SF = "/root/testdata/sf0.001"
 GOLDEN = {
     "minhash_neardup":
         "61b92dc10187a18842eb81eafef679d773d63d07d25ab3e4dbc32f3139c12042",
+    # minhash pairs → connected components → min-docID survivor per cluster
+    "minhash_dedup_keep":
+        "e07130fabccefd56eb364d18dd24c3f6270f6982d326ca202cac72beec5bdba6",
     "simhash_neardup":
         "6312a4dbcf618ff8fa4f98a08b20190f771de80da19626d3558e3135cf0835de",
     "embedding_neardup":
