@@ -33,6 +33,12 @@ from ..state import checkpoint as ckpt
 from ..state.checkpoint import IndexConfig
 
 
+def _load_dict_task(docstore_dir: str, shard: int):
+    """Remote body: one shard-dictionary load, result broadcast by ref."""
+    from ..stages.postings import load_shard_dict
+    return load_shard_dict(docstore_dir, shard)
+
+
 class _MergePartition:
     """map_batches callable over a table of ``part`` ids: merges one
     partition per input row.
@@ -43,16 +49,33 @@ class _MergePartition:
     local↔global remap lives entirely inside the per-partition task."""
 
     def __init__(self, index_dirs: list[str], out_dir: str, n_buckets: int,
-                 doc_id_offsets: list[int] | None):
+                 doc_id_offsets: list[int] | None,
+                 dict_refs: dict | None = None):
         self.index_dirs = index_dirs
         self.out_dir = out_dir
         self.n_buckets = n_buckets
         self.offsets = doc_id_offsets
+        # (rank, shard) -> ObjectRef of that input's shard dictionary
+        # (rank -1 = the merged output).  Loaded ONCE per (dir, shard) by
+        # parallel tasks and broadcast via the object store — without this,
+        # every partition task re-reads every input's shard dict
+        # (K+1 dataset-discovery-bound parquet reads x n_partitions; 94% of
+        # merge task time in the 1.6M-doc profile).  A task only fetches
+        # the dicts of the ONE shard its partitions belong to, so per-task
+        # memory stays O(corpus / n_doc_shards).
+        self.dict_refs = dict_refs or {}
+
+    def _dict_for(self, rank: int, shard: int):
+        ref = self.dict_refs.get((rank, shard))
+        if ref is not None:
+            return ray.get(ref)
+        from ..stages.postings import load_shard_dict
+        d = self.out_dir if rank < 0 else self.index_dirs[rank]
+        return load_shard_dict(ckpt.docstore_dir(d), shard)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         import json
         import uuid as uuidlib
-        from ..stages.postings import load_shard_dict
         out_rows = []
         for part in batch["part"].to_pylist():
             shard, bucket = ckpt.split_part(part, self.n_buckets)
@@ -63,9 +86,8 @@ class _MergePartition:
                 if os.path.exists(path):
                     segs.append(pq.read_table(path))
                     offsets.append(self.offsets[rank] if self.offsets else 0)
-                    in_dicts.append(
-                        load_shard_dict(ckpt.docstore_dir(d), shard))
-            out_dict = load_shard_dict(ckpt.docstore_dir(self.out_dir), shard)
+                    in_dicts.append(self._dict_for(rank, shard))
+            out_dict = self._dict_for(-1, shard)
             merged = merge_segment_tables(segs, offsets if any(offsets) else None,
                                           in_dicts=in_dicts, out_dict=out_dict)
             part_dir = os.path.join(self.out_dir, "segments",
@@ -158,12 +180,23 @@ def merge_indexes(index_dirs: list[str], out_dir: str, *,
 
     pending = ckpt.pending_partitions(out_dir, cfg)
     if pending:
+        # shard dictionaries: load each (dir, shard) ONCE in parallel tasks
+        # and broadcast the refs (see _MergePartition.dict_refs)
+        load = ray.remote(num_cpus=1)(_load_dict_task)
+        dict_refs = {}
+        for shard in range(cfg.n_doc_shards):
+            for rank, d in enumerate(index_dirs):
+                dict_refs[(rank, shard)] = load.remote(
+                    ckpt.docstore_dir(d), shard)
+            dict_refs[(-1, shard)] = load.remote(
+                ckpt.docstore_dir(out_dir), shard)
+
         # one block per partition → one merge task per partition
         parts = ray.data.from_arrow(
             pa.table({"part": pa.array(pending, type=pa.int32())})) \
             .repartition(len(pending))
         worker = _MergePartition(index_dirs, out_dir, cfg.n_buckets,
-                                 doc_id_offsets)
+                                 doc_id_offsets, dict_refs)
         parts.map_batches(worker, batch_format="pyarrow",
                           batch_size=1).materialize()
 
