@@ -1046,6 +1046,140 @@ FROM documents
 """
 
 
+def q_pii_scrub(sf_dir: str):
+    """PII / blocklist scrubbing (training-data hygiene operator): per-doc
+    match counts for email / IPv4 / long-digit-run / blocklist-term
+    patterns plus the fully redacted text.  One stateless ``map_batches``
+    of RE2 kernels — embarrassingly parallel, no shuffle."""
+    from ..stages.textstats import PIIScrub
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        PIIScrub(), batch_format="pyarrow")
+
+
+def _sql_pii_scrub() -> str:
+    from ..stages.textstats import PII_PATTERNS
+    counts = ",\n       ".join(
+        f"len(regexp_extract_all(text, '{pat}'))::BIGINT AS {name}"
+        for name, pat, _ in PII_PATTERNS)
+    redacted = "text"
+    for _, pat, repl in PII_PATTERNS:
+        redacted = f"regexp_replace({redacted}, '{pat}', '{repl}', 'g')"
+    return f"""
+SELECT doc_id,
+       {counts},
+       {redacted} AS clean_text
+FROM documents
+"""
+
+
+def q_repetition_stats(sf_dir: str):
+    """Gopher-style repetition scoring: whitespace-token total/distinct
+    counts, duplicate-token fraction, top-token fraction per doc."""
+    from ..stages.textstats import RepetitionStats
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        RepetitionStats(), batch_format="pyarrow")
+
+
+SQL_REPETITION_STATS = r"""
+WITH tok AS (
+  SELECT doc_id, unnest(regexp_extract_all(text, '\S+')) AS w
+  FROM documents),
+cnt AS (SELECT doc_id, w, count(*) AS c FROM tok GROUP BY 1, 2),
+agg AS (SELECT doc_id, sum(c) AS n_tokens, count(*) AS n_unique,
+               max(c) AS top_c
+        FROM cnt GROUP BY 1)
+SELECT d.doc_id,
+       coalesce(a.n_tokens, 0)::BIGINT AS n_tokens,
+       coalesce(a.n_unique, 0)::BIGINT AS n_unique,
+       round(coalesce((a.n_tokens - a.n_unique) * 1.0 / a.n_tokens, 0), 6)
+         AS dup_frac,
+       round(coalesce(a.top_c * 1.0 / a.n_tokens, 0), 6) AS top_frac
+FROM documents d LEFT JOIN agg a USING (doc_id)
+"""
+
+
+# thresholds picked to split the synthetic corpus non-trivially; rounded
+# values are compared so the Ray and SQL filters see identical floats
+REPETITION_MAX_DUP, REPETITION_MAX_TOP = 0.6, 0.12
+
+
+def q_repetition_filter(sf_dir: str):
+    """The repetition FILTER step: keep docs whose duplicate-token and
+    top-token fractions pass the Gopher-style gates."""
+    return (q_repetition_stats(sf_dir)
+            .filter(expr=f"dup_frac <= {REPETITION_MAX_DUP} and "
+                         f"top_frac <= {REPETITION_MAX_TOP}")
+            .select_columns(["doc_id", "n_tokens", "dup_frac"]))
+
+
+SQL_REPETITION_FILTER = (
+    f"WITH scored AS ({SQL_REPETITION_STATS}) "
+    f"SELECT doc_id, n_tokens, dup_frac FROM scored "
+    f"WHERE dup_frac <= {REPETITION_MAX_DUP} "
+    f"AND top_frac <= {REPETITION_MAX_TOP}")
+
+
+def q_props_json_stats(sf_dir: str):
+    """JSON-sidecar extraction (web pipelines carry per-record JSON
+    metadata): pull the integer ``k`` field out of ``events.props`` with a
+    vectorized RE2 extract, aggregate per event type."""
+    ev = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                               columns=["event_type", "props"])
+
+    def ext(t: pa.Table) -> pa.Table:
+        m = pc.extract_regex(t["props"], r'"k": (?P<k>[0-9]+)')
+        k = pc.struct_field(m, "k").cast(pa.int64())
+        out = pa.table({"event_type": t["event_type"], "k": k})
+        return out.filter(pc.is_valid(k))
+
+    out = (ev.map_batches(ext, batch_format="pyarrow")
+           .groupby("event_type")
+           .aggregate(Count(), Sum("k"), Max("k"), Mean("k"))
+           .rename_columns({"count()": "n_events", "sum(k)": "sum_k",
+                            "max(k)": "max_k", "mean(k)": "avg_k"}))
+    return out.map_batches(functools.partial(_round_col, col="avg_k"),
+                           batch_format="pyarrow")
+
+
+SQL_PROPS_JSON_STATS = r"""
+SELECT event_type,
+       count(*)::BIGINT AS n_events,
+       sum(k)::BIGINT AS sum_k,
+       max(k)::BIGINT AS max_k,
+       round(avg(k), 6) AS avg_k
+FROM (SELECT event_type,
+             CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT) AS k
+      FROM events
+      WHERE regexp_matches(props, '"k": [0-9]+'))
+GROUP BY event_type
+"""
+
+
+# Knuth multiplicative hash (public domain); 20% keep rate
+SAMPLE_MULT, SAMPLE_PCT = 2654435761, 20
+_SAMPLE_CUT = SAMPLE_PCT * (1 << 32) // 100
+
+
+def q_doc_sample_hash(sf_dir: str):
+    """Deterministic hash-based corpus sampling (reproducible experiment
+    subsets): keep docs whose Knuth-multiplicative docID hash lands under
+    the rate cutoff.  Stateless vectorized filter — the same rows survive
+    at any parallelism, batch size, or run count."""
+    def samp(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        keep = (ids * np.uint64(SAMPLE_MULT)) % np.uint64(1 << 32) \
+            < np.uint64(_SAMPLE_CUT)
+        return t.filter(pa.array(keep))
+    return _docs(sf_dir, ["doc_id", "n_chars"]).map_batches(
+        samp, batch_format="pyarrow")
+
+
+SQL_DOC_SAMPLE_HASH = f"""
+SELECT doc_id, n_chars FROM documents
+WHERE (doc_id::HUGEINT * {SAMPLE_MULT}) % 4294967296 < {_SAMPLE_CUT}
+"""
+
+
 def q_nation_order_stats(sf_dir: str):
     """Relational join showcase at both scale shapes (SURVEY §2.4 J-class):
     orders ⋈ customer is a LARGE⋈LARGE hash-partitioned equi-join
@@ -1443,6 +1577,11 @@ QUERIES = {
     "user_activity": q_user_activity,
     "lineitem_pricing": q_lineitem_pricing,
     "token_counts": q_token_counts,
+    "pii_scrub": q_pii_scrub,
+    "repetition_stats": q_repetition_stats,
+    "repetition_filter": q_repetition_filter,
+    "props_json_stats": q_props_json_stats,
+    "doc_sample_hash": q_doc_sample_hash,
     "nation_order_stats": q_nation_order_stats,
     "binary_payload_stats": q_binary_payload_stats,
     "bm25_topk": q_bm25_topk,
@@ -1485,6 +1624,11 @@ ORACLE_SQL = {
     "user_activity": SQL_USER_ACTIVITY,
     "lineitem_pricing": SQL_LINEITEM_PRICING,
     "token_counts": SQL_TOKEN_COUNTS,
+    "pii_scrub": _sql_pii_scrub(),
+    "repetition_stats": SQL_REPETITION_STATS,
+    "repetition_filter": SQL_REPETITION_FILTER,
+    "props_json_stats": SQL_PROPS_JSON_STATS,
+    "doc_sample_hash": SQL_DOC_SAMPLE_HASH,
     "nation_order_stats": SQL_NATION_ORDER_STATS,
     "binary_payload_stats": SQL_BINARY_PAYLOAD_STATS,
     "events_tumbling": SQL_EVENTS_TUMBLING,

@@ -56,6 +56,97 @@ class QualityStats:
         })
 
 
+# PII / blocklist scrub patterns: (count_column, RE2 pattern, replacement).
+# Applied SEQUENTIALLY in this order; counts are taken on the ORIGINAL text.
+# Both Arrow (`pc.*_substring_regex`) and DuckDB use RE2, so the SQL oracle
+# reuses these literals verbatim.  The term blocklist row stands in for
+# secret/API-key scrub lists; email/IP/long-digit-run are the classic
+# web-corpus PII patterns.
+PII_PATTERNS: list[tuple[str, str, str]] = [
+    ("n_email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("n_ip", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    ("n_longnum", r"\b\d{6,}\b", "<NUM>"),
+    ("n_blockterm", r"\b(?:key|hash|secret)\b", "<TERM>"),
+]
+
+
+class PIIScrub:
+    """documents batch → per-doc PII/blocklist match counts + redacted text.
+
+    One vectorized RE2 count per pattern on the raw text, then the
+    replacements applied in sequence — all `pyarrow.compute` kernels, no
+    Python row loop.  Emitting the redacted text itself (rather than a
+    digest) lets the SQL oracle value-check the full rewrite.
+    """
+
+    def __init__(self, *, text_col: str = "text", id_col: str = "doc_id"):
+        self.text_col = text_col
+        self.id_col = id_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = pc.fill_null(batch[self.text_col], "")
+        cols: dict[str, pa.Array | pa.ChunkedArray] = {
+            "doc_id": batch[self.id_col].cast(pa.int64())}
+        clean = texts
+        for name, pat, repl in PII_PATTERNS:
+            cols[name] = pc.count_substring_regex(texts, pat).cast(pa.int64())
+            clean = pc.replace_substring_regex(clean, pat, repl)
+        cols["clean_text"] = clean
+        return pa.table(cols)
+
+
+class RepetitionStats:
+    """Gopher-style repetition scoring (Rae et al. 2021, public method):
+    per-doc whitespace-token count, distinct-token count, duplicate-token
+    fraction and top-token fraction.
+
+    Vectorized: tokens FNV-hashed, one ``np.lexsort`` over
+    ``(row, token_hash)`` per batch, run-length reductions for distinct and
+    top counts.  Distinctness is judged on 64-bit token hashes — a same-doc
+    collision (birthday bound ~n_tokens²/2⁶⁵ per doc) would overcount
+    duplication by one; negligible for real documents.
+    """
+
+    def __init__(self, *, text_col: str = "text", id_col: str = "doc_id"):
+        self.text_col = text_col
+        self.id_col = id_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        texts = pc.fill_null(batch[self.text_col], "")
+        lst = pc.split_pattern_regex(texts, r"\s+")
+        if isinstance(lst, pa.ChunkedArray):
+            lst = lst.combine_chunks()
+        flat = pc.list_flatten(lst)
+        lens = pc.list_value_length(lst).to_numpy(zero_copy_only=False)
+        row_idx = np.repeat(np.arange(n, dtype=np.int64), lens)
+        nonempty = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        row_idx = row_idx[nonempty]
+        n_tokens = np.bincount(row_idx, minlength=n).astype(np.int64)
+        n_unique = np.zeros(n, dtype=np.int64)
+        top = np.zeros(n, dtype=np.int64)
+        if row_idx.size:
+            h = fnv1a64_array(flat.filter(pa.array(nonempty)))
+            order = np.lexsort((h, row_idx))
+            ri, hs = row_idx[order], h[order]
+            new_run = np.r_[True, (ri[1:] != ri[:-1]) | (hs[1:] != hs[:-1])]
+            starts = np.flatnonzero(new_run)
+            n_unique = np.bincount(ri[starts], minlength=n).astype(np.int64)
+            run_len = np.diff(np.r_[starts, ri.size])
+            np.maximum.at(top, ri[starts], run_len)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            nt = n_tokens.astype(np.float64)
+            dup = np.where(n_tokens > 0, (nt - n_unique) * 1.0 / nt, 0.0)
+            topf = np.where(n_tokens > 0, top * 1.0 / nt, 0.0)
+        return pa.table({
+            "doc_id": batch[self.id_col].cast(pa.int64()),
+            "n_tokens": pa.array(n_tokens, type=pa.int64()),
+            "n_unique": pa.array(n_unique, type=pa.int64()),
+            "dup_frac": pa.array(np.round(dup, 6)),
+            "top_frac": pa.array(np.round(topf, 6)),
+        })
+
+
 # Small per-language stopword marker sets for the n-gram-free heuristic
 # language identifier (public-domain stopword lists).
 _LANG_MARKERS: dict[str, frozenset[str]] = {
