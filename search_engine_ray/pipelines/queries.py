@@ -1180,6 +1180,93 @@ WHERE (doc_id::HUGEINT * {SAMPLE_MULT}) % 4294967296 < {_SAMPLE_CUT}
 """
 
 
+# per-stratum sampling rates (percent); strata not listed use DEFAULT.
+# Shared verbatim by the Ray stage and the SQL oracle.
+STRATA_PCT: dict[str, int] = {"en": 10, "de": 40, "fr": 70}
+STRATA_DEFAULT_PCT = 100
+
+
+def q_stratified_sample(sf_dir: str):
+    """Stratified deterministic sampling: each language stratum keeps a
+    different fraction of its docs (downsample dominant languages, keep
+    all of the rare ones — the classic training-mix rebalance).  The keep
+    decision is the same Knuth-multiplicative docID hash as
+    ``doc_sample_hash`` compared against a PER-STRATUM cutoff, so it is
+    reproducible at any parallelism and needs no shuffle: one stateless
+    vectorized ``map_batches`` filter."""
+    langs = list(STRATA_PCT)
+    cuts = np.array([STRATA_PCT[l] * (1 << 32) // 100 for l in langs]
+                    + [STRATA_DEFAULT_PCT * (1 << 32) // 100], dtype=np.uint64)
+
+    def samp(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        li = pc.index_in(t["lang"], pa.array(langs)) \
+            .to_numpy(zero_copy_only=False)
+        li = np.where(np.isnan(li.astype(np.float64)), len(langs),
+                      li).astype(np.int64)
+        keep = (ids * np.uint64(SAMPLE_MULT)) % np.uint64(1 << 32) < cuts[li]
+        return t.filter(pa.array(keep))
+
+    return _docs(sf_dir, ["doc_id", "lang"]).map_batches(
+        samp, batch_format="pyarrow")
+
+
+def _sql_stratified_sample() -> str:
+    cases = " ".join(
+        f"WHEN '{l}' THEN {p * (1 << 32) // 100}"
+        for l, p in STRATA_PCT.items())
+    return f"""
+SELECT doc_id, lang FROM documents
+WHERE (doc_id::HUGEINT * {SAMPLE_MULT}) % 4294967296
+      < (CASE lang {cases} ELSE {STRATA_DEFAULT_PCT * (1 << 32) // 100} END)
+"""
+
+
+def q_dedup_incremental(sf_dir: str):
+    """Incremental dedup of a NEW batch against an EXISTING corpus (the
+    shape every recurring crawl-ingest pipeline needs): even docIDs stand
+    in for the already-ingested corpus, odd docIDs for the new batch.
+    Output = one keeper per distinct new text that does NOT already exist
+    in the corpus, plus its within-batch copy count.
+
+    Scale shape: ONE shuffle of 16-byte content hashes (no text moves, no
+    driver-side set).  Corpus and batch rows are tagged ``src`` (0=corpus,
+    1=new) and new rows carry their docID in ``new_id`` while corpus rows
+    carry an int64 sentinel, so plain vectorized ``Min``/``Sum`` aggregates
+    decide "hash unseen in corpus" and pick the keeper inside each group —
+    the same in-group-keeper idiom as ``q_dedup_keep``."""
+    _SENTINEL = (1 << 62)
+
+    def tag(t: pa.Table) -> pa.Table:
+        h = _content_hash_stage(t)
+        ids = h["doc_id"].to_numpy(zero_copy_only=False)
+        src = (ids % 2).astype(np.int64)          # 0 = corpus, 1 = new
+        new_id = np.where(src == 1, ids, _SENTINEL)
+        is_new = src
+        return pa.table({"h1": h["h1"], "h2": h["h2"],
+                         "src": pa.array(src), "new_id": pa.array(new_id),
+                         "is_new": pa.array(is_new)})
+
+    return (_docs(sf_dir, ["doc_id", "text"])
+            .map_batches(tag, batch_format="pyarrow")
+            .groupby(["h1", "h2"])
+            .aggregate(Min("src"), Min("new_id"), Sum("is_new"))
+            .rename_columns({"min(src)": "min_src",
+                             "min(new_id)": "doc_id",
+                             "sum(is_new)": "n_batch_copies"})
+            .filter(expr="min_src == 1")
+            .select_columns(["doc_id", "n_batch_copies"]))
+
+
+SQL_DEDUP_INCREMENTAL = """
+SELECT min(doc_id) AS doc_id, count(*) AS n_batch_copies
+FROM documents
+WHERE doc_id % 2 = 1
+  AND text NOT IN (SELECT text FROM documents WHERE doc_id % 2 = 0)
+GROUP BY text
+"""
+
+
 def q_nation_order_stats(sf_dir: str):
     """Relational join showcase at both scale shapes (SURVEY §2.4 J-class):
     orders ⋈ customer is a LARGE⋈LARGE hash-partitioned equi-join
@@ -1526,6 +1613,36 @@ def q_embedding_neardup(sf_dir: str, *, threshold: float = 0.35):
                                                     ("vec_b", "ascending")]))
 
 
+def q_url_host_stats(sf_dir: str | None = None, *, n_pages: int = 2000):
+    """Webtext URL analytics over the Common-Crawl-style pages corpus
+    (BASELINE.json ``input_hint`` schema): vectorized URL parse
+    (``stages/webtext.UrlParse``) then per-host crawl stats — page count,
+    first/last WARC fetch time, mean path depth.  (``sf_dir`` unused — the
+    driver testdata tables carry no URL column; the deterministic pages
+    corpus is the input the north rule names.)  Golden-pinned; RE2 parity
+    with DuckDB is unit-tested on crafted URLs in ``tests/test_webtext.py``."""
+    from ..sources.pages import synthesize_pages
+    from ..stages.webtext import UrlParse
+    pages_dir = synthesize_pages(n_pages, "/tmp/serx_pages_url_2k", seed=42)
+
+    def ts_to_us(t: pa.Table) -> pa.Table:
+        return t.set_column(t.schema.get_field_index("warc_ts"), "warc_ts",
+                            t["warc_ts"].cast(pa.int64()))
+
+    ds = (ray.data.read_parquet(pages_dir, columns=["url", "warc_ts"])
+          .map_batches(ts_to_us, batch_format="pyarrow")
+          .map_batches(UrlParse(keep=("warc_ts",)), batch_format="pyarrow")
+          .groupby("host")
+          .aggregate(Count(), Min("warc_ts"), Max("warc_ts"),
+                     Mean("path_depth"))
+          .rename_columns({"count()": "n_pages",
+                           "min(warc_ts)": "first_fetch_us",
+                           "max(warc_ts)": "last_fetch_us",
+                           "mean(path_depth)": "mean_depth"}))
+    return ds.map_batches(functools.partial(_round_col, col="mean_depth"),
+                          batch_format="pyarrow")
+
+
 def q_media_frame_stats(sf_dir: str | None = None, *, n_videos: int = 64):
     """Multimodal pipeline plumbing: deterministic fake videos → actor-pool
     frame sampling → per-frame image decode stats → per-video aggregate.
@@ -1582,6 +1699,8 @@ QUERIES = {
     "repetition_filter": q_repetition_filter,
     "props_json_stats": q_props_json_stats,
     "doc_sample_hash": q_doc_sample_hash,
+    "stratified_sample": q_stratified_sample,
+    "dedup_incremental": q_dedup_incremental,
     "nation_order_stats": q_nation_order_stats,
     "binary_payload_stats": q_binary_payload_stats,
     "bm25_topk": q_bm25_topk,
@@ -1604,6 +1723,7 @@ QUERIES = {
     "ivf_topk": q_ivf_topk,
     "lang_id_counts": q_lang_id_counts,
     "fingerprints": q_fingerprints,
+    "url_host_stats": q_url_host_stats,
     "media_frame_stats": q_media_frame_stats,
 }
 
@@ -1629,6 +1749,8 @@ ORACLE_SQL = {
     "repetition_filter": SQL_REPETITION_FILTER,
     "props_json_stats": SQL_PROPS_JSON_STATS,
     "doc_sample_hash": SQL_DOC_SAMPLE_HASH,
+    "stratified_sample": _sql_stratified_sample(),
+    "dedup_incremental": SQL_DEDUP_INCREMENTAL,
     "nation_order_stats": SQL_NATION_ORDER_STATS,
     "binary_payload_stats": SQL_BINARY_PAYLOAD_STATS,
     "events_tumbling": SQL_EVENTS_TUMBLING,
@@ -1644,7 +1766,7 @@ ORACLE_SQL = {
     "lang_id_counts": _sql_lang_id_counts(),
     "fingerprints": SQL_FINGERPRINTS,
     # minhash_neardup / simhash_neardup / embedding_neardup / ivf_topk /
-    # media_frame_stats / event_value_quantiles_tdigest /
+    # url_host_stats / media_frame_stats / event_value_quantiles_tdigest /
     # event_user_reach_hll / top_terms_sketch: seeded-signature
     # LSH candidate generation or approximate / media / sketch pipelines —
     # not SQL-expressible → rows-only driver check (SURVEY §5 item 4);

@@ -96,3 +96,39 @@ class TestDocSampleHash:
         b = sorted(q_doc_sample_hash(SF).to_pandas()["doc_id"])
         assert a == b
         assert 0.5 * SAMPLE_PCT / 100 < len(a) / 500 < 1.5 * SAMPLE_PCT / 100
+
+
+class TestStratifiedSample:
+    def test_per_stratum_rates(self, ray_session):
+        from search_engine_ray.pipelines.queries import (STRATA_PCT,
+                                                         q_stratified_sample)
+        df = q_stratified_sample(SF).to_pandas()
+        full = duckdb.sql(
+            f"SELECT lang, count(*) c FROM read_parquet('{SF}/documents.parquet')"
+            " GROUP BY lang").df().set_index("lang")["c"]
+        kept = df.groupby("lang").size()
+        for lang, pct in STRATA_PCT.items():
+            if lang in full.index and full[lang] >= 20:
+                rate = kept.get(lang, 0) / full[lang]
+                assert 0.4 * pct / 100 < rate < 2.0 * pct / 100, (lang, rate)
+        # subset-of-corpus + determinism
+        again = q_stratified_sample(SF).to_pandas()
+        assert sorted(df["doc_id"]) == sorted(again["doc_id"])
+
+
+class TestDedupIncremental:
+    def test_matches_bruteforce(self, ray_session):
+        import pyarrow.parquet as pq
+        from search_engine_ray.pipelines.queries import q_dedup_incremental
+        t = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+        ids = t["doc_id"].to_pylist()
+        texts = t["text"].to_pylist()
+        corpus = {x for i, x in zip(ids, texts) if i % 2 == 0}
+        want = {}
+        for i, x in zip(ids, texts):
+            if i % 2 == 1 and x not in corpus:
+                k, n = want.get(x, (1 << 62, 0))
+                want[x] = (min(k, i), n + 1)
+        got = q_dedup_incremental(SF).to_pandas()
+        assert sorted(zip(got["doc_id"], got["n_batch_copies"])) == \
+            sorted(want.values())

@@ -1,0 +1,65 @@
+"""URL parse stage: crafted-URL semantics + DuckDB RE2 parity + host stats."""
+
+import duckdb
+import pyarrow as pa
+
+from search_engine_ray.stages.webtext import URL_RE, UrlParse
+
+CRAFTED = [
+    "https://site001.example/p/0000001",
+    "http://WWW.Example.COM./a/b/c?q=1#frag",
+    "https://example.org",                      # no path
+    "https://example.org/",                     # root path
+    "ftp://files.archive.net:2121/pub//x.gz",   # port + empty segment
+    "https://a.b.c.d.co.uk/deep/1/2/3/4/5",
+    "not a url at all",
+    "//missing-scheme.example/x",
+    "https://host/path?only=query",
+    "HTTPS://UPPER.CASE/PATH",
+]
+
+
+def _parse(urls):
+    return UrlParse()(pa.table({"url": pa.array(urls, pa.string())}))
+
+
+class TestUrlParse:
+    def test_crafted_semantics(self):
+        out = _parse(CRAFTED)
+        host = out["host"].to_pylist()
+        assert host[0] == "site001.example"
+        assert host[1] == "www.example.com"      # lowered, trailing dot gone
+        assert host[6] is None and host[7] is None
+        assert out["scheme"].to_pylist()[9] == "https"
+        assert out["path"].to_pylist()[2] == "/"   # missing path normalized
+        assert out["path"].to_pylist()[8] == "/path"  # query dropped
+        assert out["path_depth"].to_pylist() == \
+            [2, 3, 0, 0, 2, 6, None, None, 1, 1]
+        assert out["tld"].to_pylist()[1] == "com"
+        assert out["domain"].to_pylist()[5] == "co.uk"
+        assert out["domain"].to_pylist()[0] == "site001.example"
+
+    def test_duckdb_re2_parity(self):
+        # both engines are RE2: the raw group extraction must agree row-wise
+        con = duckdb.connect()
+        con.register("u", pa.table({"url": pa.array(CRAFTED)}))
+        rows = con.execute(
+            f"SELECT regexp_extract(url, '{URL_RE}', ['scheme','host','port','path'])"
+            " FROM u").fetchall()
+        out = _parse(CRAFTED)
+        for i, (m,) in enumerate(rows):
+            if m["host"] == "":
+                assert out["host"][i].as_py() is None
+            else:
+                assert out["host"][i].as_py() == m["host"].lower().rstrip(".")
+                want_path = m["path"] or "/"
+                assert out["path"][i].as_py() == want_path
+
+    def test_host_stats_pipeline(self, ray_session):
+        from search_engine_ray.pipelines.queries import q_url_host_stats
+        df = q_url_host_stats(n_pages=300).to_pandas()
+        assert df["n_pages"].sum() == 300
+        assert (df["last_fetch_us"] >= df["first_fetch_us"]).all()
+        assert df["host"].str.match(r"site\d{3}\.example").all()
+        # zipf site popularity: site000 must dominate
+        assert df.sort_values("n_pages").iloc[-1]["host"] == "site000.example"
