@@ -57,6 +57,31 @@ def sql_tokenize_cte(table: str = "documents", text_col: str = "text",
     """
 
 
+def sql_ordinal_tokenize_cte(table: str = "documents",
+                             text_col: str = "text",
+                             id_col: str = "doc_id") -> str:
+    """DuckDB fragment producing ``(doc_id, term, ord)`` rows — the same
+    token stream as :func:`sql_tokenize_cte` but WITH each kept token's
+    1-based position in its document's kept-token sequence (list ops keep
+    order; ``generate_subscripts`` numbers the filtered list).  This is the
+    positional-postings oracle: the engine's stored positions are 0-based
+    indexes into exactly this stream."""
+    return f"""
+    SELECT {id_col} AS doc_id, unnest(toks) AS term,
+           generate_subscripts(toks, 1) AS ord
+    FROM (
+        SELECT {id_col},
+               list_filter(list_transform(
+                   list_filter(string_split_regex({text_col}, '[ \t\v\n\r,.?!;:"/()]+'),
+                               tok -> tok <> ''
+                                  AND NOT regexp_matches(tok, '[^\\x00-\\x7F]')),
+                   tok -> lower(replace(tok, chr(39), ''))),
+                 t -> t <> '') AS toks
+        FROM {table}
+    )
+    """
+
+
 def is_ascii(token: str) -> bool:
     return _NON_ASCII_RE.search(token) is None
 

@@ -463,7 +463,8 @@ def build_index(source: str | DatasetFactory, index_dir: str,
             text_col=cfg.text_col, id_col=cfg.id_col,
             stopwords=stopwords, stem=cfg.stem,
             n_buckets=cfg.n_buckets, n_doc_shards=cfg.n_doc_shards,
-            hot_terms=hot_terms, salt=cfg.salt)
+            hot_terms=hot_terms, salt=cfg.salt,
+            emit_positions=cfg.positions)
         stage.emit_doc_rows = True
         stage.keep_cols = keep
         cols = postings_columns or [cfg.id_col, cfg.text_col]

@@ -1367,6 +1367,72 @@ def q_bm25_topk(sf_dir: str):
                      "score": pa.array([round(s, 6) for _, s in res])})
 
 
+PHRASE_QUERY = "part filter"   # a bigram present at every testdata scale
+
+
+def _ensure_pos_index(sf_dir: str) -> str:
+    """Positional-index cache (segments carry per-(term, doc) position
+    streams; ~1.5× segment bytes for exact phrase serving)."""
+    from .build import build_index
+    from ..state.checkpoint import IndexConfig
+    tag = sf_dir.strip("/").replace("/", "_") + "_pos"
+    idx = os.path.join(_INDEX_CACHE, tag)
+    if not os.path.exists(os.path.join(idx, "manifest.json")):
+        build_index(os.path.join(sf_dir, "documents.parquet"), idx,
+                    IndexConfig(n_buckets=16, positions=True))
+    return idx
+
+
+def q_phrase_topk(sf_dir: str):
+    """Exact-phrase BM25 top-10 served from the POSITIONAL segment index
+    (``IndexConfig(positions=True)``): per-(term, doc) token positions ride
+    the segments as delta+varint streams; phrase tf = count of positions
+    where all terms are consecutive; scores are BM25 with the phrase's
+    global df.  Oracle: the ordinality-tokenize CTE self-joined on
+    ``ord+1`` — value-checked end to end."""
+    from .query import QueryEngine
+    idx = _ensure_pos_index(sf_dir)
+    qe = QueryEngine(idx, num_searchers=4, use_actors=True)
+    res = qe.phrase_query(PHRASE_QUERY, k=10)
+    return pa.table({"rank": pa.array(range(len(res)), type=pa.int32()),
+                     "doc_id": pa.array([d for d, _ in res], type=pa.int64()),
+                     "score": pa.array([round(s, 6) for _, s in res])})
+
+
+def _sql_phrase_topk(k: int = 10) -> str:
+    from ..functions.analyze import sql_ordinal_tokenize_cte
+    terms = tokenize(PHRASE_QUERY)
+    conds = [f"a0.term = '{terms[0]}'"]
+    joins = []
+    for i in range(1, len(terms)):
+        joins.append(f"JOIN o a{i} ON a{i}.doc_id = a0.doc_id "
+                     f"AND a{i}.ord = a0.ord + {i}")
+        conds.append(f"a{i}.term = '{terms[i]}'")
+    return f"""
+WITH o AS ({sql_ordinal_tokenize_cte()}),
+ph AS (SELECT a0.doc_id, count(*) AS tf
+       FROM o a0 {' '.join(joins)}
+       WHERE {' AND '.join(conds)}
+       GROUP BY a0.doc_id),
+stats AS (SELECT (SELECT count(*) FROM documents) AS n,
+                 (SELECT count(*) FROM o) * 1.0
+                    / (SELECT count(*) FROM documents) AS avgdl,
+                 (SELECT count(*) FROM ph) AS df),
+dl AS (SELECT doc_id, count(*) AS doc_len FROM o GROUP BY doc_id),
+raw AS (SELECT p.doc_id,
+               ln((s.n - s.df + 0.5) / (s.df + 0.5) + 1.0)
+                 * p.tf * ({BM25_K1} + 1.0)
+                 / (p.tf + {BM25_K1} * (1.0 - {BM25_B}
+                                        + {BM25_B} * d.doc_len / s.avgdl))
+                 AS score
+        FROM ph p JOIN dl d USING (doc_id) CROSS JOIN stats s)
+SELECT (row_number() OVER (ORDER BY score DESC, doc_id ASC))::INTEGER - 1
+         AS rank,
+       doc_id, round(score, 6) AS score
+FROM raw ORDER BY score DESC, doc_id ASC LIMIT {k}
+"""
+
+
 def q_minhash_neardup(sf_dir: str, *, threshold: float = 0.5):
     """MinHash+LSH near-dup, fully distributed: shingle sets RIDE the band
     rows (``carry_shingles``, the ``carry_vec`` pattern), so the
@@ -1704,6 +1770,7 @@ QUERIES = {
     "nation_order_stats": q_nation_order_stats,
     "binary_payload_stats": q_binary_payload_stats,
     "bm25_topk": q_bm25_topk,
+    "phrase_topk": q_phrase_topk,
     "minhash_neardup": q_minhash_neardup,
     "minhash_dedup_keep": q_minhash_dedup_keep,
     "simhash_neardup": q_simhash_neardup,
@@ -1762,6 +1829,7 @@ ORACLE_SQL = {
     "event_user_reach": SQL_EVENT_USER_REACH,
     "top_users_per_type": SQL_TOP_USERS_PER_TYPE,
     "bm25_topk": _sql_bm25_topk(),
+    "phrase_topk": _sql_phrase_topk(),
     "knn_topk": SQL_KNN_TOPK,
     "lang_id_counts": _sql_lang_id_counts(),
     "fingerprints": SQL_FINGERPRINTS,

@@ -134,6 +134,9 @@ class SegmentSearcher:
         # search; a probe matches only if BOTH independent 64-bit hashes
         # match (collision ~2^-128).
         tables, local_parts, tf_parts, count_parts = [], [], [], []
+        pos_bufs: list[np.ndarray] = []
+        pos_off_parts: list[np.ndarray] = []   # per-slot byte offsets (n+1)
+        pos_base = 0
         for s in shards:
             pattern = os.path.join(ckpt.shard_dir(index_dir, s),
                                    "bucket=*", "postings.parquet")
@@ -148,8 +151,20 @@ class SegmentSearcher:
                 local_parts.append(local.astype(np.int32))
                 tf_parts.append(tfs.astype(np.uint32))
                 count_parts.append(np.diff(slot_off))
+                # positional segments: keep the packed per-term positions
+                # streams (decoded lazily per phrase term, not eagerly)
+                from ..stages.postings import binary_column_bytes
+                if "positions" in t.column_names and t.num_rows:
+                    buf, off = binary_column_bytes(t["positions"])
+                    pos_bufs.append(buf)
+                    pos_off_parts.append(off[:-1] + pos_base)
+                    pos_base += buf.size
+                else:
+                    pos_off_parts.append(
+                        np.full(t.num_rows, pos_base, dtype=np.int64))
                 t = t.drop_columns(
-                    [c for c in ("doc_ids", "tfs") if c in t.column_names])
+                    [c for c in ("doc_ids", "tfs", "positions")
+                     if c in t.column_names])
                 t = t.replace_schema_metadata(None)
                 if "field" not in t.column_names:
                     t = t.append_column(
@@ -159,6 +174,14 @@ class SegmentSearcher:
         seg = (pa.concat_tables(tables).combine_chunks() if tables
                else None)
         self._seg = seg
+        # slot i's packed positions = _pos_buf[_pos_off[i]:_pos_off[i+1]]
+        # (zero-length when the index carries no positions)
+        self._pos_buf = (np.concatenate(pos_bufs) if pos_bufs
+                         else np.zeros(0, dtype=np.uint8))
+        self._pos_off = (np.append(np.concatenate(pos_off_parts), pos_base)
+                         .astype(np.int64) if pos_off_parts
+                         else np.zeros(1, dtype=np.int64))
+        self.has_positions = bool(pos_bufs)
         if seg is not None and seg.num_rows:
             self._post_local = np.concatenate(local_parts)
             self._post_tf = np.concatenate(tf_parts)
@@ -337,6 +360,121 @@ class SegmentSearcher:
             if df:
                 out[t] = df
         return out
+
+    # ---- phrase queries (positional index; IndexConfig.positions) ----
+
+    def _term_positions(self, term: str
+                        ) -> tuple[np.ndarray, np.ndarray] | None:
+        """All of a term's occurrences in this searcher's shards →
+        ``(local_doc int64[n_occ], abs_pos int64[n_occ])``.
+
+        One concatenated varint decode over the term's slots (salting may
+        split a term across slots; doc sets are disjoint).  Absolute
+        positions are reconstructed from per-doc delta runs with the same
+        cumsum-minus-run-base trick as the docID decode."""
+        slots = self._slots_of(self.field, term)
+        if not slots.size:
+            return None
+        docs_parts, pos_parts = [], []
+        for slot in slots:
+            s, e = self._slot_off[slot], self._slot_off[slot + 1]
+            local = self._post_local[s:e].astype(np.int64)
+            tf = self._post_tf[s:e].astype(np.int64)
+            bs, be = self._pos_off[slot], self._pos_off[slot + 1]
+            from ..functions.varint import varint_decode
+            deltas = varint_decode(self._pos_buf[bs:be]).astype(np.int64)
+            if deltas.size != int(tf.sum()):
+                raise ValueError(
+                    f"positions stream for term {term!r} has {deltas.size} "
+                    f"values, expected {int(tf.sum())} — index built "
+                    "without positions? (IndexConfig.positions)")
+            ends = np.cumsum(tf)
+            starts = ends - tf
+            prefix = np.cumsum(deltas)
+            base = np.where(starts > 0, prefix[np.maximum(starts, 1) - 1], 0)
+            abs_pos = prefix - np.repeat(base, tf)
+            docs_parts.append(np.repeat(local, tf))
+            pos_parts.append(abs_pos)
+        return np.concatenate(docs_parts), np.concatenate(pos_parts)
+
+    def _phrase_eval(self, terms: list[str]
+                     ) -> tuple[np.ndarray, np.ndarray]:
+        """Exact phrase occurrences → ``(local_doc int64, phrase_tf int64)``
+        for docs with ≥1 occurrence.
+
+        Fully vectorized: each phrase slot i contributes rows
+        ``(doc, pos - i)``; a phrase starts at (doc, p) iff ALL n slots
+        contribute that key (positions are unique per (term, doc), so a
+        slot contributes each key at most once) — one sort + run-length
+        count, no per-doc Python loop."""
+        n_terms = len(terms)
+        per_slot = []
+        for i, t in enumerate(terms):
+            r = self._term_positions(t)
+            if r is None:
+                return (np.zeros(0, np.int64), np.zeros(0, np.int64))
+            docs, pos = r
+            adj = pos - i
+            keep = adj >= 0
+            per_slot.append((docs[keep], adj[keep]))
+        # candidate docs = intersection of the slots' doc sets (cheap
+        # pre-filter so the sort below runs over matching docs only)
+        cand = np.unique(per_slot[0][0])
+        for docs, _ in per_slot[1:]:
+            cand = np.intersect1d(cand, np.unique(docs), assume_unique=True)
+            if not cand.size:
+                return (np.zeros(0, np.int64), np.zeros(0, np.int64))
+        keys_parts = []
+        for docs, adj in per_slot:
+            sel = np.isin(docs, cand, assume_unique=False)
+            # key packs (doc, start): local ids < 2^31, positions < 2^31
+            keys_parts.append((docs[sel] << np.int64(31)) | adj[sel])
+        keys = np.concatenate(keys_parts)
+        keys.sort(kind="stable")
+        run_start = np.flatnonzero(np.r_[True, keys[1:] != keys[:-1]])
+        run_len = np.diff(np.append(run_start, keys.size))
+        hit = keys[run_start[run_len == n_terms]]
+        if not hit.size:
+            return (np.zeros(0, np.int64), np.zeros(0, np.int64))
+        hit_docs = hit >> np.int64(31)
+        uniq, counts = np.unique(hit_docs, return_counts=True)
+        return uniq, counts.astype(np.int64)
+
+    def _phrase_cached(self, terms: list[str]
+                       ) -> tuple[np.ndarray, np.ndarray]:
+        key = tuple(terms)
+        memo = getattr(self, "_phrase_memo", None)
+        if memo is None:
+            from collections import OrderedDict
+            memo = self._phrase_memo = OrderedDict()
+        if key in memo:
+            memo.move_to_end(key)
+            return memo[key]
+        r = self._phrase_eval(terms)
+        memo[key] = r
+        if len(memo) > 32:
+            memo.popitem(last=False)
+        return r
+
+    def phrase_count(self, terms: list[str]) -> int:
+        """Local phrase document frequency (round 1 of the two-round phrase
+        protocol: the driver sums these into the GLOBAL phrase df)."""
+        return int(self._phrase_cached(terms)[0].size)
+
+    def phrase_topk(self, terms: list[str], k: int, global_df: int
+                    ) -> tuple[np.ndarray, np.ndarray]:
+        """BM25 top-k over phrase occurrences (tf = phrase frequency,
+        idf from the phrase's GLOBAL df) — round 2; reuses round 1's
+        memoized evaluation."""
+        local, ptf = self._phrase_cached(terms)
+        if not local.size:
+            return (np.zeros(0, dtype=np.int64), np.zeros(0, dtype=np.float64))
+        idf = bm25_idf(self.n_docs, float(global_df))
+        tf = ptf.astype(np.float64)
+        dl = self._doc_len[local]
+        denom = tf + self.k1 * (1.0 - self.b + self.b * dl / self.avgdl)
+        scores = idf * tf * (self.k1 + 1.0) / denom
+        return top_k(self._docs[local], scores, k)
 
     def search_many(self, queries: list[list[str]], k: int = 10,
                     prune: bool = False) -> list[tuple[np.ndarray, np.ndarray]]:
@@ -574,6 +712,40 @@ class QueryEngine:
                 ids, sc = top_k(ids, sc, k)
                 out[i] = [(int(d), float(s)) for d, s in zip(ids, sc)]
         return out
+
+    def phrase_query(self, text: str, k: int = 10) -> list[tuple[int, float]]:
+        """Exact-phrase BM25 top-k over a POSITIONAL index
+        (``IndexConfig(positions=True)``): the phrase's tokens must appear
+        consecutively in the kept-token stream (the engine's analyzer
+        stream — after normalization and any stopword/stem config).
+
+        Two-round protocol: (1) every shard actor evaluates the phrase once
+        (memoized) and reports its local phrase document count, summed into
+        the GLOBAL phrase df; (2) actors score BM25 with tf = per-doc phrase
+        frequency and return local top-k — bounded k × actors fan-in, like
+        :meth:`query`."""
+        terms = tokenize(text, stopwords=self.stopwords, stem=self.stem)
+        if not terms:
+            return []
+        if self.use_actors:
+            counts = ray.get([s.phrase_count.remote(terms)
+                              for s in self.searchers])
+        else:
+            counts = [s.phrase_count(terms) for s in self.searchers]
+        df = int(sum(counts))
+        if df == 0:
+            return []
+        if self.use_actors:
+            partials = ray.get([s.phrase_topk.remote(terms, k, df)
+                                for s in self.searchers])
+        else:
+            partials = [s.phrase_topk(terms, k, df) for s in self.searchers]
+        ids = np.concatenate([p[0] for p in partials])
+        sc = np.concatenate([p[1] for p in partials])
+        if ids.size == 0:
+            return []
+        ids, sc = top_k(ids, sc, k)
+        return [(int(d), float(s)) for d, s in zip(ids, sc)]
 
     def reference_query(self, raw: str, k: int = 10, *,
                         strict_compat: bool = False) -> list[int]:

@@ -133,9 +133,12 @@ def encode_postings_table(group: pa.Table,
     """
     n = group.num_rows
     space = b"local" if doc_dict is not None else b"global"
-    out_schema = SEGMENT_SCHEMA.with_metadata({DOCID_SPACE_KEY: space})
+    has_pos = "pos" in group.column_names
+    schema = (SEGMENT_SCHEMA.append(pa.field("positions", pa.binary()))
+              if has_pos else SEGMENT_SCHEMA)
+    out_schema = schema.with_metadata({DOCID_SPACE_KEY: space})
     empty_cols = {name: pa.array([], type=typ)
-                  for name, typ in zip(SEGMENT_SCHEMA.names, SEGMENT_SCHEMA.types)}
+                  for name, typ in zip(schema.names, schema.types)}
     if n == 0:
         return pa.table(empty_cols, schema=out_schema)
 
@@ -197,7 +200,7 @@ def encode_postings_table(group: pa.Table,
 
     out_term = dic_t.dictionary.take(pa.array(t_codes[starts]))
     out_field = dic_f.dictionary.take(pa.array(f_codes[starts]))
-    return pa.table({
+    cols = {
         "term": out_term.cast(pa.string()),
         "field": out_field.cast(pa.string()),
         "df": pa.array(df, type=pa.int32()),
@@ -205,7 +208,20 @@ def encode_postings_table(group: pa.Table,
         "max_tf": pa.array(max_tf, type=pa.int32()),
         "doc_ids": _binary_from_slices(packed_ids, offsets(sz_ids)),
         "tfs": _binary_from_slices(packed_tfs, offsets(sz_tfs)),
-    }, schema=out_schema)
+    }
+    if has_pos:
+        # positional postings: each input row's ``pos`` cell is the already
+        # delta+varint-packed positions of one (term, doc); a term's segment
+        # cell is the doc-order CONCATENATION of its rows' cells — a pure
+        # byte re-slice (take by the sort order, then per-run byte offsets).
+        # Per-doc boundaries are implicit: doc j's positions are the next
+        # tf_j varints of the stream.  Null cells (shouldn't occur in
+        # posting rows) contribute zero bytes.
+        pos_sorted = group["pos"].combine_chunks().take(pa.array(order))
+        pos_buf, pos_off = binary_column_bytes(pos_sorted)
+        cols["positions"] = _binary_from_slices(
+            pos_buf.tobytes(), offsets(np.diff(pos_off)))
+    return pa.table(cols, schema=out_schema)
 
 
 def decode_posting(row: dict) -> tuple[np.ndarray, np.ndarray]:
@@ -232,12 +248,28 @@ def decode_segment_to_rows(seg: pa.Table,
     field_rep = np.repeat(np.arange(seg.num_rows), np.diff(slot_off))
     fields = seg["field"].take(pa.array(field_rep))
     terms = seg["term"].take(pa.array(field_rep))
-    return pa.table({
+    cols = {
         "field": fields.combine_chunks() if isinstance(fields, pa.ChunkedArray) else fields,
         "term": terms.combine_chunks() if isinstance(terms, pa.ChunkedArray) else terms,
         "doc_id": pa.array(doc_vals.astype(np.int64), type=pa.int64()),
         "tf": pa.array(tfs.astype(np.int32), type=pa.int32()),
-    })
+    }
+    if "positions" in seg.column_names:
+        # re-slice each term's positions stream back into per-(term, doc)
+        # ``pos`` cells (the encode input layout): doc j's positions are the
+        # next tf_j varints, so per-row byte boundaries come from mapping
+        # cumulative-tf value indices through the stream's terminal byte
+        # positions.  Deltas reset per doc at tokenize time → the cells are
+        # reusable as-is by a re-encode (merge path).
+        pos_buf, _ = binary_column_bytes(seg["positions"])
+        _, pos_ends = varint_decode_with_ends(pos_buf)
+        val_ends = np.cumsum(tfs.astype(np.int64))
+        n_post = doc_vals.size
+        row_off = np.zeros(n_post + 1, dtype=np.int64)
+        if n_post:
+            row_off[1:] = pos_ends[val_ends - 1] + 1
+        cols["pos"] = _binary_from_slices(pos_buf.tobytes(), row_off)
+    return pa.table(cols)
 
 
 def merge_segment_tables(segs: list[pa.Table],
@@ -272,6 +304,14 @@ def merge_segment_tables(segs: list[pa.Table],
         return SEGMENT_SCHEMA.with_metadata(
             {DOCID_SPACE_KEY: b"local" if out_dict is not None else b"global"}
         ).empty_table()
+    # positions survive a merge only if EVERY input carries them — a mixed
+    # merge (positional + legacy index) cannot reconstruct the missing
+    # streams, so it degrades to a non-positional output rather than
+    # emitting misaligned position data.
+    if any("pos" in r.column_names for r in rows) and \
+            not all("pos" in r.column_names for r in rows):
+        rows = [r.drop_columns(["pos"]) if "pos" in r.column_names else r
+                for r in rows]
     flat = pa.concat_tables(rows)
     # last-input-wins dedup on (field, term, doc_id)
     fld = flat["field"].combine_chunks().dictionary_encode()
@@ -363,7 +403,7 @@ class FragmentSpiller:
                 os.replace(tmp, os.path.join(d, f"frag-{tag}.parquet"))
         postings = batch.filter(pa.compute.greater_equal(batch["part"], 0))
         postings = postings.select(
-            [c for c in ("field", "term", "doc_id", "tf", "part")
+            [c for c in ("field", "term", "doc_id", "tf", "part", "pos")
              if c in postings.column_names])
         # one stable sort + run slicing instead of a filter scan per part
         pvals = postings["part"].to_numpy(zero_copy_only=False)

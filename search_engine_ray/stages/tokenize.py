@@ -96,7 +96,8 @@ class TokenizePostings:
                  stopwords: frozenset[str] | None = None, stem: bool = False,
                  n_buckets: int = 32, n_doc_shards: int = 1,
                  emit_doc_rows: bool = False, keep_cols: tuple[str, ...] = (),
-                 hot_terms: frozenset[str] | None = None, salt: int = 8):
+                 hot_terms: frozenset[str] | None = None, salt: int = 8,
+                 emit_positions: bool = False):
         self.text_col = text_col
         self.id_col = id_col
         self.stopwords = stopwords
@@ -105,6 +106,11 @@ class TokenizePostings:
         self.n_doc_shards = n_doc_shards
         self.emit_doc_rows = emit_doc_rows
         self.keep_cols = keep_cols
+        # positional postings (phrase-query support): each (term, doc) row
+        # additionally carries a ``pos`` binary cell — the term's token
+        # positions within the doc's KEPT-token stream (the stream that
+        # defines doc_len), delta+varint packed.  Adds one lexsort per batch.
+        self.emit_positions = emit_positions
         # head-term skew salting (SURVEY §7.5 item 2): a hot term's postings
         # spread over ``salt`` term-buckets WITHIN its doc shard (bucket =
         # (hash(term) + doc_id % salt) % n_buckets), bounding any single
@@ -123,6 +129,45 @@ class TokenizePostings:
                 bucket[hot] = (bucket[hot] + doc_ids[hot] % self.salt) % self.n_buckets
         return bucket
 
+    def _grouped_with_positions(self, row_idx: np.ndarray, terms: pa.Array,
+                                doc_len: np.ndarray
+                                ) -> tuple[np.ndarray, pa.Array, pa.Array,
+                                           pa.Array]:
+        """(token rows) → per-(row, term) groups WITH packed positions:
+        ``(group_rows, term_col, tf_col, pos_col)``.
+
+        Token position within its doc = index in the kept-token stream
+        (``split_and_normalize`` preserves token order, so positions are
+        ``arange - row_start``).  One lexsort groups (row, term) while
+        keeping positions ascending; per-group positions are delta-encoded
+        (reset at each group) and varint-packed in ONE pass, then sliced
+        into per-group binary cells zero-copy."""
+        from ..functions.varint import varint_encode_with_sizes
+        from .postings import _binary_from_slices
+        n_tok = len(row_idx)
+        counts = np.bincount(row_idx, minlength=doc_len.size)
+        row_start = np.zeros(doc_len.size, dtype=np.int64)
+        np.cumsum(counts[:-1], out=row_start[1:])
+        pos = np.arange(n_tok, dtype=np.int64) - row_start[row_idx]
+        dic = pc.dictionary_encode(terms)
+        t_codes = dic.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((pos, t_codes, row_idx))
+        r, c, p = row_idx[order], t_codes[order], pos[order]
+        newrun = np.empty(n_tok, dtype=bool)
+        newrun[0] = True
+        newrun[1:] = (r[1:] != r[:-1]) | (c[1:] != c[:-1])
+        starts = np.flatnonzero(newrun)
+        tf = np.diff(np.append(starts, n_tok)).astype(np.int32)
+        deltas = p.copy()
+        deltas[1:] -= p[:-1]
+        deltas[starts] = p[starts]
+        packed, sizes = varint_encode_with_sizes(deltas.astype(np.uint64))
+        csum = np.zeros(n_tok + 1, dtype=np.int64)
+        np.cumsum(sizes, out=csum[1:])
+        pos_col = _binary_from_slices(packed, np.append(csum[starts], csum[n_tok]))
+        term_col = dic.dictionary.take(pa.array(c[starts])).cast(pa.string())
+        return r[starts], term_col, pa.array(tf, type=pa.int32()), pos_col
+
     def __call__(self, batch: pa.Table) -> pa.Table:
         doc_ids = batch[self.id_col].to_numpy(zero_copy_only=False).astype(np.int64)
         row_idx, terms = split_and_normalize(
@@ -130,6 +175,20 @@ class TokenizePostings:
         doc_len = np.bincount(row_idx, minlength=batch.num_rows)
         if len(terms) == 0:
             out = None
+        elif self.emit_positions:
+            rows, term_col, tf_col, pos_col = self._grouped_with_positions(
+                row_idx, terms, doc_len)
+            bucket = self._bucket(term_col, doc_ids[rows])
+            shard = doc_ids[rows] % self.n_doc_shards
+            part = (shard * self.n_buckets + bucket).astype(np.int32)
+            out = pa.table({
+                "term": term_col,
+                "doc_id": pa.array(doc_ids[rows], type=pa.int64()),
+                "tf": tf_col,
+                "doc_len": pa.array(doc_len[rows], type=pa.int32()),
+                "part": pa.array(part, type=pa.int32()),
+                "pos": pos_col,
+            })
         else:
             tok = pa.table({"term": terms,
                             "row": pa.array(row_idx, type=pa.int64())})
@@ -147,11 +206,14 @@ class TokenizePostings:
                 "doc_len": pa.array(doc_len[rows], type=pa.int32()),
                 "part": pa.array(part, type=pa.int32()),
             })
-        empty = pa.table({"term": pa.array([], type=pa.string()),
-                          "doc_id": pa.array([], type=pa.int64()),
-                          "tf": pa.array([], type=pa.int32()),
-                          "doc_len": pa.array([], type=pa.int32()),
-                          "part": pa.array([], type=pa.int32())})
+        empty_cols = {"term": pa.array([], type=pa.string()),
+                      "doc_id": pa.array([], type=pa.int64()),
+                      "tf": pa.array([], type=pa.int32()),
+                      "doc_len": pa.array([], type=pa.int32()),
+                      "part": pa.array([], type=pa.int32())}
+        if self.emit_positions:
+            empty_cols["pos"] = pa.array([], type=pa.binary())
+        empty = pa.table(empty_cols)
         if not self.emit_doc_rows:
             return out if out is not None else empty
         # single-pass build: one extra row per input doc (part = -1) carries
@@ -165,6 +227,8 @@ class TokenizePostings:
             "doc_len": pa.array(doc_len.astype(np.int32), type=pa.int32()),
             "part": pa.array(np.full(n, -1, dtype=np.int32), type=pa.int32()),
         }
+        if self.emit_positions:
+            doc_rows["pos"] = pa.nulls(n, type=pa.binary())
         tables = [out] if out is not None else []
         base = out if out is not None else empty
         for c in self.keep_cols:

@@ -57,6 +57,9 @@ class IndexConfig:
     id_col: str = "doc_id"
     stopwords: bool = False
     stem: bool = False
+    # positional postings: segments additionally store each (term, doc)'s
+    # token positions (delta+varint) — enables index-served phrase queries
+    positions: bool = False
     fields: tuple[str, ...] = ("text",)
     bm25_k1: float = 1.2
     bm25_b: float = 0.75
