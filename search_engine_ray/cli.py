@@ -99,11 +99,21 @@ def cmd_query(args) -> int:
     if args.reference:
         for rank, doc_id in enumerate(qe.reference_query(args.query, k=args.k)):
             print(f"{rank:2d}  doc={doc_id}")
+    elif _is_quoted_phrase(args.query):
+        # "double-quoted input" = exact-phrase search (positional index)
+        for rank, (doc_id, score) in enumerate(
+                qe.phrase_query(args.query[1:-1], k=args.k)):
+            print(f"{rank:2d}  doc={doc_id}  bm25={score:.6f}")
     else:
         for rank, (doc_id, score) in enumerate(
                 qe.query(args.query, k=args.k, prune=args.prune)):
             print(f"{rank:2d}  doc={doc_id}  bm25={score:.6f}")
     return 0
+
+
+def _is_quoted_phrase(text: str) -> bool:
+    t = text.strip()
+    return len(t) >= 2 and t[0] == '"' and t[-1] == '"'
 
 
 def cmd_print_database(args) -> int:
@@ -169,7 +179,10 @@ def cmd_ui(args) -> int:
         if cmd == "exit":
             break
         if cmd == "query":
-            results = qe.query(rest, k=10)
+            if _is_quoted_phrase(rest):
+                results = qe.phrase_query(rest.strip()[1:-1], k=10)
+            else:
+                results = qe.query(rest, k=10)
             last = [d for d, _ in results]
             for rank, (doc_id, score) in enumerate(results):
                 row = docstore_lookup(args.index, doc_id) or {}

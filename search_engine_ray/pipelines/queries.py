@@ -1367,6 +1367,61 @@ def q_bm25_topk(sf_dir: str):
                      "score": pa.array([round(s, 6) for _, s in res])})
 
 
+SNIPPET_RADIUS = 5   # tokens either side of the first query-term hit
+
+
+def q_search_snippets(sf_dir: str):
+    """Serving-side snippet generation: BM25 top-10 (from the cached segment
+    index), then for each hit a deterministic keyword-in-context window —
+    the ``SNIPPET_RADIUS``-token neighbourhood of the FIRST query-term
+    occurrence in the doc's kept-token stream.
+
+    Scale shape: snippets are built for the TOP-K ONLY (k-bounded driver
+    work), reading just those docs' rows back from the corpus with a
+    pushed-down docID filter — never a corpus scan.  Oracle: the same
+    window computed from the ordinality-tokenize CTE with ``list_slice``."""
+    from ..functions.analyze import tokenize as _tok
+    topk = q_bm25_topk(sf_dir)   # (rank, doc_id, score) — 10 rows
+    ids = topk["doc_id"].to_pylist()
+    qterms = set(tokenize(FLAGSHIP_QUERY))
+    want = pa.array(sorted(ids), type=pa.int64())
+    docs = (_docs(sf_dir, ["doc_id", "text"])
+            .map_batches(lambda t: t.filter(pc.is_in(t["doc_id"],
+                                                     value_set=want)),
+                         batch_format="pyarrow")
+            .take_all())   # k rows — provably bounded
+    snip = {}
+    for r in docs:
+        toks = _tok(r["text"] or "")
+        p = next((i for i, t in enumerate(toks) if t in qterms), None)
+        snip[r["doc_id"]] = "" if p is None else \
+            " ".join(toks[max(p - SNIPPET_RADIUS, 0):p + SNIPPET_RADIUS + 1])
+    return topk.append_column(
+        "snippet", pa.array([snip.get(d, "") for d in ids], type=pa.string()))
+
+
+def _sql_search_snippets() -> str:
+    from ..functions.analyze import sql_ordinal_tokenize_cte
+    qterms = sorted(set(tokenize(FLAGSHIP_QUERY)))
+    terms_sql = ", ".join(f"'{t}'" for t in qterms)
+    r = SNIPPET_RADIUS
+    return _sql_bm25_core() + f""",
+topk AS (
+  SELECT (row_number() OVER (ORDER BY score DESC, doc_id ASC))::INTEGER - 1
+           AS rank,
+         doc_id, round(score, 6) AS score
+  FROM raw_scores ORDER BY score DESC, doc_id ASC LIMIT 10),
+o AS ({sql_ordinal_tokenize_cte()}),
+hit AS (SELECT doc_id, min(ord) AS p FROM o
+        WHERE term IN ({terms_sql}) GROUP BY doc_id),
+kept AS (SELECT doc_id, list(term ORDER BY ord) AS toks FROM o GROUP BY doc_id)
+SELECT t.rank, t.doc_id, t.score,
+       array_to_string(list_slice(k.toks, greatest(h.p - {r}, 1), h.p + {r}),
+                       ' ') AS snippet
+FROM topk t JOIN hit h USING (doc_id) JOIN kept k USING (doc_id)
+"""
+
+
 PHRASE_QUERY = "part filter"   # a bigram present at every testdata scale
 
 
@@ -1771,6 +1826,7 @@ QUERIES = {
     "binary_payload_stats": q_binary_payload_stats,
     "bm25_topk": q_bm25_topk,
     "phrase_topk": q_phrase_topk,
+    "search_snippets": q_search_snippets,
     "minhash_neardup": q_minhash_neardup,
     "minhash_dedup_keep": q_minhash_dedup_keep,
     "simhash_neardup": q_simhash_neardup,
@@ -1830,6 +1886,7 @@ ORACLE_SQL = {
     "top_users_per_type": SQL_TOP_USERS_PER_TYPE,
     "bm25_topk": _sql_bm25_topk(),
     "phrase_topk": _sql_phrase_topk(),
+    "search_snippets": _sql_search_snippets(),
     "knn_topk": SQL_KNN_TOPK,
     "lang_id_counts": _sql_lang_id_counts(),
     "fingerprints": SQL_FINGERPRINTS,
