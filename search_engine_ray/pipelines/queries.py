@@ -1744,7 +1744,7 @@ def q_url_host_stats(sf_dir: str | None = None, *, n_pages: int = 2000):
     with DuckDB is unit-tested on crafted URLs in ``tests/test_webtext.py``."""
     from ..sources.pages import synthesize_pages
     from ..stages.webtext import UrlParse
-    pages_dir = synthesize_pages(n_pages, "/tmp/serx_pages_url_2k", seed=42)
+    pages_dir = synthesize_pages(n_pages, f"/tmp/serx_pages_q_{n_pages}", seed=42)
 
     def ts_to_us(t: pa.Table) -> pa.Table:
         return t.set_column(t.schema.get_field_index("warc_ts"), "warc_ts",
@@ -1762,6 +1762,47 @@ def q_url_host_stats(sf_dir: str | None = None, *, n_pages: int = 2000):
                            "mean(path_depth)": "mean_depth"}))
     return ds.map_batches(functools.partial(_round_col, col="mean_depth"),
                           batch_format="pyarrow")
+
+
+BOILERPLATE_MIN_DF = 5
+
+
+def q_boilerplate_removal(sf_dir: str | None = None, *, n_pages: int = 2000):
+    """CCNet-style boilerplate-paragraph removal over the Common-Crawl-style
+    pages corpus: (1) full-visible-text extraction (nav/footer INCLUDED,
+    ``stages/extract.extract_full_text_array``); (2) one 16-byte-hash
+    shuffle counts each paragraph's document frequency; (3) paragraphs with
+    df ≥ {BOILERPLATE_MIN_DF} — the repeated nav/footer/legal blocks — are
+    collected (bounded: only the frequent tail survives the filter) and
+    broadcast via ``ray.put``; (4) a second pass drops them and reconstructs
+    each page's text LOCALLY (no shuffle ever carries paragraph text).
+    Returns per-page (url, n_paras, n_dropped, clean_len, clean_hash).
+    (``sf_dir`` unused — testdata documents have no paragraph structure.)"""
+    import ray as _ray
+    from ..sources.pages import synthesize_pages
+    from ..stages.extract import extract_full_text_array
+    from ..stages.webtext import DropBoilerplate, ParagraphHashes
+    pages_dir = synthesize_pages(n_pages, f"/tmp/serx_pages_q_{n_pages}", seed=42)
+
+    def full(t: pa.Table) -> pa.Table:
+        return pa.table({"url": t["url"],
+                         "text": extract_full_text_array(t["html"])})
+
+    def pages():
+        return ray.data.read_parquet(
+            pages_dir, columns=["url", "html"]).map_batches(
+            full, batch_format="pyarrow")
+
+    freq = (pages().map_batches(ParagraphHashes(), batch_format="pyarrow")
+            .groupby(["h1", "h2"]).aggregate(Count())
+            .rename_columns({"count()": "df"})
+            .filter(expr=f"df >= {BOILERPLATE_MIN_DF}")
+            .take_all())   # bounded: only df≥threshold paragraphs survive
+    s1 = np.array([r["h1"] for r in freq], dtype=np.int64).view(np.uint64)
+    s2 = np.array([r["h2"] for r in freq], dtype=np.int64).view(np.uint64)
+    set_ref = _ray.put((s1, s2))
+    return pages().map_batches(DropBoilerplate(set_ref),
+                               batch_format="pyarrow")
 
 
 def q_media_frame_stats(sf_dir: str | None = None, *, n_videos: int = 64):
@@ -1847,6 +1888,7 @@ QUERIES = {
     "lang_id_counts": q_lang_id_counts,
     "fingerprints": q_fingerprints,
     "url_host_stats": q_url_host_stats,
+    "boilerplate_removal": q_boilerplate_removal,
     "media_frame_stats": q_media_frame_stats,
 }
 
@@ -1891,7 +1933,8 @@ ORACLE_SQL = {
     "lang_id_counts": _sql_lang_id_counts(),
     "fingerprints": SQL_FINGERPRINTS,
     # minhash_neardup / simhash_neardup / embedding_neardup / ivf_topk /
-    # url_host_stats / media_frame_stats / event_value_quantiles_tdigest /
+    # url_host_stats / boilerplate_removal / media_frame_stats /
+    # event_value_quantiles_tdigest /
     # event_user_reach_hll / top_terms_sketch: seeded-signature
     # LSH candidate generation or approximate / media / sketch pipelines —
     # not SQL-expressible → rows-only driver check (SURVEY §5 item 4);

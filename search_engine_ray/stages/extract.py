@@ -40,6 +40,30 @@ def extract_text_array(html: pa.Array | pa.ChunkedArray) -> pa.Array:
     return s
 
 
+_FULL_UNESCAPES = _UNESCAPES + [("&copy;", "©"), ("&mdash;", "—")]
+
+
+def extract_full_text_array(html: pa.Array | pa.ChunkedArray) -> pa.Array:
+    """``html:binary`` → ALL visible text (nav/footer boilerplate INCLUDED),
+    one paragraph per markup block, ``\\n\\n``-joined.
+
+    This is the input to boilerplate-paragraph removal
+    (``stages/webtext.BoilerplateParagraphs``): unlike
+    :func:`extract_text_array` (which relies on the ``<article>`` anchor),
+    real crawl pipelines extract everything and remove repeated blocks
+    statistically.  Vectorized: every tag run → newline, entity unescape,
+    blank-line collapse, edge trim."""
+    if isinstance(html, pa.ChunkedArray):
+        html = html.combine_chunks()
+    s = html.cast(pa.string())
+    s = pc.replace_substring_regex(s, r"(?:<[^>]*>)+", "\n")
+    for ent, raw in _FULL_UNESCAPES:
+        s = pc.replace_substring(s, ent, raw)
+    # any newline run (plus surrounding blanks) → one paragraph separator
+    s = pc.replace_substring_regex(s, r"\s*\n\s*", "\n\n")
+    return pc.replace_substring_regex(s, r"^\s+|\s+$", "")
+
+
 class ExtractText:
     """``map_batches`` callable: pages batch → ``(url, text, lang, ...)``.
 

@@ -1,4 +1,4 @@
-"""Web-text URL analytics: vectorized URL parsing / normalization.
+"""Web-text stages: URL parsing / normalization, boilerplate removal.
 
 Common-Crawl-style pipelines group, filter, and rate-limit by URL parts
 (host, registered domain, TLD, path depth) long before any text operator
@@ -67,4 +67,129 @@ class UrlParse:
         cols.update({"scheme": scheme, "host": host, "domain": domain,
                      "tld": tld, "path": path,
                      "path_depth": depth.cast(pa.int32())})
+        return pa.table(cols)
+
+
+# ---------------------------------------------------------------------------
+# Boilerplate-paragraph removal (the CCNet / crawl-hygiene shape)
+# ---------------------------------------------------------------------------
+
+def _explode_paragraphs(texts: pa.Array | pa.ChunkedArray
+                        ) -> tuple["np.ndarray", pa.Array, "np.ndarray"]:
+    """``\\n\\n``-joined texts → ``(row_idx, flat_paragraphs, list_lengths)``
+    (empty paragraphs dropped; order preserved)."""
+    import numpy as np
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    lst = pc.split_pattern(pc.fill_null(texts, ""), "\n\n")
+    if isinstance(lst, pa.ChunkedArray):
+        lst = lst.combine_chunks()
+    lens = pc.list_value_length(lst).to_numpy(zero_copy_only=False)
+    row_idx = np.repeat(np.arange(len(texts), dtype=np.int64), lens)
+    flat = pc.list_flatten(lst)
+    keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+    return row_idx[keep], flat.filter(pa.array(keep)), lens
+
+
+class ParagraphHashes:
+    """pages batch → distinct ``(h1, h2)`` per (paragraph, doc) — the
+    stage-1 shuffle rows of boilerplate detection.  16 bytes per distinct
+    paragraph-occurrence; the paragraph TEXT never enters the exchange.
+    A paragraph repeated within one doc counts once (df semantics)."""
+
+    def __init__(self, *, text_col: str = "text"):
+        self.text_col = text_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import numpy as np
+        from ..functions.hashing import content_hash128
+        row_idx, paras, _ = _explode_paragraphs(batch[self.text_col])
+        h1, h2 = content_hash128(paras)
+        order = np.lexsort((h2, h1, row_idx))
+        r, a, b = row_idx[order], h1[order], h2[order]
+        first = np.ones(r.size, dtype=bool)
+        first[1:] = (r[1:] != r[:-1]) | (a[1:] != a[:-1]) | (b[1:] != b[:-1])
+        return pa.table({"h1": pa.array(a[first].view(np.int64)),
+                         "h2": pa.array(b[first].view(np.int64))})
+
+
+def _member128(h1, h2, set_h1, set_h2):
+    """Exact vectorized membership of (h1, h2) pairs in a SORTED-by-(h1, h2)
+    small set: one searchsorted + a loop over the set's max h1 multiplicity
+    (≈1 for hash keys)."""
+    import numpy as np
+    # normalize to ONE dtype: int64 vs uint64 comparisons silently promote
+    # to float64 (precision loss → wrong membership), so reinterpret all
+    # four arrays as uint64 bit patterns before any comparison
+    h1 = np.ascontiguousarray(h1).view(np.uint64)
+    h2 = np.ascontiguousarray(h2).view(np.uint64)
+    set_h1 = np.ascontiguousarray(set_h1).view(np.uint64)
+    set_h2 = np.ascontiguousarray(set_h2).view(np.uint64)
+    n = h1.size
+    hit = np.zeros(n, dtype=bool)
+    if not set_h1.size:
+        return hit
+    lo = np.searchsorted(set_h1, h1, side="left")
+    hi = np.searchsorted(set_h1, h1, side="right")
+    span = hi - lo
+    for j in range(int(span.max(initial=0))):
+        sel = span > j
+        hit[sel] |= set_h2[lo[sel] + j] == h2[sel]
+    return hit
+
+
+class DropBoilerplate:
+    """pages batch → per-page cleaned text stats after removing paragraphs
+    whose 128-bit hash is in the broadcast boilerplate set.
+
+    The set travels as ONE ``ray.put`` ObjectRef (fetched and sorted once
+    per worker on first use, never re-shipped per batch); reconstruction is
+    local to the batch — no shuffle touches paragraph text anywhere in the
+    boilerplate pipeline.  ASSUMPTION (documented, CCNet-style): the set of
+    paragraphs with df ≥ threshold is small enough to broadcast — true for
+    real corpora where high-df blocks are nav/footer/legal boilerplate."""
+
+    def __init__(self, set_ref, *, text_col: str = "text",
+                 keep_cols: tuple[str, ...] = ("url",)):
+        self.set_ref = set_ref
+        self.text_col = text_col
+        self.keep_cols = keep_cols
+        self._set = None
+
+    def _load(self):
+        import numpy as np
+        import ray
+        if self._set is None:
+            s1, s2 = ray.get(self.set_ref) if hasattr(self.set_ref, "hex") \
+                else self.set_ref
+            s1 = np.asarray(s1, dtype=np.uint64)
+            s2 = np.asarray(s2, dtype=np.uint64)
+            order = np.lexsort((s2, s1))
+            self._set = (s1[order], s2[order])
+        return self._set
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import numpy as np
+        from ..functions.hashing import content_hash128, fnv1a64_array
+        s1, s2 = self._load()
+        n = batch.num_rows
+        row_idx, paras, _ = _explode_paragraphs(batch[self.text_col])
+        h1, h2 = content_hash128(paras)
+        drop = _member128(h1, h2, s1, s2)
+        kept = paras.filter(pa.array(~drop))
+        kept_rows = row_idx[~drop]
+        kept_counts = np.bincount(kept_rows, minlength=n)
+        offsets = np.zeros(n + 1, dtype=np.int32)
+        offsets[1:] = np.cumsum(kept_counts)
+        lst = pa.ListArray.from_arrays(pa.array(offsets), kept)
+        clean = pc.binary_join(lst, "\n\n")
+        cols = {c: batch[c] for c in self.keep_cols}
+        cols.update({
+            "n_paras": pa.array(np.bincount(row_idx, minlength=n)
+                                .astype(np.int32)),
+            "n_dropped": pa.array(np.bincount(row_idx[drop], minlength=n)
+                                  .astype(np.int32)),
+            "clean_len": pc.utf8_length(clean).cast(pa.int32()),
+            "clean_hash": pa.array(fnv1a64_array(clean).view(np.int64)),
+        })
         return pa.table(cols)

@@ -32,6 +32,9 @@ GOLDEN = {
     # seeded (seed=42) sample-trained k-means → deterministic probe results
     "ivf_topk":
         "9f99b273a906abb1e1b2a1fcd5e024e1ee8423b802fa7c8c3c1e6f06e1a7fd61",
+    # Philox-seeded pages → deterministic boilerplate df counts + rebuild
+    "boilerplate_removal":
+        "c46cc0de150be1045f9bc545d55432d015176ebd757af74a6a6fcbf082d0a362",
     # Philox-seeded pages corpus → deterministic URL parse + host aggregate
     "url_host_stats":
         "9ada3e9eddabc15361e1f8d3dc6a2f3aa91e4f79fdb33e56d0535d05912746fd",

@@ -63,3 +63,43 @@ class TestUrlParse:
         assert df["host"].str.match(r"site\d{3}\.example").all()
         # zipf site popularity: site000 must dominate
         assert df.sort_values("n_pages").iloc[-1]["host"] == "site000.example"
+
+
+class TestBoilerplateRemoval:
+    def test_matches_bruteforce(self, ray_session):
+        import collections
+        import numpy as np
+        from search_engine_ray.pipelines.queries import (BOILERPLATE_MIN_DF,
+                                                         q_boilerplate_removal)
+        from search_engine_ray.sources.pages import pages_batch
+        from search_engine_ray.stages.extract import extract_full_text_array
+        n = 300
+        got = (q_boilerplate_removal(n_pages=n).to_pandas()
+               .sort_values("url").reset_index(drop=True))
+        t = pages_batch(np.arange(n))
+        texts = extract_full_text_array(t["html"]).to_pylist()
+        df = collections.Counter()
+        for x in texts:
+            df.update({p for p in x.split("\n\n") if p})
+        boiler = {p for p, c in df.items() if c >= BOILERPLATE_MIN_DF}
+        # nav fragments and the dominant site's footer must be boilerplate
+        assert {"home", "about", "contact", "terms", "|"} <= boiler
+        assert any(p.startswith("© 2018 site000.example") for p in boiler)
+        urls = t["url"].to_pylist()
+        for i, u in enumerate(sorted(range(n), key=lambda i: urls[i])):
+            paras = [p for p in texts[u].split("\n\n") if p]
+            kept = [p for p in paras if p not in boiler]
+            row = got.iloc[i]
+            assert row["url"] == urls[u]
+            assert row["n_paras"] == len(paras)
+            assert row["n_dropped"] == len(paras) - len(kept)
+            assert row["clean_len"] == len("\n\n".join(kept))
+
+    def test_body_survives(self, ray_session):
+        # ground-truth article text is unique per page: nothing from the
+        # article body may be dropped, only nav/footer/title collisions
+        from search_engine_ray.pipelines.queries import q_boilerplate_removal
+        df = q_boilerplate_removal(n_pages=300).to_pandas()
+        # every page keeps a substantial body
+        assert (df["clean_len"] > 100).all()
+        assert (df["n_dropped"] >= 5).all()   # home/|/|/about/contact/terms…
