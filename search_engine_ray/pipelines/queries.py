@@ -1367,6 +1367,55 @@ def q_bm25_topk(sf_dir: str):
                      "score": pa.array([round(s, 6) for _, s in res])})
 
 
+FACET_FILTER = ("language", "de")   # the faceted-search demo filter
+
+
+def _ensure_fielded_index(sf_dir: str) -> str:
+    """Fielded-index cache: text postings + metadata set-indexes over the
+    documents table's lang/source columns (the faceted-serving shape)."""
+    from .build import build_index
+    from ..stages.tokenize import FieldedPostings
+    from ..state.checkpoint import IndexConfig
+    tag = sf_dir.strip("/").replace("/", "_") + "_fielded"
+    idx = os.path.join(_INDEX_CACHE, tag)
+    if not os.path.exists(os.path.join(idx, "manifest.json")):
+        cfg = IndexConfig(n_buckets=16, n_doc_shards=4)
+        stage = FieldedPostings(
+            text_fields={"text": "text"},
+            metadata_fields={"language": "lang", "source": "source"},
+            n_buckets=cfg.n_buckets, n_doc_shards=cfg.n_doc_shards)
+        build_index(os.path.join(sf_dir, "documents.parquet"), idx, cfg,
+                    postings_stage=stage,
+                    postings_columns=["doc_id", "text", "lang", "source"])
+    return idx
+
+
+def q_bm25_topk_filtered(sf_dir: str):
+    """Faceted search: BM25 top-10 for the flagship query restricted to
+    ``lang = 'de'`` via the metadata set-index intersection (no text
+    re-scan, no post-hoc corpus join — the filter is a posting-list probe
+    inside each shard searcher).  df/idf stay global; the oracle scores
+    identically and facets afterwards."""
+    from .query import QueryEngine
+    idx = _ensure_fielded_index(sf_dir)
+    qe = QueryEngine(idx, num_searchers=4, use_actors=True)
+    res = qe.query_filtered(FLAGSHIP_QUERY, [FACET_FILTER], k=10)
+    return pa.table({"rank": pa.array(range(len(res)), type=pa.int32()),
+                     "doc_id": pa.array([d for d, _ in res], type=pa.int64()),
+                     "score": pa.array([round(s, 6) for _, s in res])})
+
+
+def _sql_bm25_topk_filtered(k: int = 10) -> str:
+    return _sql_bm25_core() + f"""
+SELECT (row_number() OVER (ORDER BY score DESC, doc_id ASC))::INTEGER - 1
+         AS rank,
+       doc_id, round(score, 6) AS score
+FROM raw_scores JOIN documents USING (doc_id)
+WHERE lang = '{FACET_FILTER[1]}'
+ORDER BY score DESC, doc_id ASC LIMIT {k}
+"""
+
+
 SNIPPET_RADIUS = 5   # tokens either side of the first query-term hit
 
 
@@ -1868,6 +1917,7 @@ QUERIES = {
     "bm25_topk": q_bm25_topk,
     "phrase_topk": q_phrase_topk,
     "search_snippets": q_search_snippets,
+    "bm25_topk_filtered": q_bm25_topk_filtered,
     "minhash_neardup": q_minhash_neardup,
     "minhash_dedup_keep": q_minhash_dedup_keep,
     "simhash_neardup": q_simhash_neardup,
@@ -1929,6 +1979,7 @@ ORACLE_SQL = {
     "bm25_topk": _sql_bm25_topk(),
     "phrase_topk": _sql_phrase_topk(),
     "search_snippets": _sql_search_snippets(),
+    "bm25_topk_filtered": _sql_bm25_topk_filtered(),
     "knn_topk": SQL_KNN_TOPK,
     "lang_id_counts": _sql_lang_id_counts(),
     "fingerprints": SQL_FINGERPRINTS,

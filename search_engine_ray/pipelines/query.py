@@ -361,6 +361,46 @@ class SegmentSearcher:
                 out[t] = df
         return out
 
+    def _metadata_docset(self, probes: list[tuple[str, str]]) -> np.ndarray:
+        """AND-intersection of metadata set-index postings → local doc ids
+        (the faceted-search filter).  Each (field, value) probe is one
+        binary search + slice; no text-field postings are touched."""
+        cur: np.ndarray | None = None
+        for field, value in probes:
+            slots = self._slots_of(field, value)
+            ids = (np.unique(np.concatenate(
+                [self._post_local[self._slot_off[s]:self._slot_off[s + 1]]
+                 for s in slots])) if slots.size
+                else np.zeros(0, dtype=np.int32))
+            cur = ids if cur is None else \
+                np.intersect1d(cur, ids, assume_unique=True)
+            if not cur.size:
+                break
+        return cur if cur is not None else np.zeros(0, dtype=np.int32)
+
+    def search_filtered(self, terms: list[str], k: int,
+                        filters: list[tuple[str, str]]
+                        ) -> tuple[np.ndarray, np.ndarray]:
+        """Faceted BM25: OR-union scores exactly as :meth:`search`, then
+        the candidate set is intersected with the metadata filter docset
+        BEFORE top-k.  df/idf stay GLOBAL (unfiltered) — the convention the
+        SQL oracle mirrors (score first, facet second)."""
+        allowed = self._metadata_docset(filters)
+        if not allowed.size:
+            return (np.zeros(0, dtype=np.int64), np.zeros(0, dtype=np.float64))
+        parts = [p for p in (self._term_scores(t) for t in sorted(set(terms)))
+                 if p is not None]
+        if not parts:
+            return (np.zeros(0, dtype=np.int64), np.zeros(0, dtype=np.float64))
+        dense = np.zeros(len(self._docs), dtype=np.float64)
+        for ids, sc in parts:
+            dense[ids] += sc
+        hits = allowed[dense[allowed] > 0.0]
+        if hits.size > 4 * k > 0:
+            thresh = np.partition(dense[hits], hits.size - k)[hits.size - k]
+            hits = hits[dense[hits] >= thresh]
+        return top_k(self._docs[hits], dense[hits], k)
+
     # ---- phrase queries (positional index; IndexConfig.positions) ----
 
     def _term_positions(self, term: str
@@ -712,6 +752,31 @@ class QueryEngine:
                 ids, sc = top_k(ids, sc, k)
                 out[i] = [(int(d), float(s)) for d, s in zip(ids, sc)]
         return out
+
+    def query_filtered(self, text: str, filters: list[tuple[str, str]],
+                       k: int = 10) -> list[tuple[int, float]]:
+        """Faceted BM25 top-k over a FIELDED index: score the text terms as
+        :meth:`query`, keep only docs whose metadata set-indexes match ALL
+        ``(field, value)`` filters (values normalized with the engine's
+        CleanMetaData rules).  df/idf are global — facets restrict the
+        result set, not the statistics."""
+        from ..functions.analyze import clean_metadata
+        terms = tokenize(text, stopwords=self.stopwords, stem=self.stem)
+        if not terms:
+            return []
+        probes = [(f, clean_metadata(v)) for f, v in filters]
+        if self.use_actors:
+            partials = ray.get([s.search_filtered.remote(terms, k, probes)
+                                for s in self.searchers])
+        else:
+            partials = [s.search_filtered(terms, k, probes)
+                        for s in self.searchers]
+        ids = np.concatenate([p[0] for p in partials])
+        sc = np.concatenate([p[1] for p in partials])
+        if ids.size == 0:
+            return []
+        ids, sc = top_k(ids, sc, k)
+        return [(int(d), float(s)) for d, s in zip(ids, sc)]
 
     def phrase_query(self, text: str, k: int = 10) -> list[tuple[int, float]]:
         """Exact-phrase BM25 top-k over a POSITIONAL index
