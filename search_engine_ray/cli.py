@@ -153,6 +153,23 @@ def cmd_show(args) -> int:
     return 0
 
 
+def cmd_delete(args) -> int:
+    from .pipelines.maintenance import delete_docs
+    n = delete_docs(args.index, args.doc_ids)
+    print(f"tombstoned {n} docs in {args.index} "
+          "(visible on next searcher start; run compact to reclaim)")
+    return 0
+
+
+def cmd_compact(args) -> int:
+    _ensure_ray(args.num_cpus)
+    from .pipelines.maintenance import compact_index
+    man = compact_index(args.index, args.into)
+    print(f"compacted {args.index} -> {args.into} "
+          f"({len(man['partitions'])} partitions)")
+    return 0
+
+
 def cmd_merge(args) -> int:
     _ensure_ray(args.num_cpus)
     from .pipelines.merge import merge_indexes
@@ -255,6 +272,17 @@ def make_parser() -> argparse.ArgumentParser:
     s.add_argument("--index", required=True)
     s.add_argument("--doc-id", type=int, required=True)
     s.set_defaults(fn=cmd_show)
+
+    de = sub.add_parser("delete", help="tombstone docs (searchable deletes)")
+    de.add_argument("--index", required=True)
+    de.add_argument("doc_ids", nargs="+", type=int)
+    de.set_defaults(fn=cmd_delete)
+
+    co = sub.add_parser("compact",
+                        help="rewrite the index without tombstoned docs")
+    co.add_argument("--index", required=True)
+    co.add_argument("--into", required=True)
+    co.set_defaults(fn=cmd_compact)
 
     m = sub.add_parser("merge", help="k-way merge of indexes")
     m.add_argument("--into", required=True)

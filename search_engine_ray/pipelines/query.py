@@ -115,6 +115,20 @@ class SegmentSearcher:
         self._docs = cat_ids[order]
         # BM25 doc-length norms, aligned with the local docID dictionary
         self._doc_len = cat_lens[order].astype(np.float64)
+        # tombstones (pipelines/maintenance.delete_docs): deleted docs are
+        # masked out of every decode path; statistics stay pre-delete until
+        # compaction (the searchable-deletes convention)
+        from ..pipelines.maintenance import load_tombstones
+        dead_global = (np.concatenate([load_tombstones(index_dir, s)
+                                       for s in shards]) if shards
+                       else np.zeros(0, dtype=np.int64))
+        self._alive = np.ones(self._docs.size, dtype=bool)
+        if dead_global.size:
+            pos = np.searchsorted(self._docs, dead_global)
+            ok = pos < self._docs.size
+            ok[ok] = self._docs[pos[ok]] == dead_global[ok]
+            self._alive[pos[ok]] = False
+        self._n_dead = int((~self._alive).sum())
         pos = self._doc_len[self._doc_len > 0]
         self._dl_min = float(pos.min()) if pos.size else 1.0
         # per-shard local id → searcher-dense index (shards are disjoint
@@ -298,6 +312,10 @@ class SegmentSearcher:
         s, e = self._slot_off[slot], self._slot_off[slot + 1]
         local = self._post_local[s:e]
         tf = self._post_tf[s:e].astype(np.float64)
+        if self._n_dead:
+            m = self._alive[local]
+            if not m.all():
+                local, tf = local[m], tf[m]
         return (local, tf, self._doc_len[local])
 
     def _term_scores(self, term: str) -> tuple[np.ndarray, np.ndarray] | None:
@@ -433,7 +451,11 @@ class SegmentSearcher:
             prefix = np.cumsum(deltas)
             base = np.where(starts > 0, prefix[np.maximum(starts, 1) - 1], 0)
             abs_pos = prefix - np.repeat(base, tf)
-            docs_parts.append(np.repeat(local, tf))
+            docs_rep = np.repeat(local, tf)
+            if self._n_dead:
+                m = self._alive[docs_rep]   # tombstoned docs drop out
+                docs_rep, abs_pos = docs_rep[m], abs_pos[m]
+            docs_parts.append(docs_rep)
             pos_parts.append(abs_pos)
         return np.concatenate(docs_parts), np.concatenate(pos_parts)
 

@@ -110,6 +110,13 @@ def partition_dir(index_dir: str, shard: int, bucket: int) -> str:
     return os.path.join(shard_dir(index_dir, shard), f"bucket={bucket:05d}")
 
 
+def tombstones_shard_dir(index_dir: str, shard: int) -> str:
+    """Deleted-docID parquet fragments for one doc shard (Lucene-style
+    tombstones: deletes are visible at query time immediately; postings,
+    docstore and statistics are only rewritten by ``compact_index``)."""
+    return os.path.join(index_dir, "tombstones", f"shard={shard}")
+
+
 def done_partitions(index_dir: str, cfg: IndexConfig) -> list[int]:
     out = []
     for s in range(cfg.n_doc_shards):
