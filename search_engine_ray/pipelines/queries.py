@@ -678,6 +678,30 @@ def q_top_terms_sketch(sf_dir: str, *, k: int = 10, capacity: int = 256):
                         batch_format="pyarrow"))
 
 
+def q_term_freq_cm(sf_dir: str, *, width: int = 2048, depth: int = 4):
+    """Approximate collection frequencies of the flagship query terms via a
+    mergeable count-min sketch: one fixed-size (d×width int64) partial per
+    postings batch, a tree-combine level, one final merge + point probes —
+    the exchange never moves a term-keyed row.  Estimates are UPPER bounds
+    (overestimate ≤ e·n/width w.h.p.); exactness-bound pinned in
+    tests/test_sketch.py and the output golden-pinned (integer sums are
+    batching-invariant)."""
+    from ..stages.sketch import (PartialCM, cm_estimate_in_group,
+                                 combine_cm_rows)
+    terms = sorted(set(tokenize(FLAGSHIP_QUERY)))
+    return (_postings(sf_dir)
+            .map_batches(PartialCM(item_col="term", weight_col="tf",
+                                   width=width, depth=depth),
+                         batch_format="pyarrow", batch_size=4096)
+            .map_batches(functools.partial(combine_cm_rows, width=width,
+                                           depth=depth),
+                         batch_format="pyarrow", batch_size=64)
+            .groupby("g")
+            .map_groups(functools.partial(cm_estimate_in_group, terms=terms,
+                                          width=width, depth=depth),
+                        batch_format="pyarrow"))
+
+
 def q_event_user_reach(sf_dir: str):
     """Exact distinct-count per group (users reached per event type):
     two-level aggregation — dedup on the composite key first (map-side
@@ -1932,6 +1956,7 @@ QUERIES = {
     "event_user_reach": q_event_user_reach,
     "event_user_reach_hll": q_event_user_reach_hll,
     "top_terms_sketch": q_top_terms_sketch,
+    "term_freq_cm": q_term_freq_cm,
     "top_users_per_type": q_top_users_per_type,
     "embedding_neardup": q_embedding_neardup,
     "ivf_topk": q_ivf_topk,
@@ -1986,7 +2011,8 @@ ORACLE_SQL = {
     # minhash_neardup / simhash_neardup / embedding_neardup / ivf_topk /
     # url_host_stats / boilerplate_removal / media_frame_stats /
     # event_value_quantiles_tdigest /
-    # event_user_reach_hll / top_terms_sketch: seeded-signature
+    # event_user_reach_hll / top_terms_sketch / term_freq_cm:
+    # seeded-signature
     # LSH candidate generation or approximate / media / sketch pipelines —
     # not SQL-expressible → rows-only driver check (SURVEY §5 item 4);
     # recall, accuracy-bound and golden-value pytest coverage in

@@ -448,3 +448,123 @@ def mg_topk_in_group(group: pa.Table, *, k: int, capacity: int = 256
         "err_bound": pa.array([n // (capacity + 1)] * order.size,
                               type=pa.int64()),
     })
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch (Cormode & Muthukrishnan 2005, public algorithm)
+# ---------------------------------------------------------------------------
+
+_CM_SEEDS = np.array([0x9E3779B97F4A7C15, 0xC2B2AE3D27D4EB4F,
+                      0x165667B19E3779F9, 0x27D4EB2F165667C5],
+                     dtype=np.uint64)
+
+
+class CountMin:
+    """Mergeable point-frequency sketch over 64-bit item hashes: a
+    ``d × width`` int64 counter matrix; ``estimate`` = min over the d rows
+    (an UPPER bound on the true count; overestimate ≤ e·n/width with
+    probability ≥ 1 − e^−d).  Merging = element-wise sum, so partials
+    built per batch combine in any order to the same matrix — integer
+    sums are exactly batching- and order-invariant."""
+
+    __slots__ = ("width", "depth", "table", "n")
+
+    def __init__(self, width: int = 2048, depth: int = 4,
+                 table: np.ndarray | None = None, n: int = 0):
+        self.width = width
+        self.depth = depth
+        self.table = (table if table is not None
+                      else np.zeros((depth, width), dtype=np.int64))
+        self.n = n
+
+    def _cols(self, h: np.ndarray) -> np.ndarray:
+        """(depth, n_items) column indices via splitmix of seed-xored
+        hashes."""
+        h = np.ascontiguousarray(h).view(np.uint64)
+        return np.stack([
+            _splitmix64(h ^ _CM_SEEDS[r]) % np.uint64(self.width)
+            for r in range(self.depth)])
+
+    def add(self, h: np.ndarray, weights: np.ndarray) -> "CountMin":
+        if h.size == 0:
+            return self
+        w = np.asarray(weights, dtype=np.int64)
+        cols = self._cols(h)
+        for r in range(self.depth):
+            np.add.at(self.table[r], cols[r], w)
+        self.n += int(w.sum())
+        return self
+
+    def merge(self, other: "CountMin") -> "CountMin":
+        self.table += other.table
+        self.n += other.n
+        return self
+
+    def estimate(self, h: np.ndarray) -> np.ndarray:
+        cols = self._cols(h)
+        ests = np.stack([self.table[r][cols[r]] for r in range(self.depth)])
+        return ests.min(axis=0)
+
+
+class PartialCM:
+    """``map_batches`` callable over ``(item, weight)`` rows → ONE partial
+    count-min row per batch (the flattened d×width matrix).  Like the MG
+    partials, the exchange moves only fixed-size summary rows — never an
+    item-keyed shuffle."""
+
+    def __init__(self, *, item_col: str, weight_col: str | None = None,
+                 width: int = 2048, depth: int = 4):
+        self.item_col = item_col
+        self.weight_col = weight_col
+        self.width = width
+        self.depth = depth
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..functions.hashing import fnv1a64_array
+        cm = CountMin(self.width, self.depth)
+        h = fnv1a64_array(batch[self.item_col])
+        w = (batch[self.weight_col].to_numpy(zero_copy_only=False)
+             .astype(np.int64) if self.weight_col is not None
+             else np.ones(batch.num_rows, dtype=np.int64))
+        cm.add(h, w)
+        return pa.table({
+            "g": pa.array([0], type=pa.int32()),
+            "cm_table": pa.array([cm.table.ravel().tolist()],
+                                 type=pa.list_(pa.int64())),
+            "cm_n": pa.array([cm.n], type=pa.int64()),
+        })
+
+
+def combine_cm_rows(batch: pa.Table, *, width: int = 2048,
+                    depth: int = 4) -> pa.Table:
+    """Tree-combine level: element-wise sum of up to batch_size partial
+    matrices into one row."""
+    if batch.num_rows <= 1:
+        return batch
+    acc = np.zeros(depth * width, dtype=np.int64)
+    for row in batch["cm_table"].to_pylist():
+        acc += np.asarray(row, dtype=np.int64)
+    return pa.table({
+        "g": pa.array([0], type=pa.int32()),
+        "cm_table": pa.array([acc.tolist()], type=pa.list_(pa.int64())),
+        "cm_n": pa.array([int(batch["cm_n"].to_numpy().sum())],
+                         type=pa.int64()),
+    })
+
+
+def cm_estimate_in_group(group: pa.Table, *, terms: list[str],
+                         width: int = 2048, depth: int = 4) -> pa.Table:
+    """Final single-group merge + point estimates for the probe terms →
+    ``(term, est_count, n_total)`` (est is an upper bound on truth)."""
+    from ..functions.hashing import fnv1a64_array
+    merged = combine_cm_rows(group, width=width, depth=depth)
+    table = np.asarray(merged["cm_table"][0].as_py(),
+                       dtype=np.int64).reshape(depth, width)
+    cm = CountMin(width, depth, table=table,
+                  n=int(merged["cm_n"][0].as_py()))
+    h = fnv1a64_array(pa.array(terms, type=pa.string()))
+    est = cm.estimate(h)
+    return pa.table({"term": pa.array(terms, type=pa.string()),
+                     "est_count": pa.array(est, type=pa.int64()),
+                     "n_total": pa.array([cm.n] * len(terms),
+                                         type=pa.int64())})

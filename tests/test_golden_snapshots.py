@@ -51,6 +51,9 @@ GOLDEN = {
     # deterministic batching + one order-independent final compaction
     "top_terms_sketch":
         "a7b6f7b275c46e5c6ab2d997da82f0fd966bd2bdddc61a99675af8d3ad13cc19",
+    # integer counter sums → exactly batching/merge-order invariant
+    "term_freq_cm":
+        "89b7e2dbfc38d6264e0c710da48dc765e6918a002c8b1fe3fe0d85ddca66beeb",
 }
 
 

@@ -198,3 +198,45 @@ def test_mg_pipeline_matches_exact_head(ray_session):
     assert (approx["est_count"] <= exact["total_tf"]).all()
     assert ((exact["total_tf"] - approx["est_count"])
             <= approx["err_bound"]).all()
+
+
+def test_cm_bounds_and_merge_invariance():
+    from search_engine_ray.stages.sketch import CountMin
+    from search_engine_ray.functions.hashing import fnv1a64_array
+    import pyarrow as pa
+    rng = np.random.RandomState(9)
+    items = rng.zipf(1.3, size=40_000).astype(np.int64) % 5000
+    strs = pa.array([f"t{i}" for i in items])
+    h = fnv1a64_array(strs)
+    whole = CountMin(width=1024, depth=4).add(h, np.ones(len(items)))
+    # split into 7 partials in two different orders → identical tables
+    parts = np.array_split(np.arange(len(items)), 7)
+    def build(order):
+        cms = [CountMin(1024, 4).add(h[ix], np.ones(ix.size)) for ix in
+               [parts[i] for i in order]]
+        out = cms[0]
+        for c in cms[1:]:
+            out.merge(c)
+        return out
+    a, b = build(range(7)), build(reversed(range(7)))
+    assert np.array_equal(a.table, b.table) and a.n == b.n
+    assert np.array_equal(a.table, whole.table)
+    # bounds: est >= truth, overestimate within e*n/width (w.h.p.)
+    import collections
+    true = collections.Counter(items)
+    probe = pa.array([f"t{i}" for i in sorted(true)])
+    est = whole.estimate(fnv1a64_array(probe))
+    tr = np.array([true[i] for i in sorted(true)])
+    assert (est >= tr).all()
+    assert (est - tr <= np.e * len(items) / 1024 * 3).all()
+
+
+def test_cm_pipeline_upper_bounds_exact(ray_session):
+    from search_engine_ray.pipelines.queries import q_term_df, q_term_freq_cm
+    sf = "/root/testdata/sf0.001"
+    exact = q_term_df(sf).to_pandas().set_index("term")["total_tf"]
+    got = q_term_freq_cm(sf).to_pandas()
+    for _, r in got.iterrows():
+        t = exact.get(r["term"], 0)
+        assert r["est_count"] >= t
+        assert r["est_count"] - t <= np.e * r["n_total"] / 2048 * 3
