@@ -57,6 +57,23 @@ def sql_tokenize_cte(table: str = "documents", text_col: str = "text",
     """
 
 
+def sql_token_list_cte(table: str = "documents", text_col: str = "text",
+                       id_col: str = "doc_id") -> str:
+    """DuckDB fragment producing ``(doc_id, toks)`` where ``toks`` is the
+    document's ORDERED kept-token list — the list form of the
+    :func:`sql_tokenize_cte` stream (list ops preserve order)."""
+    return f"""
+    SELECT {id_col} AS doc_id,
+           list_filter(list_transform(
+               list_filter(string_split_regex({text_col}, '[ \t\v\n\r,.?!;:"/()]+'),
+                           tok -> tok <> ''
+                              AND NOT regexp_matches(tok, '[^\\x00-\\x7F]')),
+               tok -> lower(replace(tok, chr(39), ''))),
+             t -> t <> '') AS toks
+    FROM {table}
+    """
+
+
 def sql_ordinal_tokenize_cte(table: str = "documents",
                              text_col: str = "text",
                              id_col: str = "doc_id") -> str:
@@ -67,18 +84,9 @@ def sql_ordinal_tokenize_cte(table: str = "documents",
     positional-postings oracle: the engine's stored positions are 0-based
     indexes into exactly this stream."""
     return f"""
-    SELECT {id_col} AS doc_id, unnest(toks) AS term,
+    SELECT doc_id, unnest(toks) AS term,
            generate_subscripts(toks, 1) AS ord
-    FROM (
-        SELECT {id_col},
-               list_filter(list_transform(
-                   list_filter(string_split_regex({text_col}, '[ \t\v\n\r,.?!;:"/()]+'),
-                               tok -> tok <> ''
-                                  AND NOT regexp_matches(tok, '[^\\x00-\\x7F]')),
-                   tok -> lower(replace(tok, chr(39), ''))),
-                 t -> t <> '') AS toks
-        FROM {table}
-    )
+    FROM ({sql_token_list_cte(table, text_col, id_col)})
     """
 
 

@@ -30,7 +30,8 @@ import pyarrow.compute as pc
 import ray.data
 from ray.data.aggregate import Count, Max, Mean, Min, Sum
 
-from ..functions.analyze import sql_tokenize_cte, tokenize
+from ..functions.analyze import (sql_token_list_cte, sql_tokenize_cte,
+                                 tokenize)
 from ..stages.dedup import (MinHashLSH, SimHash, hamming64,
                             verify_jaccard_in_group)
 from ..stages.similarity import CosineScorer, merge_topk
@@ -1291,6 +1292,60 @@ GROUP BY text
 """
 
 
+def q_contamination(sf_dir: str, *, n: int = 5, bench_mod: int = 97):
+    """Benchmark-contamination detection (the decontamination pass every
+    LLM training pipeline runs: word n-gram collision of training docs
+    against eval benchmarks — published recipes use 8–13-grams; n=5 here
+    because the synthetic vocabulary is tiny).  Docs with
+    ``doc_id % bench_mod == 0`` play the benchmark set; the rest are the
+    training corpus.  Output: per corpus doc with ≥n tokens, its total
+    n-gram count and how many n-grams collide with ANY benchmark n-gram.
+
+    Scale shape: the benchmark side is small by definition → its distinct
+    grams are collected once and broadcast (``ray.put``); the corpus side
+    is ONE streaming ``map_batches`` pass (vectorized shifted-take n-grams
+    + ``pc.is_in`` probe) — no corpus row shuffles, no driver collection.
+    See ``stages/contamination.py`` for the 100-TB notes (hash-gram
+    variant for very large benchmark suites)."""
+    from ..stages.contamination import (ContaminationScore,
+                                        collect_benchmark_grams)
+    bench = (_docs(sf_dir, ["doc_id", "text"])
+             .map_batches(functools.partial(_mod_filter, mod=bench_mod,
+                                            keep_equal=True),
+                          batch_format="pyarrow"))
+    gram_set_ref = ray.put(collect_benchmark_grams(bench, n=n))
+    corpus = (_docs(sf_dir, ["doc_id", "text"])
+              .map_batches(functools.partial(_mod_filter, mod=bench_mod,
+                                             keep_equal=False),
+                           batch_format="pyarrow"))
+    return corpus.map_batches(ContaminationScore(gram_set_ref, n=n),
+                              batch_format="pyarrow")
+
+
+def _mod_filter(t: pa.Table, *, mod: int, keep_equal: bool) -> pa.Table:
+    ids = t["doc_id"].to_numpy(zero_copy_only=False)
+    m = (ids % mod) == 0
+    return t.filter(pa.array(m if keep_equal else ~m))
+
+
+SQL_CONTAMINATION = f"""
+WITH lists AS ({sql_token_list_cte()}),
+grams AS (
+    SELECT doc_id, array_to_string(list_slice(toks, i, i + 4), ' ') AS g
+    FROM (SELECT doc_id, toks,
+                 unnest(range(1, greatest(len(toks) - 3, 1))) AS i
+          FROM lists)
+),
+bench AS (SELECT DISTINCT g FROM grams WHERE doc_id % 97 = 0)
+SELECT doc_id, count(*) AS n_grams,
+       sum(CASE WHEN g IN (SELECT g FROM bench) THEN 1 ELSE 0 END)::BIGINT
+           AS n_contaminated
+FROM grams
+WHERE doc_id % 97 <> 0
+GROUP BY doc_id
+"""
+
+
 def q_nation_order_stats(sf_dir: str):
     """Relational join showcase at both scale shapes (SURVEY §2.4 J-class):
     orders ⋈ customer is a LARGE⋈LARGE hash-partitioned equi-join
@@ -1936,6 +1991,7 @@ QUERIES = {
     "doc_sample_hash": q_doc_sample_hash,
     "stratified_sample": q_stratified_sample,
     "dedup_incremental": q_dedup_incremental,
+    "contamination": q_contamination,
     "nation_order_stats": q_nation_order_stats,
     "binary_payload_stats": q_binary_payload_stats,
     "bm25_topk": q_bm25_topk,
@@ -1991,6 +2047,7 @@ ORACLE_SQL = {
     "doc_sample_hash": SQL_DOC_SAMPLE_HASH,
     "stratified_sample": _sql_stratified_sample(),
     "dedup_incremental": SQL_DEDUP_INCREMENTAL,
+    "contamination": SQL_CONTAMINATION,
     "nation_order_stats": SQL_NATION_ORDER_STATS,
     "binary_payload_stats": SQL_BINARY_PAYLOAD_STATS,
     "events_tumbling": SQL_EVENTS_TUMBLING,
