@@ -1292,6 +1292,102 @@ GROUP BY text
 """
 
 
+def q_dedup_incremental_bloom(sf_dir: str, *, m_bits: int = 1 << 20,
+                              k: int = 6):
+    """Incremental dedup with a BLOOM-FILTER prefilter — same EXACT result
+    (and same SQL oracle) as ``dedup_incremental``, different scale shape:
+    the corpus side never enters a shuffle.
+
+    The exact variant shuffles corpus+batch hash rows every ingest; at
+    100 TB the corpus half of that exchange dominates even though the
+    corpus is unchanged between ingests.  Here instead:
+
+    1. one streaming corpus pass builds OR-mergeable fixed-size filter
+       partials (``stages/bloom.py``) → one broadcast filter (in
+       production: built once, persisted, reloaded per ingest);
+    2. the NEW batch (the small side, by definition of "incremental")
+       groups by content hash — a small-side-only shuffle — and probes
+       the filter: bloom-negative groups are definitely new → kept;
+    3. only bloom-positive groups (true dups + the ~(nk/m)^k
+       false-positive tail) are verified EXACTLY against a second corpus
+       streaming pass with the candidate hashes broadcast (vectorized
+       ``np.isin`` prefilter per batch, tuple check on the tiny
+       survivor set) — so false positives cannot drop a genuinely new
+       document and the output equals the exact variant's.
+
+    Both driver collections (tree-combined bitmap rows; bloom-positive
+    candidate groups) are bounded — by the fixed filter size and by the
+    new batch's duplicate count respectively."""
+    from ..stages.bloom import Bloom, build_bloom
+    docs = _docs(sf_dir, ["doc_id", "text"])
+
+    def corpus_hashes():
+        return (_docs(sf_dir, ["doc_id", "text"])
+                .map_batches(functools.partial(_mod_filter, mod=2,
+                                               keep_equal=True),
+                             batch_format="pyarrow")
+                .map_batches(_content_hash_stage, batch_format="pyarrow"))
+
+    bloom = build_bloom(corpus_hashes(), hash_col="h1", m_bits=m_bits, k=k)
+    bits_ref = ray.put(bloom.bits)
+
+    new_groups = (docs
+                  .map_batches(functools.partial(_mod_filter, mod=2,
+                                                 keep_equal=False),
+                               batch_format="pyarrow")
+                  .map_batches(_content_hash_stage, batch_format="pyarrow")
+                  .groupby(["h1", "h2"])
+                  .aggregate(Min("doc_id"), Count())
+                  .rename_columns({"min(doc_id)": "doc_id",
+                                   "count()": "n_batch_copies"}))
+
+    def probe(t: pa.Table) -> pa.Table:
+        b = Bloom(m_bits, k, bits=ray.get(bits_ref))
+        maybe = b.contains(t["h1"].to_numpy(zero_copy_only=False))
+        return t.append_column("maybe_dup", pa.array(maybe))
+
+    probed = new_groups.map_batches(probe,
+                                    batch_format="pyarrow").materialize()
+    negatives = (probed
+                 .map_batches(lambda t: t.filter(
+                     pc.invert(t["maybe_dup"].combine_chunks())),
+                     batch_format="pyarrow")
+                 .select_columns(["doc_id", "n_batch_copies"]))
+    pos = [r for r in probed.take_all() if r["maybe_dup"]]
+    if not pos:
+        return negatives
+
+    cand_h1 = np.unique(np.array([r["h1"] for r in pos], dtype=np.int64))
+    cand_pairs = {(r["h1"], r["h2"]) for r in pos}
+
+    def scan(t: pa.Table) -> pa.Table:
+        h1 = t["h1"].to_numpy(zero_copy_only=False)
+        m = np.isin(h1, cand_h1)
+        if not m.any():
+            return pa.table({"h1": pa.array([], type=pa.int64()),
+                             "h2": pa.array([], type=pa.int64())})
+        h2 = t["h2"].to_numpy(zero_copy_only=False)
+        hits = {(int(a), int(b)) for a, b in zip(h1[m], h2[m])
+                if (int(a), int(b)) in cand_pairs}
+        return pa.table({
+            "h1": pa.array([a for a, _ in hits], type=pa.int64()),
+            "h2": pa.array([b for _, b in hits], type=pa.int64())})
+
+    matched = {(r["h1"], r["h2"])
+               for r in corpus_hashes().map_batches(
+                   scan, batch_format="pyarrow").take_all()}
+    survivors = [r for r in pos if (r["h1"], r["h2"]) not in matched]
+    if not survivors:
+        return negatives
+    extra = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([r["doc_id"] for r in survivors],
+                           type=pa.int64()),
+        "n_batch_copies": pa.array([r["n_batch_copies"]
+                                    for r in survivors],
+                                   type=pa.int64())}))
+    return negatives.union(extra)
+
+
 def q_contamination(sf_dir: str, *, n: int = 5, bench_mod: int = 97):
     """Benchmark-contamination detection (the decontamination pass every
     LLM training pipeline runs: word n-gram collision of training docs
@@ -1991,6 +2087,7 @@ QUERIES = {
     "doc_sample_hash": q_doc_sample_hash,
     "stratified_sample": q_stratified_sample,
     "dedup_incremental": q_dedup_incremental,
+    "dedup_incremental_bloom": q_dedup_incremental_bloom,
     "contamination": q_contamination,
     "nation_order_stats": q_nation_order_stats,
     "binary_payload_stats": q_binary_payload_stats,
@@ -2047,6 +2144,7 @@ ORACLE_SQL = {
     "doc_sample_hash": SQL_DOC_SAMPLE_HASH,
     "stratified_sample": _sql_stratified_sample(),
     "dedup_incremental": SQL_DEDUP_INCREMENTAL,
+    "dedup_incremental_bloom": SQL_DEDUP_INCREMENTAL,
     "contamination": SQL_CONTAMINATION,
     "nation_order_stats": SQL_NATION_ORDER_STATS,
     "binary_payload_stats": SQL_BINARY_PAYLOAD_STATS,
