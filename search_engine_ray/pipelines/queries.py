@@ -1247,6 +1247,70 @@ WHERE (doc_id::HUGEINT * {SAMPLE_MULT}) % 4294967296
 """
 
 
+# Per-source mixture weights in HUNDREDTHS of an epoch (250 = 2.5 epochs,
+# 25 = keep 25%); sources not listed use DEFAULT.  Shared verbatim by the
+# Ray stage and the SQL oracle.
+MIXTURE_PCT: dict[str, int] = {"src0": 250, "src1": 25, "src2": 130}
+MIXTURE_DEFAULT_PCT = 100
+
+
+def q_source_mixture(sf_dir: str):
+    """Domain-mixture resampling with FRACTIONAL EPOCHS — the other half of
+    training-mix rebalancing (``stratified_sample`` covers rates ≤ 1):
+    a source weighted 2.5 emits every doc twice plus a deterministic
+    hash-chosen 50% of docs a third time; a source weighted 0.25 keeps a
+    25% sample.  Output is ``(doc_id, source, epoch)`` with ``epoch`` in
+    ``0..reps-1`` — the replicated row stream a dataloader shards.
+
+    Scale shape: stateless vectorized ``map_batches`` (per-row repeat
+    counts via the same Knuth hash as ``doc_sample_hash``, expansion via
+    ``np.repeat`` + a prefix-sum epoch ramp) — reproducible at any
+    parallelism, no shuffle, and streams: the expansion factor is bounded
+    by ``max(weight)``."""
+    sources = list(MIXTURE_PCT)
+    pcts = np.array([MIXTURE_PCT[s] for s in sources]
+                    + [MIXTURE_DEFAULT_PCT], dtype=np.int64)
+    base = pcts // 100
+    frac_cut = ((pcts % 100) * (1 << 32) // 100).astype(np.uint64)
+
+    def expand(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        si = pc.index_in(t["source"], pa.array(sources)) \
+            .to_numpy(zero_copy_only=False)
+        si = np.where(np.isnan(si.astype(np.float64)), len(sources),
+                      si).astype(np.int64)
+        h = (ids * np.uint64(SAMPLE_MULT)) % np.uint64(1 << 32)
+        reps = base[si] + (h < frac_cut[si]).astype(np.int64)
+        idx = np.repeat(np.arange(t.num_rows, dtype=np.int64), reps)
+        epoch = (np.arange(int(reps.sum()), dtype=np.int64)
+                 - np.repeat(np.cumsum(reps) - reps, reps))
+        return t.take(pa.array(idx)).append_column(
+            "epoch", pa.array(epoch, type=pa.int64()))
+
+    return _docs(sf_dir, ["doc_id", "source"]).map_batches(
+        expand, batch_format="pyarrow")
+
+
+def _sql_source_mixture() -> str:
+    base_cases = " ".join(f"WHEN '{s}' THEN {p // 100}"
+                          for s, p in MIXTURE_PCT.items())
+    frac_cases = " ".join(
+        f"WHEN '{s}' THEN {(p % 100) * (1 << 32) // 100}"
+        for s, p in MIXTURE_PCT.items())
+    return f"""
+SELECT doc_id, source, unnest(range(0, reps)) AS epoch FROM (
+    SELECT doc_id, source,
+           (CASE source {base_cases} ELSE {MIXTURE_DEFAULT_PCT // 100} END)
+           + (CASE WHEN (doc_id::HUGEINT * {SAMPLE_MULT}) % 4294967296
+                        < (CASE source {frac_cases} ELSE
+                           {(MIXTURE_DEFAULT_PCT % 100) * (1 << 32) // 100}
+                           END)
+              THEN 1 ELSE 0 END) AS reps
+    FROM documents
+)
+"""
+
+
 def q_dedup_incremental(sf_dir: str):
     """Incremental dedup of a NEW batch against an EXISTING corpus (the
     shape every recurring crawl-ingest pipeline needs): even docIDs stand
@@ -2086,6 +2150,7 @@ QUERIES = {
     "props_json_stats": q_props_json_stats,
     "doc_sample_hash": q_doc_sample_hash,
     "stratified_sample": q_stratified_sample,
+    "source_mixture": q_source_mixture,
     "dedup_incremental": q_dedup_incremental,
     "dedup_incremental_bloom": q_dedup_incremental_bloom,
     "contamination": q_contamination,
@@ -2143,6 +2208,7 @@ ORACLE_SQL = {
     "props_json_stats": SQL_PROPS_JSON_STATS,
     "doc_sample_hash": SQL_DOC_SAMPLE_HASH,
     "stratified_sample": _sql_stratified_sample(),
+    "source_mixture": _sql_source_mixture(),
     "dedup_incremental": SQL_DEDUP_INCREMENTAL,
     "dedup_incremental_bloom": SQL_DEDUP_INCREMENTAL,
     "contamination": SQL_CONTAMINATION,
