@@ -104,6 +104,11 @@ def cmd_query(args) -> int:
         for rank, (doc_id, score) in enumerate(
                 qe.phrase_query(args.query[1:-1], k=args.k)):
             print(f"{rank:2d}  doc={doc_id}  bm25={score:.6f}")
+    elif _has_wildcard(args.query):
+        # trailing-* tokens = prefix expansion over the term dictionary
+        for rank, (doc_id, score) in enumerate(
+                qe.prefix_query(args.query, k=args.k)):
+            print(f"{rank:2d}  doc={doc_id}  bm25={score:.6f}")
     else:
         for rank, (doc_id, score) in enumerate(
                 qe.query(args.query, k=args.k, prune=args.prune)):
@@ -114,6 +119,10 @@ def cmd_query(args) -> int:
 def _is_quoted_phrase(text: str) -> bool:
     t = text.strip()
     return len(t) >= 2 and t[0] == '"' and t[-1] == '"'
+
+
+def _has_wildcard(text: str) -> bool:
+    return any(tok.endswith("*") and len(tok) > 1 for tok in text.split())
 
 
 def cmd_print_database(args) -> int:
@@ -198,6 +207,8 @@ def cmd_ui(args) -> int:
         if cmd == "query":
             if _is_quoted_phrase(rest):
                 results = qe.phrase_query(rest.strip()[1:-1], k=10)
+            elif _has_wildcard(rest):
+                results = qe.prefix_query(rest, k=10)
             else:
                 results = qe.query(rest, k=10)
             last = [d for d, _ in results]

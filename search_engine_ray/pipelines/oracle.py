@@ -46,6 +46,10 @@ class OracleIndex:
     def bm25(self, query: str, k: int = 10, *, k1: float = 1.2,
              b: float = 0.75) -> list[tuple[int, float]]:
         terms = tokenize(query, stopwords=self.stopwords, stem=self.stem)
+        return self._score_terms(terms, k, k1=k1, b=b)
+
+    def _score_terms(self, terms, k: int, *, k1: float = 1.2,
+                     b: float = 0.75) -> list[tuple[int, float]]:
         scores: dict[int, float] = defaultdict(float)
         n, avgdl = self.n_docs, self.avgdl
         for term in sorted(set(terms)):
@@ -60,6 +64,24 @@ class OracleIndex:
                                    / (tf + k1 * (1.0 - b + b * dl / avgdl)))
         ranked = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))
         return ranked[:k]
+
+    def bm25_prefix(self, query: str, k: int = 10, *, k1: float = 1.2,
+                    b: float = 0.75) -> list[tuple[int, float]]:
+        """Wildcard BM25 twin of ``QueryEngine.prefix_query``: trailing-*
+        tokens expand to every vocabulary term with that prefix; each
+        expanded term scores with its own df/idf."""
+        terms: set[str] = set()
+        for raw_tok in query.split():
+            if raw_tok.endswith("*") and len(raw_tok) > 1:
+                frag = tokenize(raw_tok[:-1])
+                if frag:
+                    terms.update(t for t in self.postings
+                                 if t.startswith(frag[0]))
+            else:
+                terms.update(tokenize(raw_tok, stopwords=self.stopwords,
+                                      stem=self.stem))
+        return self._score_terms(sorted(terms), k, k1=k1, b=b) \
+            if terms else []
 
 
 def build_oracle(rows: list[tuple[int, str]], *, stopwords: bool = False,

@@ -335,12 +335,15 @@ def q_bm25_scores(sf_dir: str):
         batch_format="pyarrow")
 
 
-def _sql_bm25_core() -> str:
+def _sql_bm25_core(term_pred: str | None = None) -> str:
     """Shared CTE chain producing UNROUNDED per-doc BM25 ``(doc_id, score)``
-    for the flagship query — the base of both the all-docs scores oracle and
-    the top-k oracle."""
+    — the base of the all-docs scores, top-k, faceted and prefix oracles.
+    ``term_pred`` overrides the query-term predicate (default: the flagship
+    query's exact term set)."""
     qterms = sorted(set(tokenize(FLAGSHIP_QUERY)))
     terms_sql = ", ".join(f"'{t}'" for t in qterms)
+    if term_pred is None:
+        term_pred = f"term IN ({terms_sql})"
     return f"""
 WITH toks AS ({sql_tokenize_cte()}),
 tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
@@ -348,7 +351,7 @@ dl AS (SELECT doc_id, count(*) AS doc_len FROM toks GROUP BY 1),
 stats AS (SELECT (SELECT count(*) FROM documents) AS n,
                  (SELECT count(*) FROM toks) * 1.0
                     / (SELECT count(*) FROM documents) AS avgdl),
-qtf AS (SELECT * FROM tf WHERE term IN ({terms_sql})),
+qtf AS (SELECT * FROM tf WHERE {term_pred}),
 df AS (SELECT term, count(*) AS df FROM qtf GROUP BY term),
 raw_scores AS (
   SELECT q.doc_id,
@@ -1606,6 +1609,42 @@ def q_bm25_topk(sf_dir: str):
                      "score": pa.array([round(s, 6) for _, s in res])})
 
 
+PREFIX_QUERY = "s* window"   # 's*' expands over the term dictionary
+
+
+def q_bm25_prefix_topk(sf_dir: str):
+    """Wildcard search: BM25 top-10 for ``s* window`` — the ``s*`` token
+    expands to EVERY indexed term with that prefix via a sorted
+    term-dictionary range scan inside each shard searcher, OR-unioned
+    with the exact token; each expanded term scores with its own global
+    df/idf (Lucene multi-term-query semantics).  Oracle: the same BM25
+    core with the term predicate ``term LIKE 's%' OR term IN (...)``."""
+    from .query import QueryEngine
+    idx = _ensure_index(sf_dir)
+    qe = QueryEngine(idx, num_searchers=4, use_actors=True)
+    res = qe.prefix_query(PREFIX_QUERY, k=10)
+    return pa.table({"rank": pa.array(range(len(res)), type=pa.int32()),
+                     "doc_id": pa.array([d for d, _ in res], type=pa.int64()),
+                     "score": pa.array([round(s, 6) for _, s in res])})
+
+
+def _sql_bm25_prefix_topk(k: int = 10) -> str:
+    exact = [t for t in PREFIX_QUERY.split() if not t.endswith("*")]
+    prefixes = [t[:-1] for t in PREFIX_QUERY.split()
+                if t.endswith("*") and len(t) > 1]
+    preds = [f"term LIKE '{p}%'" for p in prefixes]
+    if exact:
+        preds.append("term IN ({})".format(
+            ", ".join(f"'{t}'" for t in sorted(set(exact)))))
+    return _sql_bm25_core(" OR ".join(preds)) + f"""
+SELECT (row_number() OVER (ORDER BY score DESC, doc_id ASC))::INTEGER - 1
+         AS rank,
+       doc_id, round(score, 6) AS score
+FROM raw_scores
+ORDER BY score DESC, doc_id ASC LIMIT {k}
+"""
+
+
 FACET_FILTER = ("language", "de")   # the faceted-search demo filter
 
 
@@ -2157,6 +2196,7 @@ QUERIES = {
     "nation_order_stats": q_nation_order_stats,
     "binary_payload_stats": q_binary_payload_stats,
     "bm25_topk": q_bm25_topk,
+    "bm25_prefix_topk": q_bm25_prefix_topk,
     "phrase_topk": q_phrase_topk,
     "search_snippets": q_search_snippets,
     "bm25_topk_filtered": q_bm25_topk_filtered,
@@ -2223,6 +2263,7 @@ ORACLE_SQL = {
     "event_user_reach": SQL_EVENT_USER_REACH,
     "top_users_per_type": SQL_TOP_USERS_PER_TYPE,
     "bm25_topk": _sql_bm25_topk(),
+    "bm25_prefix_topk": _sql_bm25_prefix_topk(),
     "phrase_topk": _sql_phrase_topk(),
     "search_snippets": _sql_search_snippets(),
     "bm25_topk_filtered": _sql_bm25_topk_filtered(),

@@ -379,6 +379,51 @@ class SegmentSearcher:
                 out[t] = df
         return out
 
+    def _sorted_field_terms(self) -> np.ndarray:
+        """Lazily-built SORTED unique term-string array for the scored
+        field — the range-scannable half of the term dictionary (the
+        hash-keyed arrays can't serve prefix scans).  Built once per
+        searcher from the already-resident segment table's term column;
+        memory ≈ this searcher's share of the vocabulary."""
+        if getattr(self, "_terms_sorted", None) is None:
+            if self._seg is None or not self._seg.num_rows:
+                self._terms_sorted = np.array([], dtype=object)
+            else:
+                t = self._seg.filter(pc.equal(self._seg["field"],
+                                              self.field))
+                uniq = pc.unique(t["term"].combine_chunks())
+                self._terms_sorted = np.sort(
+                    uniq.to_numpy(zero_copy_only=False))
+        return self._terms_sorted
+
+    def expand_prefix(self, prefix: str, *, limit: int = 1024) -> list[str]:
+        """Terms of the scored field starting with ``prefix``, ascending —
+        a binary-search range scan on the sorted term strings.  ``limit``
+        is the Lucene-style max-expansion guard (head prefixes like 'a'
+        would otherwise explode the OR-union)."""
+        terms = self._sorted_field_terms()
+        if not terms.size or not prefix:
+            return []
+        lo = int(np.searchsorted(terms, prefix, side="left"))
+        hi = int(np.searchsorted(terms, prefix + "\U0010FFFF",
+                                 side="left"))
+        return terms[lo:hi][:limit].tolist()
+
+    def search_expanded(self, exact: list[str], prefixes: list[str],
+                        k: int = 10) -> tuple[np.ndarray, np.ndarray]:
+        """Wildcard BM25: each ``p`` in ``prefixes`` expands to every
+        matching dictionary term (locally — a term absent from this
+        searcher's shards has no postings here to score), then the usual
+        OR-union scoring; each expanded term keeps its OWN global df/idf
+        (Lucene multi-term-query semantics)."""
+        terms = set(exact)
+        for p in prefixes:
+            terms.update(self.expand_prefix(p))
+        if not terms:
+            return (np.zeros(0, dtype=np.int64),
+                    np.zeros(0, dtype=np.float64))
+        return self.search(sorted(terms), k)
+
     def _metadata_docset(self, probes: list[tuple[str, str]]) -> np.ndarray:
         """AND-intersection of metadata set-index postings → local doc ids
         (the faceted-search filter).  Each (field, value) probe is one
@@ -792,6 +837,39 @@ class QueryEngine:
                                 for s in self.searchers])
         else:
             partials = [s.search_filtered(terms, k, probes)
+                        for s in self.searchers]
+        ids = np.concatenate([p[0] for p in partials])
+        sc = np.concatenate([p[1] for p in partials])
+        if ids.size == 0:
+            return []
+        ids, sc = top_k(ids, sc, k)
+        return [(int(d), float(s)) for d, s in zip(ids, sc)]
+
+    def prefix_query(self, text: str, k: int = 10) -> list[tuple[int, float]]:
+        """Wildcard BM25 top-k: query tokens ending in ``*`` match every
+        indexed term with that prefix (term-dictionary range scan inside
+        each shard searcher), OR-unioned with the exact tokens; every
+        matched term scores with its own global df/idf.  Prefix fragments
+        are normalized with the analyzer's character rules but never
+        stemmed (a stem of a prefix isn't a prefix of the stems)."""
+        exact: list[str] = []
+        prefixes: list[str] = []
+        for raw_tok in text.split():
+            if raw_tok.endswith("*") and len(raw_tok) > 1:
+                frag = tokenize(raw_tok[:-1])
+                if frag:
+                    prefixes.append(frag[0])
+            else:
+                exact.extend(tokenize(raw_tok, stopwords=self.stopwords,
+                                      stem=self.stem))
+        if not exact and not prefixes:
+            return []
+        if self.use_actors:
+            partials = ray.get(
+                [s.search_expanded.remote(exact, prefixes, k)
+                 for s in self.searchers])
+        else:
+            partials = [s.search_expanded(exact, prefixes, k)
                         for s in self.searchers]
         ids = np.concatenate([p[0] for p in partials])
         sc = np.concatenate([p[1] for p in partials])
