@@ -1509,6 +1509,55 @@ GROUP BY doc_id
 """
 
 
+BIG_ORDER_CUT = 300_000   # shared by the semi/anti join queries + oracles
+
+
+def _customer_order_join(sf_dir: str, join_type: str):
+    """Shared shape for the semi/anti showcases: hash-bucket both sides on
+    custkey, then Acero's '{left semi,left anti}' per co-located bucket —
+    the same one-exchange-per-side plan as the inner join, but the probe
+    side ships ONLY its key column (semi/anti never materialize right
+    columns, so nothing else needs to move)."""
+    from ..stages.join import hash_join
+    customer = ray.data.read_parquet(
+        os.path.join(sf_dir, "customer.parquet"),
+        columns=["c_custkey", "c_nationkey", "c_acctbal"])
+    big_orders = (ray.data.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_custkey", "o_totalprice"])
+        .filter(expr=f"o_totalprice > {BIG_ORDER_CUT}")
+        .select_columns(["o_custkey"]))
+    return hash_join(customer, big_orders, left_key="c_custkey",
+                     right_key="o_custkey", join_type=join_type)
+
+
+def q_customers_no_big_orders(sf_dir: str):
+    """ANTI-join (SURVEY §2.4 J-class completion): customers with NO order
+    above the price cutoff."""
+    return _customer_order_join(sf_dir, "left anti")
+
+
+def q_customers_big_orders_semi(sf_dir: str):
+    """SEMI-join: customers with AT LEAST ONE order above the cutoff —
+    match-existence only, no row multiplication from duplicate matches."""
+    return _customer_order_join(sf_dir, "left semi")
+
+
+SQL_CUSTOMERS_NO_BIG_ORDERS = f"""
+SELECT c_custkey, c_nationkey, c_acctbal FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_totalprice > {BIG_ORDER_CUT})
+"""
+
+SQL_CUSTOMERS_BIG_ORDERS_SEMI = f"""
+SELECT c_custkey, c_nationkey, c_acctbal FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o
+              WHERE o.o_custkey = c.c_custkey
+                AND o.o_totalprice > {BIG_ORDER_CUT})
+"""
+
+
 def q_nation_order_stats(sf_dir: str):
     """Relational join showcase at both scale shapes (SURVEY §2.4 J-class):
     orders ⋈ customer is a LARGE⋈LARGE hash-partitioned equi-join
@@ -2194,6 +2243,8 @@ QUERIES = {
     "dedup_incremental_bloom": q_dedup_incremental_bloom,
     "contamination": q_contamination,
     "nation_order_stats": q_nation_order_stats,
+    "customers_no_big_orders": q_customers_no_big_orders,
+    "customers_big_orders_semi": q_customers_big_orders_semi,
     "binary_payload_stats": q_binary_payload_stats,
     "bm25_topk": q_bm25_topk,
     "bm25_prefix_topk": q_bm25_prefix_topk,
@@ -2253,6 +2304,8 @@ ORACLE_SQL = {
     "dedup_incremental_bloom": SQL_DEDUP_INCREMENTAL,
     "contamination": SQL_CONTAMINATION,
     "nation_order_stats": SQL_NATION_ORDER_STATS,
+    "customers_no_big_orders": SQL_CUSTOMERS_NO_BIG_ORDERS,
+    "customers_big_orders_semi": SQL_CUSTOMERS_BIG_ORDERS_SEMI,
     "binary_payload_stats": SQL_BINARY_PAYLOAD_STATS,
     "events_tumbling": SQL_EVENTS_TUMBLING,
     "user_sessions": SQL_USER_SESSIONS,

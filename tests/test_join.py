@@ -80,3 +80,26 @@ def test_broadcast_lookup_null_probe_keys(ray_session):
     out = broadcast_lookup(facts, dim, key="nk", dim_key="nk") \
         .to_pandas().sort_values("v").reset_index(drop=True)
     assert list(out["name"]) == ["two", None, "zero"]
+
+
+@pytest.mark.parametrize("jt", ["left semi", "left anti"])
+def test_hash_join_semi_anti_matches_arrow(ray_session, jt):
+    from search_engine_ray.stages.join import hash_join
+    rng = np.random.default_rng(7)
+    left = pa.table({"k": rng.integers(0, 40, 150),
+                     "lv": np.arange(150, dtype=np.int64)})
+    # duplicate matches on the right must not multiply semi-join rows
+    right = pa.table({"rk": np.repeat(np.arange(0, 40, 3, dtype=np.int64), 2)})
+    got = hash_join(_ds(left), _ds(right), left_key="k", right_key="rk",
+                    n_buckets=8, join_type=jt).to_pandas().sort_values(
+        ["k", "lv"]).reset_index(drop=True)
+    want = left.join(right, keys="k", right_keys="rk",
+                     join_type=jt).to_pandas().sort_values(
+        ["k", "lv"]).reset_index(drop=True)
+    assert len(got) == len(want) > 0
+    assert (got[["k", "lv"]].values == want[["k", "lv"]].values).all()
+    match = set(right["rk"].to_pylist())
+    if jt == "left semi":
+        assert got["k"].isin(match).all()
+    else:
+        assert ~got["k"].isin(match).any()
