@@ -2110,6 +2110,45 @@ def q_embedding_neardup(sf_dir: str, *, threshold: float = 0.35):
                                                     ("vec_b", "ascending")]))
 
 
+def q_embedding_pairs_exact(sf_dir: str, *, threshold: float = 0.4):
+    """EXACT cosine-threshold near-duplicate pairs — the blocked all-pairs
+    self-join (``stages/similarity.BlockPairScorer``).
+
+    Complements the seeded-LSH path (``q_embedding_neardup``) with an exact,
+    SQL-checkable member of the family: the driver plans row-group blocks
+    from parquet FOOTERS only, a Dataset of (i, j) block-pair indices fans
+    out, and each task reads just its two blocks (column-pruned), one float64
+    matmul each — no copy of the matrix on any node, n²/b² tasks.  Exactness
+    baseline / LSH-verify path; sub-quadratic work at corpus scale is what
+    LSH/IVF are for (documented on the stage)."""
+    from ..stages.similarity import BlockPairScorer, plan_row_group_blocks
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    blocks = plan_row_group_blocks(path, target_rows=2048)
+    idx = [{"i": i, "j": j}
+           for i in range(len(blocks)) for j in range(i, len(blocks))]
+    ds = ray.data.from_items(idx).map_batches(
+        BlockPairScorer(blocks, threshold=threshold),
+        batch_format="pyarrow", batch_size=8)
+    tbl = _collect_table(ds, pa.schema([("vec_a", pa.int64()),
+                                        ("vec_b", pa.int64()),
+                                        ("cos_sim", pa.float64())]))
+    tbl = tbl.set_column(tbl.schema.get_field_index("cos_sim"), "cos_sim",
+                         pc.round(tbl["cos_sim"], 6))
+    return tbl.take(pc.sort_indices(tbl, sort_keys=[("vec_a", "ascending"),
+                                                    ("vec_b", "ascending")]))
+
+
+SQL_EMBEDDING_PAIRS_EXACT = """
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       round(list_cosine_similarity(a.embedding::DOUBLE[],
+                                    b.embedding::DOUBLE[]), 6) AS cos_sim
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+      >= 0.4
+ORDER BY vec_a, vec_b
+"""
+
+
 def q_url_host_stats(sf_dir: str | None = None, *, n_pages: int = 2000):
     """Webtext URL analytics over the Common-Crawl-style pages corpus
     (BASELINE.json ``input_hint`` schema): vectorized URL parse
@@ -2268,6 +2307,7 @@ QUERIES = {
     "term_freq_cm": q_term_freq_cm,
     "top_users_per_type": q_top_users_per_type,
     "embedding_neardup": q_embedding_neardup,
+    "embedding_pairs_exact": q_embedding_pairs_exact,
     "ivf_topk": q_ivf_topk,
     "lang_id_counts": q_lang_id_counts,
     "fingerprints": q_fingerprints,
@@ -2321,6 +2361,7 @@ ORACLE_SQL = {
     "search_snippets": _sql_search_snippets(),
     "bm25_topk_filtered": _sql_bm25_topk_filtered(),
     "knn_topk": SQL_KNN_TOPK,
+    "embedding_pairs_exact": SQL_EMBEDDING_PAIRS_EXACT,
     "lang_id_counts": _sql_lang_id_counts(),
     "fingerprints": SQL_FINGERPRINTS,
     # minhash_neardup / simhash_neardup / embedding_neardup / ivf_topk /

@@ -97,6 +97,117 @@ def merge_topk(partials: pa.Table, k: int) -> pa.Table:
     })
 
 
+def plan_row_group_blocks(path: str, *, target_rows: int = 2048,
+                          suffix: str = ".parquet") -> list[dict]:
+    """Plan row-range blocks for the blocked all-pairs self-join by reading
+    ONLY parquet footers (driver never touches vector data).
+
+    Each block is ``{"file": f, "row_groups": [...]}`` covering ~``target_rows``
+    rows; tasks later read exactly their two blocks via
+    ``ParquetFile.read_row_groups`` (column-pruned), so no copy of the full
+    matrix ever exists on any node."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    if os.path.isdir(path):
+        files = sorted(
+            os.path.join(root, n)
+            for root, _, names in os.walk(path)
+            for n in names if n.endswith(suffix))
+    else:
+        files = [path]
+    blocks: list[dict] = []
+    for f in files:
+        md = pq.ParquetFile(f).metadata
+        cur: list[int] = []
+        cur_rows = 0
+        for rg in range(md.num_row_groups):
+            cur.append(rg)
+            cur_rows += md.row_group(rg).num_rows
+            if cur_rows >= target_rows:
+                blocks.append({"file": f, "row_groups": cur})
+                cur, cur_rows = [], 0
+        if cur:
+            blocks.append({"file": f, "row_groups": cur})
+    return blocks
+
+
+class BlockPairScorer:
+    """``map_batches`` callable over ``(i, j)`` block-pair index rows: the
+    EXACT cosine-threshold self-join, block-partitioned.
+
+    The all-pairs similarity self-join is O(n²) in compute by definition;
+    what must NOT be O(n²) — or even O(n) per task — is memory.  Each task
+    reads just its two row-range blocks from parquet (column-pruned,
+    footer-planned by :func:`plan_row_group_blocks`), normalizes, runs one
+    float64 matmul, and emits only qualifying pairs, so peak memory is
+    2 × block_rows × dim doubles + the block×block sim matrix, independent of
+    corpus size.  n²/b² tasks schedule like any other Dataset stage.  This is
+    the exactness baseline / LSH-verify path; at corpus scale use
+    :class:`HyperplaneLSH` (candidates) or IVF for sub-quadratic work.
+
+    A small per-actor LRU keeps the last few decoded blocks: pair tasks for a
+    row of the upper triangle reuse the left block instead of re-reading it.
+    """
+
+    _LRU_CAP = 4
+
+    def __init__(self, blocks: list[dict], *, threshold: float,
+                 vec_col: str = "embedding", id_col: str = "vec_id"):
+        self.blocks = blocks
+        self.threshold = float(threshold)
+        self.vec_col = vec_col
+        self.id_col = id_col
+        self._lru: dict[int, tuple[np.ndarray, np.ndarray]] = {}
+
+    def _load(self, bi: int) -> tuple[np.ndarray, np.ndarray]:
+        hit = self._lru.pop(bi, None)
+        if hit is not None:
+            self._lru[bi] = hit                       # refresh recency
+            return hit
+        import pyarrow.parquet as pq
+        b = self.blocks[bi]
+        t = pq.ParquetFile(b["file"]).read_row_groups(
+            b["row_groups"], columns=[self.id_col, self.vec_col])
+        ids = t[self.id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        v = _vectors_from_batch(t, self.vec_col)
+        vn = v / np.maximum(np.linalg.norm(v, axis=1, keepdims=True), 1e-30)
+        if len(self._lru) >= self._LRU_CAP:
+            self._lru.pop(next(iter(self._lru)))
+        self._lru[bi] = (ids, vn)
+        return ids, vn
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out_a: list[np.ndarray] = []
+        out_b: list[np.ndarray] = []
+        out_s: list[np.ndarray] = []
+        for i, j in zip(batch["i"].to_numpy(zero_copy_only=False),
+                        batch["j"].to_numpy(zero_copy_only=False)):
+            ids_a, va = self._load(int(i))
+            ids_b, vb = self._load(int(j))
+            sims = va @ vb.T
+            if i == j:
+                ra, cb = np.triu_indices(len(ids_a), k=1)
+            else:
+                ra, cb = np.nonzero(sims >= self.threshold)
+            keep = sims[ra, cb] >= self.threshold
+            ra, cb = ra[keep], cb[keep]
+            a, b, s = ids_a[ra], ids_b[cb], sims[ra, cb]
+            swap = a > b                              # canonical (low, high)
+            a[swap], b[swap] = b[swap], a[swap]
+            out_a.append(a)
+            out_b.append(b)
+            out_s.append(s)
+        cat = (lambda xs, dt: np.concatenate(xs).astype(dt) if xs
+               else np.array([], dtype=dt))
+        return pa.table({
+            "vec_a": pa.array(cat(out_a, np.int64)),
+            "vec_b": pa.array(cat(out_b, np.int64)),
+            "cos_sim": pa.array(cat(out_s, np.float64)),
+        })
+
+
 class HyperplaneLSH:
     """embeddings batch → ``(bucket, vec_id)`` sign-LSH bucket rows.
 

@@ -83,6 +83,64 @@ class TestSimHash:
         assert hamming64(sh[:1], sh[2:3])[0] > 10
 
 
+class TestBlockPairScorer:
+    """Blocked exact cosine self-join vs a brute-force oracle, forced onto
+    the multi-block path (tiny parquet row groups → cross-block pairs)."""
+
+    def _write_corpus(self, tmp_path, n=120, dim=6, seed=3):
+        import pyarrow.parquet as pq
+        rng = np.random.RandomState(seed)
+        vecs = rng.standard_normal((n, dim)).astype(np.float32)
+        # plant near-duplicates across what will be different blocks
+        vecs[97] = vecs[2] + 0.01 * rng.standard_normal(dim).astype(np.float32)
+        vecs[55] = vecs[110] + 0.01 * rng.standard_normal(dim).astype(np.float32)
+        ids = rng.permutation(n).astype(np.int64)  # ids unordered across blocks
+        path = str(tmp_path / "emb.parquet")
+        pq.write_table(pa.table({"vec_id": ids,
+                                 "embedding": list(vecs)}),
+                       path, row_group_size=16)
+        return path, ids, vecs.astype(np.float64)
+
+    def test_matches_bruteforce_across_blocks(self, tmp_path):
+        from search_engine_ray.stages.similarity import (BlockPairScorer,
+                                                         plan_row_group_blocks)
+        path, ids, vecs = self._write_corpus(tmp_path)
+        blocks = plan_row_group_blocks(path, target_rows=32)
+        assert len(blocks) > 2                      # multi-block path engaged
+        tau = 0.6
+        scorer = BlockPairScorer(blocks, threshold=tau)
+        parts = [scorer(pa.table({"i": pa.array([i], type=pa.int64()),
+                                  "j": pa.array([j], type=pa.int64())}))
+                 for i in range(len(blocks)) for j in range(i, len(blocks))]
+        got = pa.concat_tables(parts)
+        got_pairs = {(a, b): s for a, b, s in
+                     zip(got["vec_a"].to_pylist(), got["vec_b"].to_pylist(),
+                         got["cos_sim"].to_pylist())}
+        vn = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+        sims = vn @ vn.T
+        iu, ju = np.triu_indices(len(ids), k=1)
+        want = {}
+        for r, c in zip(iu, ju):
+            if sims[r, c] >= tau:
+                a, b = sorted((int(ids[r]), int(ids[c])))
+                want[(a, b)] = sims[r, c]
+        assert set(got_pairs) == set(want) and len(want) >= 2
+        for k in want:
+            assert abs(got_pairs[k] - want[k]) < 1e-12
+
+    def test_empty_result_and_footer_only_planning(self, tmp_path):
+        from search_engine_ray.stages.similarity import (BlockPairScorer,
+                                                         plan_row_group_blocks)
+        path, ids, _ = self._write_corpus(tmp_path)
+        blocks = plan_row_group_blocks(path, target_rows=32)
+        assert sum(len(b["row_groups"]) for b in blocks) == 120 // 16 + 1
+        scorer = BlockPairScorer(blocks, threshold=1.1)  # nothing qualifies
+        out = scorer(pa.table({"i": pa.array([0, 0], type=pa.int64()),
+                               "j": pa.array([0, 1], type=pa.int64())}))
+        assert out.num_rows == 0
+        assert out.schema.names == ["vec_a", "vec_b", "cos_sim"]
+
+
 class TestSimilarity:
     def test_cosine_topk_exact(self):
         rng = np.random.RandomState(0)
