@@ -100,6 +100,64 @@ ORDER BY total_tf DESC, term ASC LIMIT 50
 """
 
 
+_DOC_KEYWORDS_K = 3
+
+
+def q_doc_keywords(sf_dir: str, *, k: int = _DOC_KEYWORDS_K):
+    """Per-document top-k TF-IDF keywords (training-data doc tagging).
+
+    Scale shape: (1) map-side-combined postings; (2) df via
+    ``groupby(term).aggregate`` (partial combine — no term group ever
+    materializes, so stopword-class terms can't OOM a worker); (3) postings ⋈
+    df with our bucketed :func:`stages.join.hash_join` (the df side is
+    vocab-sized, sublinear in corpus); (4) per-doc top-k inside
+    ``groupby(doc_id).map_groups`` — a group is one document's vocabulary.
+    The postings pipeline is deliberately recomputed for the df pass rather
+    than materialized: tokenize is CPU-cheap relative to pinning
+    corpus-scale blocks in the object store for a diamond reuse.
+    idf = ln(N/df) with N = corpus row count (footer metadata only);
+    ranking uses the ROUNDED score (ties by term asc) so the order is stable
+    across float libms."""
+    from ..stages.join import hash_join
+    n_docs = _docs(sf_dir, ["doc_id"]).count()
+    df = (_postings(sf_dir).groupby("term").aggregate(Count())
+          .rename_columns({"count()": "df"}))
+    joined = hash_join(_postings(sf_dir), df, left_key="term",
+                       right_key="term", n_buckets=64)
+
+    def topk(g: pa.Table) -> pa.Table:
+        tf = g["tf"].to_numpy(zero_copy_only=False).astype(np.float64)
+        dfv = g["df"].to_numpy(zero_copy_only=False).astype(np.float64)
+        tfidf = np.round(tf * np.log(n_docs / dfv), 6)
+        terms = np.asarray(g["term"].to_pylist())
+        order = np.lexsort((terms, -tfidf))[:k]
+        return pa.table({
+            "doc_id": g["doc_id"].take(pa.array(order)).cast(pa.int64()),
+            "keyword": pa.array(terms[order]),
+            "tfidf": pa.array(tfidf[order], type=pa.float64()),
+            "rank": pa.array(np.arange(1, len(order) + 1), type=pa.int32())})
+
+    return joined.groupby("doc_id").map_groups(topk, batch_format="pyarrow")
+
+
+SQL_DOC_KEYWORDS = f"""
+WITH toks AS ({sql_tokenize_cte()}),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+n AS (SELECT count(*) AS n FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.term AS keyword,
+         round(tf.tf * ln(n.n / df.df), 6) AS tfidf
+  FROM tf JOIN df USING (term) CROSS JOIN n),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY doc_id
+                               ORDER BY tfidf DESC, keyword ASC) AS rn
+  FROM scored)
+SELECT doc_id, keyword, tfidf, rn::INTEGER AS rank
+FROM ranked WHERE rn <= {_DOC_KEYWORDS_K}
+"""
+
+
 def q_lang_counts(sf_dir: str):
     return (_docs(sf_dir, ["lang"]).groupby("lang").aggregate(Count())
             .rename_columns({"count()": "n_docs"}))
@@ -2258,6 +2316,7 @@ QUERIES = {
     "term_df": q_term_df,
     "doc_lengths": q_doc_lengths,
     "top_terms": q_top_terms,
+    "doc_keywords": q_doc_keywords,
     "lang_counts": q_lang_counts,
     "source_doc_counts": q_source_doc_counts,
     "metadata_index": q_metadata_index,
@@ -2320,6 +2379,7 @@ ORACLE_SQL = {
     "term_df": SQL_TERM_DF,
     "doc_lengths": SQL_DOC_LENGTHS,
     "top_terms": SQL_TOP_TERMS,
+    "doc_keywords": SQL_DOC_KEYWORDS,
     "lang_counts": SQL_LANG_COUNTS,
     "source_doc_counts": SQL_SOURCE_DOC_COUNTS,
     "metadata_index": SQL_METADATA_INDEX,
