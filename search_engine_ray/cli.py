@@ -109,6 +109,11 @@ def cmd_query(args) -> int:
         for rank, (doc_id, score) in enumerate(
                 qe.prefix_query(args.query, k=args.k)):
             print(f"{rank:2d}  doc={doc_id}  bm25={score:.6f}")
+    elif _has_negation(args.query):
+        # '-token' = boolean negation; remaining tokens are ANDed musts
+        for rank, (doc_id, score) in enumerate(
+                qe.boolean_query(args.query, k=args.k)):
+            print(f"{rank:2d}  doc={doc_id}  bm25={score:.6f}")
     else:
         for rank, (doc_id, score) in enumerate(
                 qe.query(args.query, k=args.k, prune=args.prune)):
@@ -123,6 +128,10 @@ def _is_quoted_phrase(text: str) -> bool:
 
 def _has_wildcard(text: str) -> bool:
     return any(tok.endswith("*") and len(tok) > 1 for tok in text.split())
+
+
+def _has_negation(text: str) -> bool:
+    return any(tok.startswith("-") and len(tok) > 1 for tok in text.split())
 
 
 def cmd_print_database(args) -> int:
@@ -209,6 +218,8 @@ def cmd_ui(args) -> int:
                 results = qe.phrase_query(rest.strip()[1:-1], k=10)
             elif _has_wildcard(rest):
                 results = qe.prefix_query(rest, k=10)
+            elif _has_negation(rest):
+                results = qe.boolean_query(rest, k=10)
             else:
                 results = qe.query(rest, k=10)
             last = [d for d, _ in results]

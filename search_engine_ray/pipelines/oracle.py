@@ -65,6 +65,27 @@ class OracleIndex:
         ranked = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))
         return ranked[:k]
 
+    def bm25_boolean(self, query: str, k: int = 10, *, k1: float = 1.2,
+                     b: float = 0.75) -> list[tuple[int, float]]:
+        """Boolean twin of ``QueryEngine.boolean_query``: whitespace tokens
+        prefixed ``-`` are negated; a doc qualifies iff it has EVERY must
+        term and NO negated term; score = summed BM25 of the must terms."""
+        must: list[str] = []
+        must_not: list[str] = []
+        for raw_tok in query.split():
+            neg = raw_tok.startswith("-")
+            toks = tokenize(raw_tok[1:] if neg else raw_tok,
+                            stopwords=self.stopwords, stem=self.stem)
+            (must_not if neg else must).extend(toks)
+        if not must:
+            return []
+        ranked = self._score_terms(must, k=len(self.doc_len) or 1, k1=k1, b=b)
+        must_sets = [set(self.postings.get(t, {})) for t in set(must)]
+        neg_docs = set().union(*(set(self.postings.get(t, {}))
+                                 for t in must_not)) if must_not else set()
+        keep = set.intersection(*must_sets) - neg_docs if must_sets else set()
+        return [(d, s) for d, s in ranked if d in keep][:k]
+
     def bm25_prefix(self, query: str, k: int = 10, *, k1: float = 1.2,
                     b: float = 0.75) -> list[tuple[int, float]]:
         """Wildcard BM25 twin of ``QueryEngine.prefix_query``: trailing-*

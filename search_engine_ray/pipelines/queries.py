@@ -1716,6 +1716,43 @@ def q_bm25_topk(sf_dir: str):
                      "score": pa.array([round(s, 6) for _, s in res])})
 
 
+BOOLEAN_QUERY = "scan merge -window"   # AND of musts, NOT of '-' tokens
+
+
+def q_bm25_boolean_topk(sf_dir: str, *, k: int = 10):
+    """Boolean BM25 top-k: docs containing scan AND merge AND NOT window,
+    scored by the summed BM25 of the must terms (global df/idf).  Doc-sharded
+    serving evaluates AND/NOT locally in each searcher — a doc's postings all
+    live in its doc shard, so negation needs no cross-shard traffic."""
+    from .query import QueryEngine
+    idx = _ensure_index(sf_dir)
+    qe = QueryEngine(idx, num_searchers=4, use_actors=True)
+    res = qe.boolean_query(BOOLEAN_QUERY, k=k)
+    return pa.table({"rank": pa.array(range(len(res)), type=pa.int32()),
+                     "doc_id": pa.array([d for d, _ in res], type=pa.int64()),
+                     "score": pa.array([round(s, 6) for _, s in res])})
+
+
+def _sql_bm25_boolean_topk(k: int = 10) -> str:
+    """Boolean oracle: the BM25 core restricted to the must terms, docs
+    filtered to those matching ALL musts and NO negated term."""
+    must = sorted(set(tokenize("scan merge")))
+    negated = sorted(set(tokenize("window")))
+    must_sql = ", ".join(f"'{t}'" for t in must)
+    neg_sql = ", ".join(f"'{t}'" for t in negated)
+    return _sql_bm25_core(f"term IN ({must_sql})") + f""",
+must_docs AS (SELECT doc_id FROM qtf
+              GROUP BY doc_id HAVING count(DISTINCT term) = {len(must)}),
+neg_docs AS (SELECT DISTINCT doc_id FROM tf WHERE term IN ({neg_sql}))
+SELECT (row_number() OVER (ORDER BY score DESC, doc_id ASC))::INTEGER - 1
+         AS rank,
+       doc_id, round(score, 6) AS score
+FROM raw_scores JOIN must_docs USING (doc_id)
+WHERE doc_id NOT IN (SELECT doc_id FROM neg_docs)
+ORDER BY score DESC, doc_id ASC LIMIT {k}
+"""
+
+
 PREFIX_QUERY = "s* window"   # 's*' expands over the term dictionary
 
 
@@ -2346,6 +2383,7 @@ QUERIES = {
     "binary_payload_stats": q_binary_payload_stats,
     "bm25_topk": q_bm25_topk,
     "bm25_prefix_topk": q_bm25_prefix_topk,
+    "bm25_boolean_topk": q_bm25_boolean_topk,
     "phrase_topk": q_phrase_topk,
     "search_snippets": q_search_snippets,
     "bm25_topk_filtered": q_bm25_topk_filtered,
@@ -2417,6 +2455,7 @@ ORACLE_SQL = {
     "top_users_per_type": SQL_TOP_USERS_PER_TYPE,
     "bm25_topk": _sql_bm25_topk(),
     "bm25_prefix_topk": _sql_bm25_prefix_topk(),
+    "bm25_boolean_topk": _sql_bm25_boolean_topk(),
     "phrase_topk": _sql_phrase_topk(),
     "search_snippets": _sql_search_snippets(),
     "bm25_topk_filtered": _sql_bm25_topk_filtered(),

@@ -361,6 +361,37 @@ class SegmentSearcher:
             hits = hits[dense[hits] >= thresh]
         return top_k(self._docs[hits], dense[hits], k)
 
+    def search_boolean(self, must: list[str], must_not: list[str],
+                       k: int = 10) -> tuple[np.ndarray, np.ndarray]:
+        """Conjunctive BM25 with negation: a doc qualifies iff it contains
+        EVERY ``must`` term and NONE of the ``must_not`` terms; the score is
+        the summed BM25 of the must terms (idf global, as everywhere).
+        Doc-sharded serving makes this exact locally — a doc's postings for
+        all its terms live in this searcher, so AND/NOT need no cross-shard
+        traffic.  A must term absent from this shard → no local hits."""
+        empty = (np.zeros(0, dtype=np.int64), np.zeros(0, dtype=np.float64))
+        musts = sorted(set(must))
+        if not musts:
+            return empty
+        parts = [self._term_scores(t) for t in musts]
+        if any(p is None for p in parts):
+            return empty
+        dense = np.zeros(len(self._docs), dtype=np.float64)
+        hits_in = np.zeros(len(self._docs), dtype=np.int32)
+        for ids, sc in parts:
+            dense[ids] += sc
+            hits_in[ids] += 1
+        keep = hits_in == len(musts)
+        for t in sorted(set(must_not)):
+            p = self._term_scores(t)
+            if p is not None:
+                keep[p[0]] = False
+        hits = np.flatnonzero(keep)
+        if hits.size > 4 * k > 0:
+            thresh = np.partition(dense[hits], hits.size - k)[hits.size - k]
+            hits = hits[dense[hits] >= thresh]
+        return top_k(self._docs[hits], dense[hits], k)
+
     def vocabulary(self, field: str | None = None) -> set[str]:
         """Debug/test accessor: this searcher's term set (optionally one
         field's).  Materializes Python strings — NOT a query-path API."""
@@ -837,6 +868,34 @@ class QueryEngine:
                                 for s in self.searchers])
         else:
             partials = [s.search_filtered(terms, k, probes)
+                        for s in self.searchers]
+        ids = np.concatenate([p[0] for p in partials])
+        sc = np.concatenate([p[1] for p in partials])
+        if ids.size == 0:
+            return []
+        ids, sc = top_k(ids, sc, k)
+        return [(int(d), float(s)) for d, s in zip(ids, sc)]
+
+    def boolean_query(self, text: str, k: int = 10) -> list[tuple[int, float]]:
+        """Boolean BM25 top-k: whitespace tokens prefixed ``-`` are negated
+        (``"scan merge -window"`` = docs containing scan AND merge AND NOT
+        window), everything else is a conjunctive must term; scores are the
+        summed BM25 of the must terms.  Both halves run through the engine
+        analyzer (normalize / stopwords / stem)."""
+        must: list[str] = []
+        must_not: list[str] = []
+        for raw in text.split():
+            neg = raw.startswith("-")
+            toks = tokenize(raw[1:] if neg else raw,
+                            stopwords=self.stopwords, stem=self.stem)
+            (must_not if neg else must).extend(toks)
+        if not must:
+            return []
+        if self.use_actors:
+            partials = ray.get([s.search_boolean.remote(must, must_not, k)
+                                for s in self.searchers])
+        else:
+            partials = [s.search_boolean(must, must_not, k)
                         for s in self.searchers]
         ids = np.concatenate([p[0] for p in partials])
         sc = np.concatenate([p[1] for p in partials])

@@ -104,6 +104,31 @@ def test_query_many_matches_single(built_index, oracle, use_actors,
         assert [d for d, _ in got] == [d for d, _ in want], q
 
 
+BOOL_QUERIES = ["table row -merge", "window agg -nosuchterm", "spark -spark",
+                "-table", "hash join -dup -spark", "nosuchterm -table",
+                "table -the"]
+
+
+@pytest.mark.parametrize("use_actors", [False, True])
+def test_boolean_query_matches_oracle(built_index, oracle, use_actors,
+                                      ray_session):
+    from search_engine_ray.pipelines.query import QueryEngine
+    idx, _ = built_index
+    qe = QueryEngine(idx, num_searchers=2, use_actors=use_actors)
+    for q in BOOL_QUERIES:
+        got = qe.boolean_query(q, k=10)
+        want = oracle.bm25_boolean(q, k=10)
+        assert [d for d, _ in got] == [d for d, _ in want], q
+        for (_, gs), (_, ws) in zip(got, want):
+            assert gs == pytest.approx(ws, abs=1e-9), q
+    # negation actually removes docs vs the plain OR query
+    assert qe.boolean_query("spark -spark", k=10) == []
+    plain = {d for d, _ in qe.query("table row", k=10**6)}
+    negd = {d for d, _ in qe.boolean_query("table row -merge", k=10**6)}
+    merged = {d for d, _ in qe.query("merge", k=10**6)}
+    assert negd and not (negd & merged) and negd < plain
+
+
 @pytest.mark.parametrize("use_actors", [False, True])
 def test_maxscore_pruned_search_matches_exhaustive(built_index, oracle,
                                                    use_actors, ray_session):
