@@ -1838,6 +1838,40 @@ ORDER BY score DESC, doc_id ASC LIMIT {k}
 """
 
 
+COLLAPSE_FIELD = "source"
+
+
+def q_bm25_topk_collapsed(sf_dir: str, *, k: int = 10):
+    """Diversity search: BM25 top-k collapsed to the single best doc per
+    ``source`` (one champion per group, champions ranked by score).  Each
+    shard searcher emits at most one row per group value, so the driver
+    merge is n_searchers × n_groups rows — independent of corpus size."""
+    from .query import QueryEngine
+    idx = _ensure_fielded_index(sf_dir)
+    qe = QueryEngine(idx, num_searchers=4, use_actors=True)
+    res = qe.collapsed_query(FLAGSHIP_QUERY, COLLAPSE_FIELD, k=k)
+    return pa.table({
+        "rank": pa.array(range(len(res)), type=pa.int32()),
+        "source": pa.array([g for g, _, _ in res]),
+        "doc_id": pa.array([d for _, d, _ in res], type=pa.int64()),
+        "score": pa.array([round(s, 6) for _, _, s in res])})
+
+
+def _sql_bm25_topk_collapsed(k: int = 10) -> str:
+    return _sql_bm25_core() + f""",
+champions AS (
+  SELECT d.{COLLAPSE_FIELD} AS source, r.doc_id, r.score,
+         row_number() OVER (PARTITION BY d.{COLLAPSE_FIELD}
+                            ORDER BY r.score DESC, r.doc_id ASC) AS rn
+  FROM raw_scores r JOIN documents d USING (doc_id))
+SELECT (row_number() OVER (ORDER BY score DESC, doc_id ASC))::INTEGER - 1
+         AS rank,
+       source, doc_id, round(score, 6) AS score
+FROM champions WHERE rn = 1
+ORDER BY score DESC, doc_id ASC LIMIT {k}
+"""
+
+
 SNIPPET_RADIUS = 5   # tokens either side of the first query-term hit
 
 
@@ -2387,6 +2421,7 @@ QUERIES = {
     "phrase_topk": q_phrase_topk,
     "search_snippets": q_search_snippets,
     "bm25_topk_filtered": q_bm25_topk_filtered,
+    "bm25_topk_collapsed": q_bm25_topk_collapsed,
     "minhash_neardup": q_minhash_neardup,
     "minhash_dedup_keep": q_minhash_dedup_keep,
     "simhash_neardup": q_simhash_neardup,
@@ -2459,6 +2494,7 @@ ORACLE_SQL = {
     "phrase_topk": _sql_phrase_topk(),
     "search_snippets": _sql_search_snippets(),
     "bm25_topk_filtered": _sql_bm25_topk_filtered(),
+    "bm25_topk_collapsed": _sql_bm25_topk_collapsed(),
     "knn_topk": SQL_KNN_TOPK,
     "embedding_pairs_exact": SQL_EMBEDDING_PAIRS_EXACT,
     "lang_id_counts": _sql_lang_id_counts(),

@@ -392,6 +392,43 @@ class SegmentSearcher:
             hits = hits[dense[hits] >= thresh]
         return top_k(self._docs[hits], dense[hits], k)
 
+    def search_collapsed(self, terms: list[str], group_field: str,
+                         ) -> tuple[list[str], np.ndarray, np.ndarray]:
+        """Field-collapsed (diversity) BM25 partials: for every value of the
+        metadata ``group_field``, this searcher's best-scoring matching doc
+        (ties → lowest global docID).  Output is ≤ one row per group value —
+        the driver merge sees n_searchers × n_groups rows, never docs.
+        Scores stay global-df BM25; docs with no query term don't qualify."""
+        empty = ([], np.zeros(0, dtype=np.int64), np.zeros(0, dtype=np.float64))
+        parts = [p for p in (self._term_scores(t) for t in sorted(set(terms)))
+                 if p is not None]
+        if not parts or self._seg is None:
+            return empty
+        dense = np.zeros(len(self._docs), dtype=np.float64)
+        for ids, sc in parts:
+            dense[ids] += sc
+        values = pc.unique(self._seg.filter(
+            pc.equal(self._seg["field"], group_field))["term"].combine_chunks()
+        ).to_pylist()
+        out_g: list[str] = []
+        out_d: list[int] = []
+        out_s: list[float] = []
+        for v in sorted(values):
+            local = self._metadata_docset([(group_field, v)])
+            if not local.size:
+                continue
+            sc = dense[local]
+            m = sc > 0.0
+            if not m.any():
+                continue
+            local, sc = local[m], sc[m]
+            best = sc.max()
+            out_g.append(v)
+            out_d.append(int(self._docs[local[sc == best]].min()))
+            out_s.append(float(best))
+        return (out_g, np.asarray(out_d, dtype=np.int64),
+                np.asarray(out_s, dtype=np.float64))
+
     def vocabulary(self, field: str | None = None) -> set[str]:
         """Debug/test accessor: this searcher's term set (optionally one
         field's).  Materializes Python strings — NOT a query-path API."""
@@ -903,6 +940,33 @@ class QueryEngine:
             return []
         ids, sc = top_k(ids, sc, k)
         return [(int(d), float(s)) for d, s in zip(ids, sc)]
+
+    def collapsed_query(self, text: str, group_field: str, k: int = 10
+                        ) -> list[tuple[str, int, float]]:
+        """Diversity top-k: collapse results to ONE best doc per value of a
+        metadata field (fielded index required), then rank the group
+        champions by (-score, doc_id) and keep ``k``.  Each searcher returns
+        at most one row per group, so the merge is n_searchers × n_groups
+        rows regardless of corpus size."""
+        terms = tokenize(text, stopwords=self.stopwords, stem=self.stem)
+        if not terms:
+            return []
+        if self.use_actors:
+            partials = ray.get([s.search_collapsed.remote(terms, group_field)
+                                for s in self.searchers])
+        else:
+            partials = [s.search_collapsed(terms, group_field)
+                        for s in self.searchers]
+        best: dict[str, tuple[float, int]] = {}
+        for groups, ids, scores in partials:
+            for g, d, s in zip(groups, ids.tolist(), scores.tolist()):
+                cur = best.get(g)
+                # keep the higher score; ties → lower docID
+                if cur is None or (-s, d) < (-cur[0], cur[1]):
+                    best[g] = (s, d)
+        ranked = sorted(((s, d, g) for g, (s, d) in best.items()),
+                        key=lambda t: (-t[0], t[1]))[:k]
+        return [(g, d, s) for s, d, g in ranked]
 
     def prefix_query(self, text: str, k: int = 10) -> list[tuple[int, float]]:
         """Wildcard BM25 top-k: query tokens ending in ``*`` match every

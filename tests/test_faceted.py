@@ -68,6 +68,45 @@ def test_faceted_vs_bruteforce(fielded_index, filters):
     np.testing.assert_allclose([s for _, s in got], wsc, rtol=1e-12)
 
 
+def _brute_collapsed(group_col, k=10):
+    t = pq.read_table(f"{SF}/documents.parquet",
+                      columns=["doc_id", "text", group_col])
+    docs = t.to_pylist()
+    toks = {r["doc_id"]: tokenize(r["text"] or "") for r in docs}
+    n = len(docs)
+    avgdl = sum(len(v) for v in toks.values()) / n
+    qterms = sorted(set(tokenize(QUERY)))
+    df = {q: sum(1 for v in toks.values() if q in v) for q in qterms}
+    best = {}
+    for r in docs:
+        d, g = r["doc_id"], r[group_col]
+        s = 0.0
+        for q in qterms:
+            tf = toks[d].count(q)
+            if tf and df[q]:
+                s += bm25_idf(n, df[q]) * tf * 2.2 / \
+                    (tf + 1.2 * (1 - 0.75 + 0.75 * len(toks[d]) / avgdl))
+        if s > 0 and (g not in best or (-s, d) < (-best[g][1], best[g][0])):
+            best[g] = (d, s)
+    return sorted(((g, d, s) for g, (d, s) in best.items()),
+                  key=lambda x: (-x[2], x[1]))[:k]
+
+
+@pytest.mark.parametrize("use_actors", [False, True])
+def test_collapsed_topk_vs_bruteforce(fielded_index, use_actors, ray_session):
+    qe = QueryEngine(fielded_index, num_searchers=3, use_actors=use_actors)
+    got = qe.collapsed_query(QUERY, "source", k=10)
+    want = _brute_collapsed("source")
+    assert [(g, d) for g, d, _ in got] == [(g, d) for g, d, _ in want]
+    np.testing.assert_allclose([s for _, _, s in got],
+                               [s for _, _, s in want], rtol=1e-12)
+    # every source appears at most once
+    assert len({g for g, _, _ in got}) == len(got)
+    # unknown group field and no-hit query degrade to empty
+    assert qe.collapsed_query(QUERY, "nosuchfield", k=10) == []
+    assert qe.collapsed_query("nosuchterm", "source", k=10) == []
+
+
 def test_unfiltered_bm25_identical_on_fielded_index(fielded_index):
     """The fielded index must serve plain BM25 exactly like a text-only
     index (same stats, metadata postings ignored)."""
