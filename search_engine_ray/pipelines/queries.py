@@ -2308,6 +2308,108 @@ def q_url_host_stats(sf_dir: str | None = None, *, n_pages: int = 2000):
                           batch_format="pyarrow")
 
 
+def q_host_pagerank(sf_dir: str | None = None, *, n_pages: int = 2000,
+                    iters: int = 5):
+    """Host-graph PageRank over the crawl-pages corpus: vectorized href
+    extraction (``stages/webtext.ExtractLinks``) → ``(src_host, dst_host)``
+    multi-edges → weighted edges via one groupby → distributed PageRank
+    (``stages/graph.pagerank``: edges stream, node-sized rank vector
+    broadcasts, dangling mass redistributed exactly).  Golden-pinned
+    (the link graph is corpus-seeded, not a testdata table); the pagerank
+    kernel itself is oracle-checked by ``nation_trade_pagerank`` (SQL) and
+    dense-power-iteration parity tests."""
+    from ..sources.pages import synthesize_pages
+    from ..stages.graph import pagerank
+    from ..stages.webtext import ExtractLinks
+    pages_dir = synthesize_pages(n_pages, f"/tmp/serx_pages_q_{n_pages}",
+                                 seed=42)
+    edges = (ray.data.read_parquet(pages_dir, columns=["url", "html"])
+             .map_batches(ExtractLinks(), batch_format="pyarrow")
+             .groupby(["src_host", "dst_host"]).aggregate(Count())
+             .rename_columns({"count()": "w"}))
+    tbl = pagerank(edges, src="src_host", dst="dst_host", weight="w",
+                   iters=iters)
+    return pa.table({"host": tbl["node"],
+                     "rank": pc.round(tbl["rank"], 6)})
+
+
+PAGERANK_ITERS = 5
+PAGERANK_DAMPING = 0.85
+
+
+def q_nation_trade_pagerank(sf_dir: str, *, iters: int = PAGERANK_ITERS):
+    """PageRank over the nation trade graph: one edge customer-nation →
+    supplier-nation per lineitem (weight = lineitem count).  Edge
+    derivation is the scale shape — lineitem ⋈ orders via the bucketed
+    hash_join (large ⋈ large), then customer / supplier nation keys
+    attached via broadcast dim lookups; the 25-node graph then runs the
+    same distributed pagerank kernel as the host graph.  Full SQL oracle
+    (iteration CTEs generated for the same float64 formula grouping)."""
+    import pyarrow.parquet as pq
+    from ..stages.graph import pagerank
+    from ..stages.join import broadcast_lookup, hash_join
+    li = ray.data.read_parquet(os.path.join(sf_dir, "lineitem.parquet"),
+                               columns=["l_orderkey", "l_suppkey"])
+    orders = ray.data.read_parquet(os.path.join(sf_dir, "orders.parquet"),
+                                   columns=["o_orderkey", "o_custkey"])
+    cust = pq.read_table(os.path.join(sf_dir, "customer.parquet"),
+                         columns=["c_custkey", "c_nationkey"])
+    supp = pq.read_table(os.path.join(sf_dir, "supplier.parquet"),
+                         columns=["s_suppkey", "s_nationkey"])
+    j = hash_join(li, orders, left_key="l_orderkey", right_key="o_orderkey",
+                  n_buckets=16)
+    j = broadcast_lookup(j, cust, key="o_custkey", dim_key="c_custkey")
+    j = broadcast_lookup(j, supp, key="l_suppkey", dim_key="s_suppkey")
+    edges = (j.groupby(["c_nationkey", "s_nationkey"]).aggregate(Count())
+             .rename_columns({"count()": "w"})
+             .map_batches(lambda t: t.set_column(
+                 t.schema.get_field_index("w"), "w",
+                 t["w"].cast(pa.float64())), batch_format="pyarrow"))
+    tbl = pagerank(edges, src="c_nationkey", dst="s_nationkey", weight="w",
+                   iters=iters, damping=PAGERANK_DAMPING)
+    return pa.table({"nation_key": tbl["node"].cast(pa.int64()),
+                     "rank": pc.round(tbl["rank"], 6)})
+
+
+def _sql_nation_trade_pagerank(iters: int = PAGERANK_ITERS,
+                               d: float = PAGERANK_DAMPING) -> str:
+    """Iteration-unrolled PageRank oracle: the same float64 formula grouping
+    as ``stages/graph.pagerank`` — ``r' = (1-d)/N + d*(Σ r·w/ow + dang/N)``."""
+    parts = [f"""
+WITH edges AS (
+  SELECT c.c_nationkey AS src, s.s_nationkey AS dst, count(*)::DOUBLE AS w
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  GROUP BY 1, 2),
+nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+nn AS (SELECT count(*)::DOUBLE AS n FROM nodes),
+outw AS (SELECT src, sum(w) AS ow FROM edges GROUP BY src),
+r0 AS (SELECT node, 1.0 / (SELECT n FROM nn) AS rank FROM nodes)"""]
+    prev = "r0"
+    for i in range(1, iters + 1):
+        parts.append(f""",
+dang{i} AS (SELECT coalesce(sum(r.rank), 0) AS m
+            FROM {prev} r LEFT JOIN outw ON r.node = outw.src
+            WHERE outw.src IS NULL),
+infl{i} AS (SELECT e.dst AS node, sum(r.rank * e.w / o.ow) AS v
+            FROM edges e JOIN {prev} r ON e.src = r.node
+            JOIN outw o ON e.src = o.src
+            GROUP BY e.dst),
+r{i} AS (SELECT nd.node,
+                (1.0 - {d}) / (SELECT n FROM nn)
+                + {d} * (coalesce(i.v, 0)
+                         + (SELECT m FROM dang{i}) / (SELECT n FROM nn))
+                  AS rank
+         FROM nodes nd LEFT JOIN infl{i} i ON nd.node = i.node)""")
+        prev = f"r{i}"
+    parts.append(f"""
+SELECT node::BIGINT AS nation_key, round(rank, 6) AS rank
+FROM {prev} ORDER BY nation_key""")
+    return "".join(parts)
+
+
 BOILERPLATE_MIN_DF = 5
 
 
@@ -2444,6 +2546,8 @@ QUERIES = {
     "lang_id_counts": q_lang_id_counts,
     "fingerprints": q_fingerprints,
     "url_host_stats": q_url_host_stats,
+    "host_pagerank": q_host_pagerank,
+    "nation_trade_pagerank": q_nation_trade_pagerank,
     "boilerplate_removal": q_boilerplate_removal,
     "media_frame_stats": q_media_frame_stats,
 }
@@ -2499,6 +2603,7 @@ ORACLE_SQL = {
     "embedding_pairs_exact": SQL_EMBEDDING_PAIRS_EXACT,
     "lang_id_counts": _sql_lang_id_counts(),
     "fingerprints": SQL_FINGERPRINTS,
+    "nation_trade_pagerank": _sql_nation_trade_pagerank(),
     # minhash_neardup / simhash_neardup / embedding_neardup / ivf_topk /
     # url_host_stats / boilerplate_removal / media_frame_stats /
     # event_value_quantiles_tdigest /

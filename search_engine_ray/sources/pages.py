@@ -53,9 +53,28 @@ _HEADER = (b'<html><head><title>%s</title>'
            b'<meta charset="utf-8"></head><body>'
            b'<div class="nav"><a href="/">home</a> | <a href="/about">about</a>'
            b' | <a href="/contact">contact</a></div><article>')
-_FOOTER = (b'</article><footer>&copy; 2018 %s &mdash; all rights reserved.'
-           b'<div class="links"><a href="/terms">terms</a></div></footer>'
-           b'</body></html>')
+_FOOTER_OPEN = (b'</article><footer>&copy; 2018 %s &mdash; all rights '
+                b'reserved.<div class="links"><a href="/terms">terms</a>'
+                b'</div>')
+_FOOTER_CLOSE = b'</footer></body></html>'
+
+# cross-host outlinks (the host link graph behind PageRank / host analytics):
+# drawn from a SEPARATE Philox stream so every pre-existing field of the
+# corpus stays byte-identical across generator versions; anchor text is a
+# CONSTANT token so full-text extraction sees one more df-frequent
+# boilerplate paragraph per link, never new content text.
+_LINKS_KEY = 0x4C494E4B  # "LINK"
+
+
+def _links_html(doc: int, seed: int) -> bytes:
+    rng = np.random.Generator(np.random.Philox(key=[seed ^ _LINKS_KEY, doc]))
+    n = int(rng.integers(1, 4))
+    sites = np.minimum(rng.zipf(1.3, size=n).astype(np.int64) - 1, _SITES - 1)
+    anchors = "".join(
+        f'<a href="https://site{int(s):03d}.example/p/'
+        f'{int(rng.integers(0, 10_000_000)):07d}">related</a>'
+        for s in sites)
+    return f'<div class="rel">{anchors}</div>'.encode("ascii")
 
 # escape order matters: & first out, & last back (stages/extract.py inverts)
 _ESCAPES = [("&", "&amp;"), ("<", "&lt;"), (">", "&gt;"),
@@ -94,7 +113,8 @@ def _doc_row(doc: int, seed: int) -> dict:
     body = "</p><p>".join(escape_html(p) for p in paras)
     html = (_HEADER % escape_html(title).encode("utf-8")
             + b"<p>" + body.encode("utf-8") + b"</p>"
-            + _FOOTER % f"site{site:03d}.example".encode("ascii"))
+            + _FOOTER_OPEN % f"site{site:03d}.example".encode("ascii")
+            + _links_html(doc, seed) + _FOOTER_CLOSE)
     # articles-shaped metadata (FIXTURES §1b) — drawn AFTER the text fields
     # so adding them kept html/text byte-stable across generator versions
     author = _AUTHORS[min(int(rng.zipf(1.3)) - 1, len(_AUTHORS) - 1)]
@@ -147,7 +167,8 @@ def synthesize_pages(n_docs: int, out_dir: str, *, seed: int = 42,
     ``out_dir``.  Skips generation when the corpus already exists (marker
     file records (n_docs, seed))."""
     import ray.data
-    marker = os.path.join(out_dir, f"_PAGES_{n_docs}_{seed}")
+    # v2: cross-host outlinks in the footer (text/url/metadata byte-stable)
+    marker = os.path.join(out_dir, f"_PAGES_{n_docs}_{seed}_v2")
     if os.path.exists(marker) and not overwrite:
         return out_dir
     import shutil

@@ -28,6 +28,88 @@ import pyarrow as pa
 import ray.data
 
 
+def pagerank(edges: "ray.data.Dataset", *, damping: float = 0.85,
+             iters: int = 5, src: str = "src", dst: str = "dst",
+             weight: str | None = None) -> pa.Table:
+    """Weighted PageRank over an ``(src, dst[, weight])`` edge Dataset;
+    returns a driver-side ``(node, rank)`` table sorted by node.
+
+    Scale shape — EDGES STREAM, RANKS BROADCAST: the node table and per-src
+    out-weights come from one distributed groupby each and are collected
+    driver-side (node cardinality — hosts, not pages — is orders of
+    magnitude below edge count; ~10⁸ hosts × 16 B still broadcasts).  Each
+    iteration ships the rank vector as ONE ``ray.put`` ref, streams the edge
+    Dataset through ``map_batches`` computing per-batch PARTIAL inflow
+    (map-side combine via a local group-sum), reduces with a node-sized
+    ``groupby(dst).sum``, and redistributes dangling mass exactly.  At node
+    counts beyond broadcast, swap to the co-partitioned hash-join rounds of
+    :func:`connected_components` — same round structure, no broadcast.
+
+    Formula per iteration (kept in THIS grouping so the SQL oracle can
+    reproduce it float-for-float):
+    ``r' = (1-d)/N + d * (Σ_in r·w/outw  +  dang/N)``.
+    """
+    import ray
+
+    w_expr = weight
+    sch = edges.schema()
+    null_t = dict(zip(sch.names, sch.types))[src]
+
+    def _ends(t: pa.Table) -> pa.Table:
+        a = t[src].combine_chunks() if isinstance(t[src], pa.ChunkedArray) \
+            else t[src]
+        b = t[dst].combine_chunks() if isinstance(t[dst], pa.ChunkedArray) \
+            else t[dst]
+        return pa.table({"node": pa.concat_arrays([a, b])})
+
+    from ray.data.aggregate import Count, Sum
+    nodes_tbl = (edges.map_batches(_ends, batch_format="pyarrow")
+                 .groupby("node").aggregate(Count()))
+    nodes = np.sort(np.asarray(
+        [r["node"] for r in nodes_tbl.take_all()]))          # node-sized
+    n = len(nodes)
+    if n == 0:
+        return pa.table({"node": pa.array([], type=null_t),
+                         "rank": pa.array([], type=pa.float64())})
+    ow_agg = (edges.groupby(src).aggregate(Sum(w_expr)) if w_expr
+              else edges.groupby(src).aggregate(Count()))
+    ow_col = f"sum({w_expr})" if w_expr else "count()"
+    outw = np.zeros(n, dtype=np.float64)
+    for r in ow_agg.take_all():                              # node-sized
+        outw[np.searchsorted(nodes, r[src])] = float(r[ow_col])
+    dangling = outw == 0.0
+
+    d = float(damping)
+    rank = np.full(n, 1.0 / n, dtype=np.float64)
+    for _ in range(iters):
+        coef = np.divide(rank, outw, out=np.zeros_like(rank),
+                         where=~dangling)
+        ref = ray.put((nodes, coef))
+
+        def contrib(t: pa.Table, _ref=ref) -> pa.Table:
+            nd, cf = ray.get(_ref)
+            s = t[src].combine_chunks() if isinstance(t[src], pa.ChunkedArray) \
+                else t[src]
+            idx = np.searchsorted(nd, s.to_numpy(zero_copy_only=False))
+            wv = (t[w_expr].to_numpy(zero_copy_only=False)
+                  .astype(np.float64) if w_expr
+                  else np.ones(t.num_rows, dtype=np.float64))
+            part = pa.table({dst: t[dst], "c": pa.array(cf[idx] * wv)})
+            g = part.group_by(dst).aggregate([("c", "sum")])   # map-side
+            return pa.table({"node": g[dst], "inflow": g["c_sum"]})
+
+        infl_rows = (edges.map_batches(contrib, batch_format="pyarrow")
+                     .groupby("node").aggregate(Sum("inflow"))
+                     .take_all())                             # node-sized
+        inflow = np.zeros(n, dtype=np.float64)
+        for r in infl_rows:
+            inflow[np.searchsorted(nodes, r["node"])] = r["sum(inflow)"]
+        dang = float(rank[dangling].sum())
+        rank = (1.0 - d) / n + d * (inflow + dang / n)
+    return pa.table({"node": pa.array(nodes.tolist(), type=null_t),
+                     "rank": pa.array(rank, type=pa.float64())})
+
+
 def _min_label_round(edges: "ray.data.Dataset", labels: "ray.data.Dataset",
                      n_buckets: int) -> "ray.data.Dataset":
     """One propagation round: neighbor labels via edges⋈labels on ``src``,

@@ -70,6 +70,59 @@ class UrlParse:
         return pa.table(cols)
 
 
+class ExtractLinks:
+    """pages batch → ``(src_host, dst_host)`` host-graph edge rows.
+
+    Vectorized (no Python row loop): ONE ``split_pattern`` on ``href="``
+    per batch, numpy offset bookkeeping to map fragments back to their
+    rows, then RE2 kernels to slice each fragment at the closing quote and
+    classify absolute ``http(s)://host`` targets.  Relative hrefs resolve
+    to the page's own host and are dropped by default (``drop_self``) —
+    the host graph cares about cross-host endorsement, not nav self-loops.
+    Multi-edges are preserved; aggregate to weights downstream."""
+
+    def __init__(self, *, html_col: str = "html", url_col: str = "url",
+                 drop_self: bool = True):
+        self.html_col = html_col
+        self.url_col = url_col
+        self.drop_self = drop_self
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import numpy as np
+        html = batch[self.html_col]
+        if isinstance(html, pa.ChunkedArray):
+            html = html.combine_chunks()
+        src = pc.utf8_lower(pc.struct_field(
+            pc.extract_regex(batch[self.url_col], URL_RE), "host"))
+        if isinstance(src, pa.ChunkedArray):
+            src = src.combine_chunks()
+        parts = pc.split_pattern(html.cast(pa.string()), 'href="')
+        if isinstance(parts, pa.ChunkedArray):
+            parts = parts.combine_chunks()
+        offsets = parts.offsets.to_numpy(zero_copy_only=False)
+        n_per = np.diff(offsets)
+        row_idx = np.repeat(np.arange(batch.num_rows), n_per)
+        flat = parts.flatten()
+        # the first fragment of every row precedes any href → mask it out
+        keep = np.ones(len(flat), dtype=bool)
+        base = offsets[:-1] - offsets[0]
+        keep[base[n_per > 0]] = False
+        cand = flat.filter(pa.array(keep))
+        rows = row_idx[keep]
+        target = pc.struct_field(
+            pc.extract_regex(cand, r'^(?P<u>[^"]*)"'), "u")
+        dst = pc.utf8_lower(pc.struct_field(
+            pc.extract_regex(target, r'^[Hh][Tt][Tt][Pp][Ss]?://'
+                                     r'(?P<h>[^/:?#"]+)'), "h"))
+        src_rows = src.take(pa.array(rows))
+        valid = pc.is_valid(dst)
+        if self.drop_self:
+            valid = pc.and_(valid, pc.not_equal(dst, src_rows))
+        valid = pc.fill_null(valid, False)
+        return pa.table({"src_host": src_rows.filter(valid),
+                         "dst_host": dst.filter(valid)})
+
+
 # ---------------------------------------------------------------------------
 # Boilerplate-paragraph removal (the CCNet / crawl-hygiene shape)
 # ---------------------------------------------------------------------------

@@ -33,8 +33,14 @@ GOLDEN = {
     "ivf_topk":
         "9f99b273a906abb1e1b2a1fcd5e024e1ee8423b802fa7c8c3c1e6f06e1a7fd61",
     # Philox-seeded pages → deterministic boilerplate df counts + rebuild
+    # (re-pinned when the v2 corpus gained constant-anchor footer outlinks:
+    # n_paras/n_dropped grew per page, clean_hash stayed identical)
     "boilerplate_removal":
-        "c46cc0de150be1045f9bc545d55432d015176ebd757af74a6a6fcbf082d0a362",
+        "ec2b7b6fb3769063f4dcb6d5e19adea50a28c5f9f2e1b4f6e5f1487ee3eb7b59",
+    # Philox-seeded outlinks → deterministic host graph; the pagerank
+    # kernel itself is SQL-oracle-checked via nation_trade_pagerank
+    "host_pagerank":
+        "09d62af097aaee7e07b37d56d6701b2f8000861389f30fec949373edcec9e183",
     # Philox-seeded pages corpus → deterministic URL parse + host aggregate
     "url_host_stats":
         "9ada3e9eddabc15361e1f8d3dc6a2f3aa91e4f79fdb33e56d0535d05912746fd",

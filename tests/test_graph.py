@@ -74,3 +74,70 @@ def test_minhash_dedup_keep_collapses_clusters(ray_session):
                                 columns=["doc_id"])["doc_id"].to_pylist())
     assert set(kept["doc_id"]) == all_ids - non_keepers
     assert kept["doc_id"].is_monotonic_increasing
+
+
+def _dense_pagerank(edges, nodes, iters=5, d=0.85):
+    """Reference dense power iteration with the same formula grouping."""
+    import numpy as np
+    n = len(nodes)
+    pos = {v: i for i, v in enumerate(nodes)}
+    outw = np.zeros(n)
+    for s, t, w in edges:
+        outw[pos[s]] += w
+    r = np.full(n, 1.0 / n)
+    for _ in range(iters):
+        inflow = np.zeros(n)
+        for s, t, w in edges:
+            inflow[pos[t]] += r[pos[s]] * w / outw[pos[s]]
+        dang = r[outw == 0].sum()
+        r = (1 - d) / n + d * (inflow + dang / n)
+    return r
+
+
+def test_pagerank_matches_dense_power_iteration(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+    from search_engine_ray.stages.graph import pagerank
+    rng = np.random.RandomState(7)
+    n_nodes = 30
+    m = 200
+    src = rng.randint(0, n_nodes, m)
+    dst = rng.randint(0, n_nodes, m)
+    keep = src != dst
+    src, dst = src[keep], dst[keep]
+    w = rng.randint(1, 5, len(src)).astype(float)
+    # node 29 is dangling: strip its outgoing edges
+    mask = src != 29
+    src, dst, w = src[mask], dst[mask], w[mask]
+    ds = ray.data.from_arrow(pa.table({
+        "src": pa.array(src, type=pa.int64()),
+        "dst": pa.array(dst, type=pa.int64()),
+        "w": pa.array(w)})).repartition(4)
+    got = pagerank(ds, weight="w", iters=5)
+    nodes = got["node"].to_pylist()
+    want = _dense_pagerank(list(zip(src, dst, w)), nodes, iters=5)
+    np.testing.assert_allclose(got["rank"].to_numpy(), want, rtol=0, atol=1e-13)
+    assert abs(got["rank"].to_numpy().sum() - 1.0) < 1e-9  # mass conserved
+
+
+def test_pagerank_unweighted_string_nodes_and_empty(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+    from search_engine_ray.stages.graph import pagerank
+    ds = ray.data.from_arrow(pa.table({
+        "src": ["a.x", "a.x", "b.x", "c.x"],
+        "dst": ["b.x", "c.x", "c.x", "a.x"]}))
+    got = pagerank(ds, iters=10)
+    want = _dense_pagerank([("a.x", "b.x", 1), ("a.x", "c.x", 1),
+                            ("b.x", "c.x", 1), ("c.x", "a.x", 1)],
+                           got["node"].to_pylist(), iters=10)
+    np.testing.assert_allclose(got["rank"].to_numpy(), want, atol=1e-13)
+    # c has two in-edges and feeds a: c outranks b
+    ranks = dict(zip(got["node"].to_pylist(), got["rank"].to_pylist()))
+    assert ranks["c.x"] > ranks["b.x"]
+    empty = pagerank(ray.data.from_arrow(pa.table(
+        {"src": pa.array([], type=pa.string()),
+         "dst": pa.array([], type=pa.string())})))
+    assert empty.num_rows == 0

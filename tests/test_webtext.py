@@ -103,3 +103,59 @@ class TestBoilerplateRemoval:
         # every page keeps a substantial body
         assert (df["clean_len"] > 100).all()
         assert (df["n_dropped"] >= 5).all()   # home/|/|/about/contact/terms…
+
+
+class TestExtractLinks:
+    def _batch(self, urls, htmls):
+        import pyarrow as pa
+        return pa.table({"url": pa.array(urls),
+                         "html": pa.array([h.encode() for h in htmls],
+                                          type=pa.binary())})
+
+    def test_absolute_relative_self_and_malformed(self):
+        from search_engine_ray.stages.webtext import ExtractLinks
+        b = self._batch(
+            ["https://a.example/p/1", "https://b.example/x"],
+            ['<a href="https://b.example/z">t</a>'
+             '<a href="/rel">r</a>'                      # relative → self
+             '<a href="https://A.EXAMPLE/self">s</a>'    # self, case-folded
+             '<a href="HTTPS://c.example:8080/q?x=1">c</a>'
+             '<a href="mailto:x@y">m</a>'                # non-http scheme
+             '<a href=broken>n</a>',                     # unquoted
+             'no links at all'])
+        out = ExtractLinks()(b)
+        pairs = list(zip(out["src_host"].to_pylist(),
+                         out["dst_host"].to_pylist()))
+        assert pairs == [("a.example", "b.example"),
+                         ("a.example", "c.example")]
+
+    def test_keep_self_loops_when_asked(self):
+        from search_engine_ray.stages.webtext import ExtractLinks
+        b = self._batch(["https://a.example/"],
+                        ['<a href="https://a.example/two">x</a>'])
+        out = ExtractLinks(drop_self=False)(b)
+        assert out["dst_host"].to_pylist() == ["a.example"]
+
+    def test_multi_edges_preserved_and_batching_stable(self):
+        import pyarrow as pa
+        from search_engine_ray.stages.webtext import ExtractLinks
+        html = ('<a href="https://b.example/1">x</a>'
+                '<a href="https://b.example/2">y</a>')
+        b = self._batch(["https://a.example/", "https://c.example/"],
+                        [html, html])
+        whole = ExtractLinks()(b)
+        split = pa.concat_tables([ExtractLinks()(b.slice(0, 1)),
+                                  ExtractLinks()(b.slice(1, 1))])
+        assert whole.equals(split)
+        assert whole.num_rows == 4
+
+    def test_corpus_links_are_deterministic(self, ray_session):
+        from search_engine_ray.sources.pages import pages_batch
+        from search_engine_ray.stages.webtext import ExtractLinks
+        import numpy as np
+        t = pages_batch(np.arange(50))
+        out1 = ExtractLinks()(t.select(["url", "html"]))
+        out2 = ExtractLinks()(pages_batch(np.arange(50)).select(["url", "html"]))
+        assert out1.equals(out2)
+        assert out1.num_rows >= 25            # 1-3 outlinks/page minus selfs
+        assert all(h.startswith("site") for h in out1["dst_host"].to_pylist())
