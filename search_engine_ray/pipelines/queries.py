@@ -1716,6 +1716,90 @@ def q_bm25_topk(sf_dir: str):
                      "score": pa.array([round(s, 6) for _, s in res])})
 
 
+RRF_K0 = 60        # the standard reciprocal-rank-fusion constant
+RRF_LEG_K = 100    # per-system candidate depth
+
+
+def q_hybrid_rrf(sf_dir: str, *, k: int = 10):
+    """Hybrid search: BM25 top-{RRF_LEG_K} (segment-index actor pool) fused
+    with embedding-cosine top-{RRF_LEG_K} (vs the vec_id=0 query vector) by
+    reciprocal-rank fusion — ``rrf(d) = Σ_legs 1/({RRF_K0} + rank_leg(d))``.
+
+    The serving scale shape: each leg produces a K-BOUNDED candidate list
+    (BM25 via the doc-sharded searchers, kNN via per-batch partial top-k +
+    blocks×k merge), fusion is O(K) driver work.  Within each leg ranks are
+    assigned over ROUNDED scores with doc_id tie-break so the assignment is
+    stable across float libms (leg score parity is itself oracle-proven by
+    ``bm25_scores`` / ``cosine_scores``)."""
+    import pyarrow.parquet as pq
+    from collections import defaultdict
+    from .query import QueryEngine
+    from ..stages.similarity import CosineScorer, merge_topk
+
+    idx = _ensure_index(sf_dir)
+    qe = QueryEngine(idx, num_searchers=4, use_actors=True)
+    bm = qe.query(FLAGSHIP_QUERY, k=RRF_LEG_K)
+    bm_ranked = sorted(((round(s, 6), d) for d, s in bm),
+                       key=lambda x: (-x[0], x[1]))
+
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    qvec = None
+    for b in pq.ParquetFile(path).iter_batches(batch_size=256,
+                                               columns=["vec_id", "embedding"]):
+        m = pc.equal(b["vec_id"], 0)
+        if pc.any(m).as_py():
+            qvec = np.asarray(b.filter(m)["embedding"][0].as_py(),
+                              dtype=np.float64)
+            break
+    partials = (ray.data.read_parquet(path, columns=["vec_id", "embedding"])
+                .map_batches(CosineScorer(qvec[None, :], k=RRF_LEG_K),
+                             batch_format="pyarrow"))
+    merged = merge_topk(_collect_table(partials), k=RRF_LEG_K)
+    kn_ranked = sorted(((round(s, 6), d) for s, d in
+                        zip(merged["cos_sim"].to_pylist(),
+                            merged["vec_id"].to_pylist())),
+                       key=lambda x: (-x[0], x[1]))
+
+    rrf: dict[int, float] = defaultdict(float)
+    for r, (_s, d) in enumerate(bm_ranked, 1):
+        rrf[d] += 1.0 / (RRF_K0 + r)
+    for r, (_s, d) in enumerate(kn_ranked, 1):
+        rrf[d] += 1.0 / (RRF_K0 + r)
+    top = sorted(rrf.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+    return pa.table({
+        "rank": pa.array(range(len(top)), type=pa.int32()),
+        "doc_id": pa.array([d for d, _ in top], type=pa.int64()),
+        "rrf": pa.array([round(s, 6) for _, s in top], type=pa.float64())})
+
+
+def _sql_hybrid_rrf(k: int = 10) -> str:
+    return _sql_bm25_core() + f""",
+bm AS (SELECT doc_id,
+              row_number() OVER (ORDER BY round(score, 6) DESC, doc_id ASC)
+                AS r
+       FROM raw_scores),
+bml AS (SELECT * FROM bm WHERE r <= {RRF_LEG_K}),
+cs AS (SELECT e.vec_id AS doc_id,
+              round(list_cosine_similarity(e.embedding::DOUBLE[],
+                    (SELECT embedding::DOUBLE[] FROM embeddings
+                     WHERE vec_id = 0)), 6) AS cos
+       FROM embeddings e),
+kn AS (SELECT doc_id,
+              row_number() OVER (ORDER BY cos DESC, doc_id ASC) AS r
+       FROM cs),
+knl AS (SELECT * FROM kn WHERE r <= {RRF_LEG_K}),
+fused AS (
+  SELECT coalesce(b.doc_id, n.doc_id) AS doc_id,
+         coalesce(1.0 / ({RRF_K0} + b.r), 0)
+           + coalesce(1.0 / ({RRF_K0} + n.r), 0) AS rrf
+  FROM bml b FULL OUTER JOIN knl n ON b.doc_id = n.doc_id)
+SELECT (row_number() OVER (ORDER BY rrf DESC, doc_id ASC))::INTEGER - 1
+         AS rank,
+       doc_id, round(rrf, 6) AS rrf
+FROM fused ORDER BY rrf DESC, doc_id ASC LIMIT {k}
+"""
+
+
 BOOLEAN_QUERY = "scan merge -window"   # AND of musts, NOT of '-' tokens
 
 
@@ -1750,6 +1834,31 @@ SELECT (row_number() OVER (ORDER BY score DESC, doc_id ASC))::INTEGER - 1
 FROM raw_scores JOIN must_docs USING (doc_id)
 WHERE doc_id NOT IN (SELECT doc_id FROM neg_docs)
 ORDER BY score DESC, doc_id ASC LIMIT {k}
+"""
+
+
+SUGGEST_PREFIX = "s"
+
+
+def q_term_suggest(sf_dir: str, *, k: int = 10):
+    """Query autocomplete: top-k indexed terms with prefix
+    '{SUGGEST_PREFIX}', ranked by global df desc / term asc — served from
+    the doc-shard-partitioned sorted term dictionaries plus the global df
+    table (``QueryEngine.suggest``)."""
+    from .query import QueryEngine
+    idx = _ensure_index(sf_dir)
+    qe = QueryEngine(idx, num_searchers=4, use_actors=True)
+    res = qe.suggest(SUGGEST_PREFIX, k=k)
+    return pa.table({"term": pa.array([t for t, _ in res]),
+                     "df": pa.array([d for _, d in res], type=pa.int64())})
+
+
+SQL_TERM_SUGGEST = f"""
+WITH toks AS ({sql_tokenize_cte()}),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+df AS (SELECT term, count(*) AS df FROM tf GROUP BY term)
+SELECT term, df FROM df WHERE term LIKE '{SUGGEST_PREFIX}%'
+ORDER BY df DESC, term ASC LIMIT 10
 """
 
 
@@ -2308,6 +2417,76 @@ def q_url_host_stats(sf_dir: str | None = None, *, n_pages: int = 2000):
                           batch_format="pyarrow")
 
 
+NLL_FILTER_MAX = 3.43   # keep docs at or below this avg negative log-prob
+
+
+def _unigram_nll(sf_dir: str) -> "ray.data.Dataset":
+    """Per-doc unigram language-model score (CCNet-style quality gate):
+    train the MLE unigram LM on the corpus itself (one vocab-sized groupby),
+    broadcast the (term → ln p) model once via ``ray.put``, then score every
+    doc in a single postings pass — ``nll = -Σ tf·ln p(t) / Σ tf`` (avg
+    negative log-prob; perplexity = e^nll).  Vocab is sublinear in corpus
+    (the broadcast-small-side idiom; the hash-join alternative is what
+    ``doc_keywords`` demonstrates)."""
+    import ray as _ray
+    model_rows = (_postings(sf_dir).groupby("term").aggregate(Sum("tf"))
+                  .take_all())                         # vocab-sized
+    terms = np.array([r["term"] for r in model_rows])
+    cnt = np.array([r["sum(tf)"] for r in model_rows], dtype=np.float64)
+    order = np.argsort(terms)
+    terms, cnt = terms[order], cnt[order]
+    logp = np.log(cnt / cnt.sum())
+    ref = _ray.put((terms, logp))
+
+    def attach(t: pa.Table) -> pa.Table:
+        tv, lp = _ray.get(ref)
+        idx = np.searchsorted(tv, np.asarray(t["term"].to_pylist()))
+        tf = t["tf"].to_numpy(zero_copy_only=False).astype(np.float64)
+        return pa.table({"doc_id": t["doc_id"],
+                         "wl": pa.array(tf * lp[idx]),
+                         "tf": pa.array(tf)})
+
+    agg = (_postings(sf_dir).map_batches(attach, batch_format="pyarrow")
+           .groupby("doc_id").aggregate(Sum("wl"), Sum("tf")))
+
+    def finish(t: pa.Table) -> pa.Table:
+        nll = -(t["sum(wl)"].to_numpy(zero_copy_only=False)
+                / t["sum(tf)"].to_numpy(zero_copy_only=False))
+        return pa.table({"doc_id": t["doc_id"].cast(pa.int64()),
+                         "nll": pa.array(np.round(nll, 6))})
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def q_unigram_nll(sf_dir: str):
+    """Per-doc unigram-LM average negative log-prob (see :func:`_unigram_nll`)."""
+    return _unigram_nll(sf_dir)
+
+
+def q_perplexity_filter(sf_dir: str):
+    """LM-perplexity quality gate: keep docs with ``nll <= {NLL_FILTER_MAX}``
+    (low perplexity under the corpus LM = in-distribution text — the CCNet
+    head/middle split)."""
+    return _unigram_nll(sf_dir).filter(expr=f"nll <= {NLL_FILTER_MAX}")
+
+
+_SQL_NLL_CORE = f"""
+WITH toks AS ({sql_tokenize_cte()}),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+model AS (SELECT term, sum(tf) * 1.0 AS cnt FROM tf GROUP BY term),
+tot AS (SELECT sum(cnt) AS total FROM model),
+nll AS (
+  SELECT doc_id, round(-sum(tf * ln(m.cnt / t.total)) / sum(tf), 6) AS nll
+  FROM tf JOIN model m USING (term) CROSS JOIN tot t GROUP BY doc_id)
+"""
+
+SQL_UNIGRAM_NLL = _SQL_NLL_CORE + "SELECT doc_id, nll FROM nll"
+
+SQL_PERPLEXITY_FILTER = _SQL_NLL_CORE + f"""
+SELECT doc_id, nll FROM nll WHERE nll <= {NLL_FILTER_MAX}
+"""
+
+
 def q_host_pagerank(sf_dir: str | None = None, *, n_pages: int = 2000,
                     iters: int = 5):
     """Host-graph PageRank over the crawl-pages corpus: vectorized href
@@ -2497,6 +2676,8 @@ QUERIES = {
     "dedup_keep": q_dedup_keep,
     "quality_scores": q_quality_scores,
     "quality_filter": q_quality_filter,
+    "unigram_nll": q_unigram_nll,
+    "perplexity_filter": q_perplexity_filter,
     "bm25_scores": q_bm25_scores,
     "cosine_scores": q_cosine_scores,
     "event_type_stats": q_event_type_stats,
@@ -2520,6 +2701,8 @@ QUERIES = {
     "bm25_topk": q_bm25_topk,
     "bm25_prefix_topk": q_bm25_prefix_topk,
     "bm25_boolean_topk": q_bm25_boolean_topk,
+    "hybrid_rrf": q_hybrid_rrf,
+    "term_suggest": q_term_suggest,
     "phrase_topk": q_phrase_topk,
     "search_snippets": q_search_snippets,
     "bm25_topk_filtered": q_bm25_topk_filtered,
@@ -2564,6 +2747,8 @@ ORACLE_SQL = {
     "dedup_keep": SQL_DEDUP_KEEP,
     "quality_scores": SQL_QUALITY_SCORES,
     "quality_filter": SQL_QUALITY_FILTER,
+    "unigram_nll": SQL_UNIGRAM_NLL,
+    "perplexity_filter": SQL_PERPLEXITY_FILTER,
     "bm25_scores": _sql_bm25_scores(),
     "cosine_scores": SQL_COSINE_SCORES,
     "event_type_stats": SQL_EVENT_TYPE_STATS,
@@ -2595,6 +2780,8 @@ ORACLE_SQL = {
     "bm25_topk": _sql_bm25_topk(),
     "bm25_prefix_topk": _sql_bm25_prefix_topk(),
     "bm25_boolean_topk": _sql_bm25_boolean_topk(),
+    "hybrid_rrf": _sql_hybrid_rrf(),
+    "term_suggest": SQL_TERM_SUGGEST,
     "phrase_topk": _sql_phrase_topk(),
     "search_snippets": _sql_search_snippets(),
     "bm25_topk_filtered": _sql_bm25_topk_filtered(),

@@ -941,6 +941,28 @@ class QueryEngine:
         ids, sc = top_k(ids, sc, k)
         return [(int(d), float(s)) for d, s in zip(ids, sc)]
 
+    def suggest(self, prefix: str, k: int = 10) -> list[tuple[str, int]]:
+        """Query autocomplete: top-k indexed terms starting with ``prefix``,
+        ranked by global df desc then term asc.  Each searcher range-scans
+        ITS shards' sorted term dictionary (the vocabulary is doc-shard
+        partitioned, so the union across searchers is the full dictionary);
+        the driver unions candidates and ranks them with the global df
+        table any single searcher holds."""
+        frag = tokenize(prefix, stopwords=self.stopwords, stem=self.stem)
+        if not frag:
+            return []
+        p = frag[0]
+        if self.use_actors:
+            sets = ray.get([s.expand_prefix.remote(p)
+                            for s in self.searchers])
+            cand = sorted(set().union(*map(set, sets)))
+            dfs = ray.get(self.searchers[0].df_of.remote(cand)) if cand else {}
+        else:
+            sets = [s.expand_prefix(p) for s in self.searchers]
+            cand = sorted(set().union(*map(set, sets)))
+            dfs = self.searchers[0].df_of(cand) if cand else {}
+        return sorted(dfs.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+
     def collapsed_query(self, text: str, group_field: str, k: int = 10
                         ) -> list[tuple[str, int, float]]:
         """Diversity top-k: collapse results to ONE best doc per value of a
