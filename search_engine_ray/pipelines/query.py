@@ -44,6 +44,25 @@ def bm25_idf(n_docs: int, df: np.ndarray | float) -> np.ndarray | float:
     return np.log((n_docs - df + 0.5) / (df + 0.5) + 1.0)
 
 
+def sparse_union(ids_parts: list[np.ndarray], sc_parts: list[np.ndarray]
+                 ) -> tuple[np.ndarray, np.ndarray]:
+    """OR-union of per-term (local ids, scores) parts → (ascending unique
+    ids, per-doc summed scores).  O(Σdf · log Σdf) in the POSTINGS touched,
+    independent of the searcher's corpus size — the query path must never
+    cost O(n_docs): at 10^12-doc scale a per-query dense accumulator is a
+    multi-GB allocation plus full scans per term.  The stable sort keeps
+    each doc's contributions in part (term) order, so the left-to-right
+    ``reduceat`` sums are bit-identical to sequential dense accumulation."""
+    cat = np.concatenate(ids_parts)
+    if cat.size == 0:
+        return cat.astype(np.int64), np.zeros(0, dtype=np.float64)
+    sc = np.concatenate(sc_parts)
+    order = np.argsort(cat, kind="stable")
+    cid, csc = cat[order], sc[order]
+    starts = np.flatnonzero(np.concatenate(([True], cid[1:] != cid[:-1])))
+    return cid[starts].astype(np.int64), np.add.reduceat(csc, starts)
+
+
 class SegmentSearcher:
     """Holds the postings of a set of DOC SHARDS in memory; answers queries
     with complete per-doc scores for its shards' documents.
@@ -279,7 +298,14 @@ class SegmentSearcher:
         from collections import OrderedDict
         self._score_cache: OrderedDict[str, tuple[np.ndarray, np.ndarray]] = \
             OrderedDict()
-        self._cache_max_terms = 100_000
+        # bounded by BYTES, not term count: one head term's vector is
+        # df·12 B (int32 ids + float64 scores) — at web scale a count cap
+        # alone would not bound the heap
+        self._cache_max_bytes = 1 << 31
+        self._cache_bytes = 0
+        # per-metadata-field doc→group multimaps for collapsed search,
+        # built lazily on first use (see _group_map)
+        self._group_maps: dict[str, tuple[np.ndarray, np.ndarray, list[str]]] = {}
 
     def _slots_of(self, field: str, term: str) -> np.ndarray:
         """Binary-search the sorted 128-bit key-hash arrays → slot indices
@@ -335,9 +361,32 @@ class SegmentSearcher:
             score_parts.append(idf * tf * (self.k1 + 1.0) / denom)
         entry = (np.concatenate(ids_parts), np.concatenate(score_parts))
         self._score_cache[term] = entry
-        if len(self._score_cache) > self._cache_max_terms:
-            self._score_cache.popitem(last=False)
+        self._cache_bytes += entry[0].nbytes + entry[1].nbytes
+        while self._cache_bytes > self._cache_max_bytes and \
+                len(self._score_cache) > 1:
+            _, (eids, esc) = self._score_cache.popitem(last=False)
+            self._cache_bytes -= eids.nbytes + esc.nbytes
         return entry
+
+    def _union_scores(self, parts: list[tuple[np.ndarray, np.ndarray]]
+                      ) -> tuple[np.ndarray, np.ndarray]:
+        """Adaptive OR-union → (ascending unique local ids, summed scores).
+        Head-heavy queries (touched postings a large fraction of this
+        searcher's docs) take the dense gather-add, whose O(n_docs) cost is
+        then amortized by the work itself; everything else takes the
+        corpus-size-independent :func:`sparse_union`.  Both orders add each
+        doc's contributions in term order — identical floats."""
+        m = sum(p[0].size for p in parts)
+        if parts and m >= (len(self._docs) >> 3) and len(parts) > 1:
+            dense = np.zeros(len(self._docs), dtype=np.float64)
+            for ids, sc in parts:
+                # ids are unique within a term (one posting per doc), so
+                # the fused gather-add is exact — and ~2× cheaper than a
+                # sort-merge at head-term sizes
+                dense[ids] += sc
+            hits = np.flatnonzero(dense > 0.0)  # contributions are > 0
+            return hits, dense[hits]
+        return sparse_union([p[0] for p in parts], [p[1] for p in parts])
 
     def search(self, terms: list[str], k: int = 10
                ) -> tuple[np.ndarray, np.ndarray]:
@@ -347,19 +396,14 @@ class SegmentSearcher:
                  if p is not None]
         if not parts:
             return (np.zeros(0, dtype=np.int64), np.zeros(0, dtype=np.float64))
-        dense = np.zeros(len(self._docs), dtype=np.float64)
-        for ids, sc in parts:
-            # ids are unique within a term (one posting per doc), so the
-            # fused gather-add is exact — and ~2× cheaper than
-            # bincount(concat) at head-term sizes
-            dense[ids] += sc
-        hits = np.flatnonzero(dense > 0.0)   # BM25 contributions are > 0
+        hits, scores = self._union_scores(parts)
         if hits.size > 4 * k > 0:
             # exact prefilter: keep every doc scoring >= the k-th largest
             # (ties at the boundary included), then tie-break-sort the rest
-            thresh = np.partition(dense[hits], hits.size - k)[hits.size - k]
-            hits = hits[dense[hits] >= thresh]
-        return top_k(self._docs[hits], dense[hits], k)
+            thresh = np.partition(scores, hits.size - k)[hits.size - k]
+            sel = scores >= thresh
+            hits, scores = hits[sel], scores[sel]
+        return top_k(self._docs[hits], scores, k)
 
     def search_boolean(self, must: list[str], must_not: list[str],
                        k: int = 10) -> tuple[np.ndarray, np.ndarray]:
@@ -376,21 +420,31 @@ class SegmentSearcher:
         parts = [self._term_scores(t) for t in musts]
         if any(p is None for p in parts):
             return empty
-        dense = np.zeros(len(self._docs), dtype=np.float64)
-        hits_in = np.zeros(len(self._docs), dtype=np.int32)
-        for ids, sc in parts:
-            dense[ids] += sc
-            hits_in[ids] += 1
-        keep = hits_in == len(musts)
+        # sparse AND: sort-merge the must postings; a doc qualifies iff its
+        # group has one contribution per must term (ids unique within a
+        # term).  O(Σdf_must log), never O(n_docs).
+        cat = np.concatenate([p[0] for p in parts])
+        if cat.size == 0:
+            return empty
+        sc = np.concatenate([p[1] for p in parts])
+        order = np.argsort(cat, kind="stable")
+        cid, csc = cat[order], sc[order]
+        starts = np.flatnonzero(np.concatenate(([True], cid[1:] != cid[:-1])))
+        counts = np.diff(np.append(starts, cid.size))
+        full = counts == len(musts)
+        hits = cid[starts[full]].astype(np.int64)
+        scores = np.add.reduceat(csc, starts)[full] if starts.size else \
+            np.zeros(0, dtype=np.float64)
         for t in sorted(set(must_not)):
             p = self._term_scores(t)
-            if p is not None:
-                keep[p[0]] = False
-        hits = np.flatnonzero(keep)
+            if p is not None and hits.size:
+                bad = np.isin(hits, p[0], assume_unique=False)
+                hits, scores = hits[~bad], scores[~bad]
         if hits.size > 4 * k > 0:
-            thresh = np.partition(dense[hits], hits.size - k)[hits.size - k]
-            hits = hits[dense[hits] >= thresh]
-        return top_k(self._docs[hits], dense[hits], k)
+            thresh = np.partition(scores, hits.size - k)[hits.size - k]
+            sel = scores >= thresh
+            hits, scores = hits[sel], scores[sel]
+        return top_k(self._docs[hits], scores, k)
 
     def search_collapsed(self, terms: list[str], group_field: str,
                          ) -> tuple[list[str], np.ndarray, np.ndarray]:
@@ -404,30 +458,57 @@ class SegmentSearcher:
                  if p is not None]
         if not parts or self._seg is None:
             return empty
-        dense = np.zeros(len(self._docs), dtype=np.float64)
-        for ids, sc in parts:
-            dense[ids] += sc
-        values = pc.unique(self._seg.filter(
-            pc.equal(self._seg["field"], group_field))["term"].combine_chunks()
-        ).to_pylist()
-        out_g: list[str] = []
-        out_d: list[int] = []
-        out_s: list[float] = []
-        for v in sorted(values):
-            local = self._metadata_docset([(group_field, v)])
-            if not local.size:
-                continue
-            sc = dense[local]
-            m = sc > 0.0
-            if not m.any():
-                continue
-            local, sc = local[m], sc[m]
-            best = sc.max()
-            out_g.append(v)
-            out_d.append(int(self._docs[local[sc == best]].min()))
-            out_s.append(float(best))
-        return (out_g, np.asarray(out_d, dtype=np.int64),
-                np.asarray(out_s, dtype=np.float64))
+        hits, hit_sc = self._union_scores(parts)
+        gdocs, gcodes, values = self._group_map(group_field)
+        if not hits.size or not gdocs.size:
+            return empty
+        # (doc, group) pairs whose doc matched a query term: one sorted-
+        # array intersection against the ascending scored-union ids
+        pos = np.searchsorted(hits, gdocs)
+        ok = pos < hits.size
+        ok[ok] = hits[pos[ok]] == gdocs[ok]
+        md, mg, ms = gdocs[ok], gcodes[ok], hit_sc[pos[ok]]
+        if not md.size:
+            return empty
+        # champion per group = max score, tie → min global docID (global
+        # order == ascending local index); one lexsort, first row per group
+        order = np.lexsort((md, -ms, mg))
+        md, mg, ms = md[order], mg[order], ms[order]
+        first = np.concatenate(([True], mg[1:] != mg[:-1]))
+        return ([values[g] for g in mg[first]],
+                self._docs[md[first]].astype(np.int64),
+                ms[first].astype(np.float64))
+
+    def _group_map(self, field: str
+                   ) -> tuple[np.ndarray, np.ndarray, list[str]]:
+        """Lazily-built doc→group multimap for one metadata field:
+        (ascending local doc ids, aligned group codes, sorted group value
+        strings).  A doc appears once per value it carries (metadata fields
+        are sets).  Built ONCE per searcher so collapsed search never pays
+        the O(n_groups) per-query dictionary walk it replaced — at web
+        scale a collapse field (e.g. host) has millions of values."""
+        got = self._group_maps.get(field)
+        if got is not None:
+            return got
+        values: list[str] = []
+        if self._seg is not None and self._seg.num_rows:
+            values = sorted(pc.unique(self._seg.filter(
+                pc.equal(self._seg["field"], field))["term"]
+                .combine_chunks()).to_pylist())
+        doc_parts, code_parts = [], []
+        for gi, v in enumerate(values):
+            local = self._metadata_docset([(field, v)])
+            if local.size:
+                doc_parts.append(local.astype(np.int64))
+                code_parts.append(np.full(local.size, gi, dtype=np.int64))
+        docs = (np.concatenate(doc_parts) if doc_parts
+                else np.zeros(0, dtype=np.int64))
+        codes = (np.concatenate(code_parts) if code_parts
+                 else np.zeros(0, dtype=np.int64))
+        order = np.argsort(docs, kind="stable")
+        entry = (docs[order], codes[order], values)
+        self._group_maps[field] = entry
+        return entry
 
     def vocabulary(self, field: str | None = None) -> set[str]:
         """Debug/test accessor: this searcher's term set (optionally one
@@ -523,14 +604,18 @@ class SegmentSearcher:
                  if p is not None]
         if not parts:
             return (np.zeros(0, dtype=np.int64), np.zeros(0, dtype=np.float64))
-        dense = np.zeros(len(self._docs), dtype=np.float64)
-        for ids, sc in parts:
-            dense[ids] += sc
-        hits = allowed[dense[allowed] > 0.0]
+        uids, usc = self._union_scores(parts)
+        # sorted-array intersection: scored docs ∩ facet docset
+        pos = np.searchsorted(uids, allowed)
+        ok = pos < uids.size
+        ok[ok] = uids[pos[ok]] == allowed[ok]
+        hits = allowed[ok].astype(np.int64)
+        scores = usc[pos[ok]]
         if hits.size > 4 * k > 0:
-            thresh = np.partition(dense[hits], hits.size - k)[hits.size - k]
-            hits = hits[dense[hits] >= thresh]
-        return top_k(self._docs[hits], dense[hits], k)
+            thresh = np.partition(scores, hits.size - k)[hits.size - k]
+            sel = scores >= thresh
+            hits, scores = hits[sel], scores[sel]
+        return top_k(self._docs[hits], scores, k)
 
     # ---- phrase queries (positional index; IndexConfig.positions) ----
 
@@ -692,10 +777,13 @@ class SegmentSearcher:
         ordered = sorted(uniq, key=lambda t: (-bounds[t], t))
         suffix_ub = np.cumsum([bounds[t] for t in ordered][::-1])[::-1]
 
-        # phase 1: essential prefix — exhaustive vectorized accumulation.
-        # A term is non-essential once the k-th best score so far exceeds
-        # the sum of ALL remaining bounds.
-        dense = np.zeros(len(self._docs), dtype=np.float64)
+        # phase 1: essential prefix — sparse sort-merge accumulation into a
+        # candidate pool (never an O(n_docs) dense array: the pruned path
+        # exists precisely to touch only postings).  A term is non-essential
+        # once the k-th best score so far exceeds the sum of ALL remaining
+        # bounds.
+        cand = np.zeros(0, dtype=np.int64)
+        scores = np.zeros(0, dtype=np.float64)
         theta = -np.inf
         split = len(ordered)
         for i, t in enumerate(ordered):
@@ -703,12 +791,12 @@ class SegmentSearcher:
                 split = i
                 break
             ids, sc = self._term_scores(t)
-            dense[ids] += sc   # ids unique within a term — exact
-            hits = np.flatnonzero(dense > 0.0)
-            if hits.size >= k:
-                theta = np.partition(dense[hits], hits.size - k)[hits.size - k]
+            # merge the term into the pool; pool entries come first so each
+            # doc's running sum accumulates in term order (exact floats)
+            cand, scores = sparse_union([cand, ids], [scores, sc])
+            if cand.size >= k:
+                theta = np.partition(scores, cand.size - k)[cand.size - k]
 
-        cand = np.flatnonzero(dense > 0.0)
         if cand.size == 0:
             return (np.zeros(0, dtype=np.int64), np.zeros(0, dtype=np.float64))
 
@@ -716,8 +804,8 @@ class SegmentSearcher:
         rest = ordered[split:]
         for j, t in enumerate(rest):
             remaining_ub = float(suffix_ub[split + j])
-            keep = dense[cand] + remaining_ub >= theta
-            cand = cand[keep]
+            keep = scores + remaining_ub >= theta
+            cand, scores = cand[keep], scores[keep]
             if cand.size == 0:
                 break
             if bounds[t] <= 0.0:
@@ -730,12 +818,11 @@ class SegmentSearcher:
             pos_ok = pos < ids_s.size
             match = np.zeros(cand.size, dtype=bool)
             match[pos_ok] = ids_s[pos[pos_ok]] == cand[pos_ok]
-            dense[cand[match]] += sc_s[pos[pos_ok]][match[pos_ok]]
+            scores[match] += sc_s[pos[pos_ok]][match[pos_ok]]
             if cand.size >= k:
                 theta = max(theta, np.partition(
-                    dense[cand], cand.size - k)[cand.size - k])
+                    scores, cand.size - k)[cand.size - k])
 
-        scores = dense[cand]
         if cand.size > 4 * k > 0:
             thresh = np.partition(scores, cand.size - k)[cand.size - k]
             sel = scores >= thresh
@@ -764,33 +851,36 @@ class SegmentSearcher:
         9-level comparator (``SearchEngine.h:342-381``) with the added
         deterministic ascending-docID tie-break.  Returns the local top-k
         accumulator columns (docs disjoint across shards → exact)."""
-        n = len(self._docs)
-        acc = {col: np.zeros(n, dtype=np.int64)
-               for _, col in self._REF_FIELDS.values()}
-        matched = np.zeros(n, dtype=bool)
+        # two passes, both sparse in the union of matched docs (the
+        # accumulator tables must never be O(n_docs) — see sparse_union):
+        # collect per-slot contributions, then scatter into union-indexed
+        # accumulator columns via bincount on searchsorted positions.
+        contribs: list[tuple[str, str, np.ndarray, np.ndarray]] = []
         for field, term in sorted(set(probes)):
             spec = self._REF_FIELDS.get(field)
             if spec is None:
                 continue
-            slots = self._slots_of(field, term)
-            if not slots.size:
-                continue
             kind, col = spec
-            for slot in slots:
+            for slot in self._slots_of(field, term):
                 local_ids, tf, _dl = self._decode_slot(slot)
-                matched[local_ids] = True
-                if kind == "sum_tf":
-                    acc[col] += np.bincount(local_ids, weights=tf,
-                                            minlength=n).astype(np.int64)
-                elif kind == "count":
-                    acc[col][local_ids] += 1
-                else:  # flag
-                    acc[col][local_ids] = 1
-        sel = np.flatnonzero(matched)
-        if sel.size == 0:
+                if local_ids.size:
+                    contribs.append((kind, col, local_ids, tf))
+        cols_all = [col for _, col in self._REF_FIELDS.values()]
+        if not contribs:
             return {"doc_id": np.zeros(0, dtype=np.int64),
-                    **{c: np.zeros(0, dtype=np.int64) for c in acc}}
-        cols = {c: acc[c][sel] for c in acc}
+                    **{c: np.zeros(0, dtype=np.int64) for c in cols_all}}
+        sel = np.unique(np.concatenate([c[2] for c in contribs]))
+        acc = {col: np.zeros(sel.size, dtype=np.int64) for col in cols_all}
+        for kind, col, local_ids, tf in contribs:
+            idx = np.searchsorted(sel, local_ids)
+            if kind == "sum_tf":
+                acc[col] += np.bincount(idx, weights=tf,
+                                        minlength=sel.size).astype(np.int64)
+            elif kind == "count":
+                acc[col] += np.bincount(idx, minlength=sel.size)
+            else:  # flag
+                acc[col][idx] = 1
+        cols = acc
         docs = self._docs[sel]
         order = np.lexsort((
             docs, -cols["text_wc"], -cols["author_count"],
