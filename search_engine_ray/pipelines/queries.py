@@ -2664,6 +2664,52 @@ def q_media_frame_stats(sf_dir: str | None = None, *, n_videos: int = 64):
 # Catalog
 # ---------------------------------------------------------------------------
 
+def q_classifier_scores(sf_dir: str):
+    """Batched linear-model inference over the documents table: a
+    fastText-style hashed bag-of-tokens classifier scored inside an ACTOR
+    POOL, with the weight vector broadcast ONCE via ``ray.put`` (each actor
+    materializes the plasma copy in ``__init__`` — weights are never
+    re-shipped per batch).  Shuffle-free: every doc is scored within its
+    batch.  Integer-exact z-sums make the DuckDB oracle bit-identical (see
+    ``stages/textstats.HashedLinearClassifier``)."""
+    from ..stages.textstats import HashedLinearClassifier, classifier_weights
+    wref = ray.put(classifier_weights())
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        HashedLinearClassifier, fn_constructor_kwargs={"weights": wref},
+        batch_format="pyarrow", concurrency=(1, 8))
+
+
+# the model in SQL: same FNV-1a over token bytes (HUGEINT mod-2^64, the
+# fingerprint oracle's expression), same bucket/weight arithmetic, and the
+# same integer decision rule z > 4095*n — only division + sigmoid are float
+SQL_CLASSIFIER_SCORES = f"""
+WITH toks AS ({sql_tokenize_cte()}),
+fnv AS (
+  SELECT term,
+    list_reduce(
+      list_prepend(14695981039346656037::HUGEINT,
+        list_transform(range(1, length(term)+1),
+                       i -> ascii(substr(term, i, 1))::HUGEINT)),
+      (acc, c) -> ((acc - (acc % 128)
+                    + xor((acc % 128)::BIGINT, c::BIGINT)::HUGEINT)
+                   * 1099511628211::HUGEINT)
+                  % 18446744073709551616::HUGEINT) AS h
+  FROM (SELECT DISTINCT term FROM toks)),
+contrib AS (
+  SELECT t.doc_id, ((f.h % 4096)::BIGINT * 2654435761) % 8191 AS wraw
+  FROM toks t JOIN fnv f USING (term)),
+agg AS (
+  SELECT doc_id, sum(wraw)::BIGINT AS z, count(*)::BIGINT AS n
+  FROM contrib GROUP BY doc_id)
+SELECT d.doc_id,
+  CASE WHEN a.n IS NULL OR a.n = 0 THEN 0.5
+       ELSE round(1.0 / (1.0 + exp(-((a.z - 4095*a.n) / (4095.0 * a.n)))), 6)
+  END AS clf_score,
+  coalesce(a.z > 4095*a.n, FALSE) AS clf_label
+FROM documents d LEFT JOIN agg a USING (doc_id)
+"""
+
+
 QUERIES = {
     "term_df": q_term_df,
     "doc_lengths": q_doc_lengths,
@@ -2733,6 +2779,7 @@ QUERIES = {
     "nation_trade_pagerank": q_nation_trade_pagerank,
     "boilerplate_removal": q_boilerplate_removal,
     "media_frame_stats": q_media_frame_stats,
+    "classifier_scores": q_classifier_scores,
 }
 
 ORACLE_SQL = {
@@ -2791,6 +2838,7 @@ ORACLE_SQL = {
     "lang_id_counts": _sql_lang_id_counts(),
     "fingerprints": SQL_FINGERPRINTS,
     "nation_trade_pagerank": _sql_nation_trade_pagerank(),
+    "classifier_scores": SQL_CLASSIFIER_SCORES,
     # minhash_neardup / simhash_neardup / embedding_neardup / ivf_topk /
     # url_host_stats / boilerplate_removal / media_frame_stats /
     # event_value_quantiles_tdigest /

@@ -237,3 +237,65 @@ class Fingerprint:
             "n_tokens": pa.array(np.bincount(row_idx, minlength=n),
                                  type=pa.int64()),
         })
+
+
+def classifier_weights(n_buckets: int = 4096) -> np.ndarray:
+    """Deterministic stand-in for a trained linear model's weight vector:
+    raw int64 weights ``w_raw[b] = (b * 2654435761) % 8191``, centered to
+    [-1, 1] at score time via ``(w_raw - 4095) / 4095``.  A real deployment
+    would ``ray.put()`` weights produced by a training job; the engine-side
+    contract is only "broadcast the vector once, score batches against it"."""
+    b = np.arange(n_buckets, dtype=np.int64)
+    return (b * 2654435761) % 8191
+
+
+class HashedLinearClassifier:
+    """documents batch → ``(doc_id, clf_score, clf_label)``: fastText-style
+    linear-model inference over hashing-trick bag-of-tokens features.
+
+    Deploy as an ACTOR POOL (pass the class to ``map_batches``) with the
+    weight vector shipped as a ``ray.ObjectRef`` (``ray.put(
+    classifier_weights())``): every actor materializes the same plasma copy
+    once in ``__init__`` — never re-shipped per batch, zero-copy for numpy.
+
+    Scoring is integer-exact so a SQL oracle can reproduce it bit-for-bit:
+    ``z = Σ_token_occurrences w_raw[fnv1a64(token) % D]`` is an
+    order-independent integer sum; the only float ops are one division and
+    one sigmoid.  ``score = sigmoid((z - 4095·n) / (4095·n))`` for n tokens
+    (the mean centered weight), ``label = z > 4095·n`` — the integer form
+    of ``score > 0.5``, immune to float-boundary ambiguity.  Tokenization
+    is the engine analyzer (``split_and_normalize``), same as the index.
+    """
+
+    def __init__(self, weights=None, *, text_col: str = "text",
+                 id_col: str = "doc_id"):
+        if weights is None:
+            w = classifier_weights()
+        elif isinstance(weights, np.ndarray):
+            w = weights
+        else:  # ray.ObjectRef — the broadcast path
+            import ray
+            w = ray.get(weights)
+        self.w = np.ascontiguousarray(w, dtype=np.int64)
+        self.d = np.uint64(len(self.w))
+        self.text_col, self.id_col = text_col, id_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        row_idx, terms = split_and_normalize(batch[self.text_col])
+        cnt = np.bincount(row_idx, minlength=n).astype(np.int64)
+        z = np.zeros(n, dtype=np.int64)
+        if len(terms):
+            bucket = (fnv1a64_array(terms) % self.d).astype(np.int64)
+            # float64 bincount is exact here: |Σ| < 8191 · n_tokens « 2^53
+            z = np.bincount(row_idx, weights=self.w[bucket],
+                            minlength=n).astype(np.int64)
+        center = 4095 * cnt
+        x = np.where(cnt > 0,
+                     (z - center) / np.maximum(4095.0 * cnt, 1.0), 0.0)
+        score = 1.0 / (1.0 + np.exp(-x))
+        return pa.table({
+            "doc_id": batch[self.id_col].cast(pa.int64()),
+            "clf_score": pa.array(np.round(score, 6), type=pa.float64()),
+            "clf_label": pa.array(z > center, type=pa.bool_()),
+        })

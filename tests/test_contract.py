@@ -10,7 +10,8 @@ SF = "/root/testdata/sf0.001"
 TABLES = ["documents", "embeddings", "events", "lineitem"]
 KEYS = ["term_df", "dedup_exact", "bm25_scores", "cosine_scores",
         "lineitem_pricing", "doc_keywords", "unigram_nll",
-        "embedding_pairs_exact", "term_suggest", "hybrid_rrf"]
+        "embedding_pairs_exact", "term_suggest", "hybrid_rrf",
+        "classifier_scores"]
 
 
 @pytest.fixture(scope="module")

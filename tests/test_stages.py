@@ -93,3 +93,61 @@ def test_encode_empty_group():
                       "tf": pa.array([], type=pa.int32()),
                       "doc_len": pa.array([], type=pa.int32())})
     assert encode_postings_table(group).num_rows == 0
+
+
+class TestHashedLinearClassifier:
+    def _brute(self, text: str, w):
+        from search_engine_ray.functions.analyze import tokenize
+        from search_engine_ray.functions.hashing import fnv1a64_scalar
+        toks = tokenize(text)
+        z = sum(int(w[fnv1a64_scalar(t.encode()) % len(w)]) for t in toks)
+        n = len(toks)
+        if n == 0:
+            return 0.5, False
+        import math
+        x = (z - 4095 * n) / (4095.0 * n)
+        return round(1.0 / (1.0 + math.exp(-x)), 6), z > 4095 * n
+
+    def test_brute_force_parity(self):
+        import pyarrow as pa
+        from search_engine_ray.stages.textstats import (
+            HashedLinearClassifier, classifier_weights)
+        texts = ["scan merge window", "", "the the the zzz",
+                 "Quick BROWN fox's lazy-dog", "a b c d e f g " * 40,
+                 "日本語 ascii mix token", "!!! ... ---"]
+        t = pa.table({"doc_id": pa.array(range(len(texts)), type=pa.int64()),
+                      "text": texts})
+        out = HashedLinearClassifier()(t).to_pandas()
+        w = classifier_weights()
+        for i, txt in enumerate(texts):
+            s, lab = self._brute(txt, w)
+            assert abs(out.clf_score[i] - s) < 1e-9, (i, txt)
+            assert bool(out.clf_label[i]) == lab, (i, txt)
+
+    def test_batching_invariance(self):
+        import pyarrow as pa
+        import numpy as np
+        from search_engine_ray.stages.textstats import HashedLinearClassifier
+        texts = [f"w{i % 7} tok{i} shared value line" for i in range(50)]
+        t = pa.table({"doc_id": pa.array(range(50), type=pa.int64()),
+                      "text": texts})
+        c = HashedLinearClassifier()
+        whole = c(t).to_pandas()
+        parts = [c(t.slice(o, 13)).to_pandas() for o in range(0, 50, 13)]
+        import pandas as pd
+        joined = pd.concat(parts, ignore_index=True)
+        assert np.allclose(whole.clf_score, joined.clf_score)
+        assert (whole.clf_label == joined.clf_label).all()
+
+    def test_broadcast_objectref_path(self, ray_session):
+        import ray
+        import pyarrow as pa
+        from search_engine_ray.stages.textstats import (
+            HashedLinearClassifier, classifier_weights)
+        ref = ray.put(classifier_weights())
+        c = HashedLinearClassifier(ref)
+        t = pa.table({"doc_id": pa.array([7], type=pa.int64()),
+                      "text": ["scan merge window"]})
+        base = HashedLinearClassifier()(t).to_pandas()
+        got = c(t).to_pandas()
+        assert got.equals(base)
