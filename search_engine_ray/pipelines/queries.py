@@ -30,7 +30,8 @@ import pyarrow.compute as pc
 import ray.data
 from ray.data.aggregate import Count, Max, Mean, Min, Sum
 
-from ..functions.analyze import (sql_token_list_cte, sql_tokenize_cte,
+from ..functions.analyze import (sql_ordinal_tokenize_cte,
+                                 sql_token_list_cte, sql_tokenize_cte,
                                  tokenize)
 from ..stages.dedup import (MinHashLSH, SimHash, hamming64,
                             verify_jaccard_in_group)
@@ -2710,6 +2711,31 @@ FROM documents d LEFT JOIN agg a USING (doc_id)
 """
 
 
+def q_doc_chunks(sf_dir: str):
+    """Fixed-size overlapping token windows per document (size 64, stride
+    48) — the training-data context-window chunker.  Doc-local 2-row
+    expansion (hopping-window trick), no shuffle; see
+    ``stages/textstats.DocChunker``."""
+    from ..stages.textstats import DocChunker
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        DocChunker(), batch_format="pyarrow")
+
+
+SQL_DOC_CHUNKS = f"""
+WITH toks AS ({sql_ordinal_tokenize_cte()}),
+pos AS (SELECT doc_id, ord - 1 AS p FROM toks),
+expand AS (
+  SELECT doc_id, p, p // 48 AS k FROM pos
+  UNION ALL
+  SELECT doc_id, p, p // 48 - 1 AS k FROM pos
+  WHERE p // 48 - 1 >= 0 AND p < (p // 48 - 1) * 48 + 64
+)
+SELECT doc_id, k AS chunk_id, count(*)::BIGINT AS n_tokens,
+       min(p)::BIGINT AS start_pos, max(p)::BIGINT AS end_pos
+FROM expand GROUP BY doc_id, k
+"""
+
+
 QUERIES = {
     "term_df": q_term_df,
     "doc_lengths": q_doc_lengths,
@@ -2780,6 +2806,7 @@ QUERIES = {
     "boilerplate_removal": q_boilerplate_removal,
     "media_frame_stats": q_media_frame_stats,
     "classifier_scores": q_classifier_scores,
+    "doc_chunks": q_doc_chunks,
 }
 
 ORACLE_SQL = {
@@ -2839,6 +2866,7 @@ ORACLE_SQL = {
     "fingerprints": SQL_FINGERPRINTS,
     "nation_trade_pagerank": _sql_nation_trade_pagerank(),
     "classifier_scores": SQL_CLASSIFIER_SCORES,
+    "doc_chunks": SQL_DOC_CHUNKS,
     # minhash_neardup / simhash_neardup / embedding_neardup / ivf_topk /
     # url_host_stats / boilerplate_removal / media_frame_stats /
     # event_value_quantiles_tdigest /

@@ -299,3 +299,59 @@ class HashedLinearClassifier:
             "clf_score": pa.array(np.round(score, 6), type=pa.float64()),
             "clf_label": pa.array(z > center, type=pa.bool_()),
         })
+
+
+class DocChunker:
+    """documents batch → fixed-size OVERLAPPING token windows
+    ``(doc_id, chunk_id, n_tokens, start_pos, end_pos)`` — the LLM
+    training-data "context window" prep step.  Chunk ``k`` covers token
+    positions ``[k·stride, k·stride + size)``; ``stride < size`` overlaps
+    neighbours.  ``size ≤ 2·stride`` keeps every token in ≤ 2 chunks, so
+    the expansion is a bounded 2-row union (the hopping-window trick) —
+    vectorized and doc-local, no shuffle at any corpus size.
+    """
+
+    def __init__(self, *, size: int = 64, stride: int = 48,
+                 text_col: str = "text", id_col: str = "doc_id"):
+        if not (0 < stride <= size <= 2 * stride):
+            raise ValueError("need 0 < stride <= size <= 2*stride")
+        self.size, self.stride = size, stride
+        self.text_col, self.id_col = text_col, id_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        empty = pa.table({
+            "doc_id": pa.array([], type=pa.int64()),
+            "chunk_id": pa.array([], type=pa.int64()),
+            "n_tokens": pa.array([], type=pa.int64()),
+            "start_pos": pa.array([], type=pa.int64()),
+            "end_pos": pa.array([], type=pa.int64()),
+        })
+        n = batch.num_rows
+        row_idx, _terms = split_and_normalize(batch[self.text_col])
+        if not row_idx.size:
+            return empty
+        counts = np.bincount(row_idx, minlength=n)
+        starts = np.zeros(n, dtype=np.int64)
+        np.cumsum(counts[:-1], out=starts[1:])
+        pos = np.arange(row_idx.size, dtype=np.int64) - starts[row_idx]
+        kmax = pos // self.stride              # every token's last chunk
+        kprev = kmax - 1                       # ...and maybe the one before
+        in_prev = (kprev >= 0) & (pos < kprev * self.stride + self.size)
+        rows2 = np.concatenate([row_idx, row_idx[in_prev]])
+        ks = np.concatenate([kmax, kprev[in_prev]])
+        ps = np.concatenate([pos, pos[in_prev]])
+        key = rows2 * (1 << 32) + ks           # chunk ids < 2^32 by far
+        order = np.argsort(key, kind="stable")
+        key, ps = key[order], ps[order]
+        b = np.flatnonzero(np.r_[True, key[1:] != key[:-1]])
+        ids = batch[self.id_col].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "doc_id": pa.array(ids[key[b] // (1 << 32)], type=pa.int64()),
+            "chunk_id": pa.array(key[b] % (1 << 32), type=pa.int64()),
+            "n_tokens": pa.array(np.diff(np.append(b, key.size)),
+                                 type=pa.int64()),
+            "start_pos": pa.array(np.minimum.reduceat(ps, b),
+                                  type=pa.int64()),
+            "end_pos": pa.array(np.maximum.reduceat(ps, b),
+                                type=pa.int64()),
+        })

@@ -151,3 +151,56 @@ class TestHashedLinearClassifier:
         base = HashedLinearClassifier()(t).to_pandas()
         got = c(t).to_pandas()
         assert got.equals(base)
+
+
+class TestDocChunker:
+    def _brute(self, text, size, stride):
+        from search_engine_ray.functions.analyze import tokenize
+        n = len(tokenize(text))
+        out = {}
+        for p in range(n):
+            for k in range(p // stride, -1, -1):
+                if p >= k * stride + size:
+                    break
+                cnt, lo, hi = out.get(k, (0, p, p))
+                out[k] = (cnt + 1, min(lo, p), max(hi, p))
+        return out
+
+    def test_brute_force_parity(self):
+        import pyarrow as pa
+        from search_engine_ray.stages.textstats import DocChunker
+        texts = ["tok " * 200, "a b c", "", "word " * 64, "x " * 49,
+                 "one two three " * 37]
+        t = pa.table({"doc_id": pa.array(range(len(texts)), type=pa.int64()),
+                      "text": [s.strip() for s in texts]})
+        got = DocChunker(size=64, stride=48)(t).to_pandas()
+        for i, txt in enumerate(texts):
+            want = self._brute(txt.strip(), 64, 48)
+            sub = got[got.doc_id == i]
+            assert len(sub) == len(want), (i, len(sub), len(want))
+            for _, r in sub.iterrows():
+                cnt, lo, hi = want[r.chunk_id]
+                assert (r.n_tokens, r.start_pos, r.end_pos) == (cnt, lo, hi)
+
+    def test_batching_invariance(self):
+        import pandas as pd
+        import pyarrow as pa
+        from search_engine_ray.stages.textstats import DocChunker
+        texts = [("w%d " % i) * (i * 7 % 130) for i in range(40)]
+        t = pa.table({"doc_id": pa.array(range(40), type=pa.int64()),
+                      "text": texts})
+        c = DocChunker()
+        whole = c(t).to_pandas().sort_values(
+            ["doc_id", "chunk_id"], ignore_index=True)
+        parts = pd.concat([c(t.slice(o, 11)).to_pandas()
+                           for o in range(0, 40, 11)], ignore_index=True)
+        parts = parts.sort_values(["doc_id", "chunk_id"], ignore_index=True)
+        pd.testing.assert_frame_equal(whole, parts)
+
+    def test_param_validation(self):
+        import pytest
+        from search_engine_ray.stages.textstats import DocChunker
+        with pytest.raises(ValueError):
+            DocChunker(size=100, stride=40)   # a token could span 3 chunks
+        with pytest.raises(ValueError):
+            DocChunker(size=10, stride=20)
