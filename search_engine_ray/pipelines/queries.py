@@ -2736,6 +2736,23 @@ FROM expand GROUP BY doc_id, k
 """
 
 
+def q_bpe_token_counts(sf_dir: str, n_merges: int = 200):
+    """BPE tokenizer training + application (Sennrich 2016; the GPT-2
+    recipe): the corpus-scale pass is a map-side-combined word-frequency
+    count (one vocab-sized groupby shuffle, frequency-capped), merge
+    learning runs on that table, and the learned merges are broadcast once
+    to an actor-pool tokenize stage with per-actor word memoization.
+    Deterministic (exact counts, lexicographic tie-break) → golden-pinned;
+    iterative merge learning is not SQL-expressible."""
+    from ..stages.bpe import BPETokenize, train_bpe, word_frequency_table
+    wc = word_frequency_table(_docs(sf_dir, ["doc_id", "text"]),
+                              max_words=100_000)
+    mref = ray.put(train_bpe(wc, n_merges))
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        BPETokenize, fn_constructor_kwargs={"merges": mref},
+        batch_format="pyarrow", concurrency=(1, 8))
+
+
 QUERIES = {
     "term_df": q_term_df,
     "doc_lengths": q_doc_lengths,
@@ -2807,6 +2824,7 @@ QUERIES = {
     "media_frame_stats": q_media_frame_stats,
     "classifier_scores": q_classifier_scores,
     "doc_chunks": q_doc_chunks,
+    "bpe_token_counts": q_bpe_token_counts,
 }
 
 ORACLE_SQL = {
@@ -2867,6 +2885,7 @@ ORACLE_SQL = {
     "nation_trade_pagerank": _sql_nation_trade_pagerank(),
     "classifier_scores": SQL_CLASSIFIER_SCORES,
     "doc_chunks": SQL_DOC_CHUNKS,
+    # bpe_token_counts: iterative merge learning — golden-pinned
     # minhash_neardup / simhash_neardup / embedding_neardup / ivf_topk /
     # url_host_stats / boilerplate_removal / media_frame_stats /
     # event_value_quantiles_tdigest /

@@ -60,6 +60,9 @@ GOLDEN = {
     # integer counter sums → exactly batching/merge-order invariant
     "term_freq_cm":
         "89b7e2dbfc38d6264e0c710da48dc765e6918a002c8b1fe3fe0d85ddca66beeb",
+    # exact word counts + lexicographic merge tie-break → deterministic
+    "bpe_token_counts":
+        "b945124231646120c71190c4496989082881fdd5ec6077ef7ddbc77b5da53ed7",
 }
 
 
