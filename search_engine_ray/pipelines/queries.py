@@ -2753,6 +2753,81 @@ def q_bpe_token_counts(sf_dir: str, n_merges: int = 200):
         batch_format="pyarrow", concurrency=(1, 8))
 
 
+def q_sequence_packing(sf_dir: str, *, capacity: int = 256,
+                       n_streams: int = 64):
+    """Training-sequence packing (concat-and-split): each packing STREAM
+    (``doc_id % n_streams`` — the data-shard analogue; real pipelines pack
+    within shards, cross-shard packing buys nothing) concatenates its
+    docs' token streams in doc_id order and splits every ``capacity``
+    tokens.  Emits per training sequence: how many docs touch it and its
+    token fill.  The sequential state (running token offset) is confined to
+    one ``groupby(stream).map_groups`` — ``n_streams`` scales with the
+    corpus so a stream always fits one worker.  Docs spanning a boundary
+    expand to one row per touched sequence (bounded: 1 + len/capacity)."""
+    from ..stages.textstats import QualityStats
+
+    ds = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        QualityStats(), batch_format="pyarrow").select_columns(
+        ["doc_id", "n_tokens"])
+
+    def add_stream(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        return t.append_column("stream",
+                               pa.array(ids % n_streams, type=pa.int64()))
+
+    def pack(group: pa.Table) -> pa.Table:
+        ids = group["doc_id"].to_numpy(zero_copy_only=False)
+        n = group["n_tokens"].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.argsort(ids, kind="stable")
+        ids, n = ids[order], n[order]
+        cum = np.concatenate(([0], np.cumsum(n)[:-1]))
+        first = cum // capacity
+        last = (cum + n - 1) // capacity
+        reps = (last - first + 1).astype(np.int64)
+        row = np.repeat(np.arange(ids.size), reps)
+        # seq index within each doc's span: global position minus span start
+        span0 = np.concatenate(([0], np.cumsum(reps)[:-1]))
+        seq = first[row] + (np.arange(row.size) - span0[row])
+        lo = np.maximum(seq * capacity, cum[row])
+        hi = np.minimum((seq + 1) * capacity, (cum + n)[row])
+        key = seq
+        srt = np.argsort(key, kind="stable")
+        key, contrib = key[srt], (hi - lo)[srt]
+        b = np.flatnonzero(np.r_[True, key[1:] != key[:-1]])
+        return pa.table({
+            "stream": pa.array(
+                np.full(b.size, int(ids[0] % n_streams)), type=pa.int64()),
+            "seq_id": pa.array(key[b], type=pa.int64()),
+            "n_docs": pa.array(np.diff(np.append(b, key.size)),
+                               type=pa.int64()),
+            "n_tokens": pa.array(np.add.reduceat(contrib, b),
+                                 type=pa.int64()),
+        })
+
+    return (ds.map_batches(add_stream, batch_format="pyarrow")
+            .groupby("stream").map_groups(pack, batch_format="pyarrow"))
+
+
+SQL_SEQUENCE_PACKING = f"""
+WITH toks AS ({sql_tokenize_cte()}),
+dl AS (SELECT doc_id, count(*)::BIGINT AS n FROM toks GROUP BY doc_id),
+s AS (
+  SELECT doc_id, n, doc_id % 64 AS stream,
+         coalesce(sum(n) OVER (PARTITION BY doc_id % 64 ORDER BY doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                  0)::BIGINT AS c
+  FROM dl),
+e AS (
+  SELECT stream, c, n,
+         unnest(range(c // 256, (c + n - 1) // 256 + 1)) AS seq
+  FROM s)
+SELECT stream, seq AS seq_id, count(*)::BIGINT AS n_docs,
+       sum(least((seq + 1) * 256, c + n)
+           - greatest(seq * 256, c))::BIGINT AS n_tokens
+FROM e GROUP BY stream, seq
+"""
+
+
 QUERIES = {
     "term_df": q_term_df,
     "doc_lengths": q_doc_lengths,
@@ -2825,6 +2900,7 @@ QUERIES = {
     "classifier_scores": q_classifier_scores,
     "doc_chunks": q_doc_chunks,
     "bpe_token_counts": q_bpe_token_counts,
+    "sequence_packing": q_sequence_packing,
 }
 
 ORACLE_SQL = {
@@ -2885,6 +2961,7 @@ ORACLE_SQL = {
     "nation_trade_pagerank": _sql_nation_trade_pagerank(),
     "classifier_scores": SQL_CLASSIFIER_SCORES,
     "doc_chunks": SQL_DOC_CHUNKS,
+    "sequence_packing": SQL_SEQUENCE_PACKING,
     # bpe_token_counts: iterative merge learning — golden-pinned
     # minhash_neardup / simhash_neardup / embedding_neardup / ivf_topk /
     # url_host_stats / boilerplate_removal / media_frame_stats /

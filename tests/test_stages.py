@@ -204,3 +204,43 @@ class TestDocChunker:
             DocChunker(size=100, stride=40)   # a token could span 3 chunks
         with pytest.raises(ValueError):
             DocChunker(size=10, stride=20)
+
+
+class TestSequencePacking:
+    def test_brute_force_parity(self, ray_session):
+        import collections
+        import pyarrow as pa
+        import ray.data
+        from search_engine_ray.functions.analyze import tokenize
+        from search_engine_ray.pipelines.queries import q_sequence_packing
+        import os, tempfile
+        texts = {i: ("tok%d " % i) * (i * 37 % 300) for i in range(1, 41)}
+        t = pa.table({"doc_id": pa.array(sorted(texts), type=pa.int64()),
+                      "text": [texts[i].strip() for i in sorted(texts)],
+                      "lang": ["en"] * 40})
+        d = tempfile.mkdtemp()
+        import pyarrow.parquet as pq
+        pq.write_table(t, os.path.join(d, "documents.parquet"))
+        got = q_sequence_packing(d, capacity=50, n_streams=4).to_pandas()
+        # brute force: concat within stream in doc_id order, split every 50
+        want = collections.Counter()
+        toks = collections.Counter()
+        offs = collections.Counter()
+        for i in sorted(texts):
+            n = len(tokenize(texts[i].strip()))
+            if n == 0:
+                continue
+            s = i % 4
+            c = offs[s]
+            for seq in range(c // 50, (c + n - 1) // 50 + 1):
+                want[(s, seq)] += 1
+                toks[(s, seq)] += min((seq + 1) * 50, c + n) - max(seq * 50, c)
+            offs[s] = c + n
+        assert len(got) == len(want)
+        for _, r in got.iterrows():
+            assert want[(r.stream, r.seq_id)] == r.n_docs
+            assert toks[(r.stream, r.seq_id)] == r.n_tokens
+        # every sequence except possibly each stream's last is exactly full
+        for s in got.stream.unique():
+            sub = got[got.stream == s].sort_values("seq_id")
+            assert (sub.n_tokens.iloc[:-1] == 50).all()
