@@ -2828,6 +2828,34 @@ FROM e GROUP BY stream, seq
 """
 
 
+def q_embedding_quantize(sf_dir: str):
+    """Per-vector symmetric int8 quantization stats over the embeddings
+    table (see ``stages/similarity.QuantizeEmbeddings``): the ANN
+    memory-compression prep, row-local / shuffle-free."""
+    from ..stages.similarity import QuantizeEmbeddings
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
+                               columns=["vec_id", "embedding"])
+    return ds.map_batches(QuantizeEmbeddings(), batch_format="pyarrow")
+
+
+SQL_EMBEDDING_QUANTIZE = """
+WITH e AS (
+  SELECT vec_id, unnest(embedding)::DOUBLE AS x FROM embeddings),
+m AS (SELECT vec_id, max(abs(x)) AS mx FROM e GROUP BY vec_id),
+q AS (
+  SELECT e.vec_id, x, mx,
+         CASE WHEN mx = 0 THEN 0 ELSE floor(x * 127 / mx + 0.5) END AS qi
+  FROM e JOIN m USING (vec_id))
+SELECT vec_id,
+       round(any_value(mx), 6) AS scale,
+       sum(qi)::BIGINT AS q_sum,
+       sum(abs(qi))::BIGINT AS q_l1,
+       round(max(CASE WHEN mx = 0 THEN 0
+                      ELSE abs(qi * mx / 127 - x) END), 6) AS max_err
+FROM q GROUP BY vec_id
+"""
+
+
 QUERIES = {
     "term_df": q_term_df,
     "doc_lengths": q_doc_lengths,
@@ -2901,6 +2929,7 @@ QUERIES = {
     "doc_chunks": q_doc_chunks,
     "bpe_token_counts": q_bpe_token_counts,
     "sequence_packing": q_sequence_packing,
+    "embedding_quantize": q_embedding_quantize,
 }
 
 ORACLE_SQL = {
@@ -2962,6 +2991,7 @@ ORACLE_SQL = {
     "classifier_scores": SQL_CLASSIFIER_SCORES,
     "doc_chunks": SQL_DOC_CHUNKS,
     "sequence_packing": SQL_SEQUENCE_PACKING,
+    "embedding_quantize": SQL_EMBEDDING_QUANTIZE,
     # bpe_token_counts: iterative merge learning — golden-pinned
     # minhash_neardup / simhash_neardup / embedding_neardup / ivf_topk /
     # url_host_stats / boilerplate_removal / media_frame_stats /

@@ -264,3 +264,43 @@ class HyperplaneLSH:
                 vec = vec.combine_chunks()
             cols[self.vec_col] = vec.take(idx)
         return pa.table(cols)
+
+
+class QuantizeEmbeddings:
+    """embeddings batch → per-vector symmetric int8 quantization stats
+    ``(vec_id, scale, q_sum, q_l1, max_err)`` — the standard ANN
+    memory-compression step (float32 → int8 is 4× less index RAM).
+
+    ``q_i = floor(x_i · 127 / max|x| + 0.5)`` — floor-based half-up
+    rounding is evaluated identically by numpy and DuckDB doubles, so the
+    SQL oracle is bit-exact (numpy's ``rint`` rounds half-to-even and
+    DuckDB's ``round`` half-away; ``floor(+0.5)`` sidesteps both).
+    Row-local and shuffle-free at any corpus size; a zero vector
+    quantizes to all-zero with scale 0.
+    """
+
+    def __init__(self, *, vec_col: str = "embedding",
+                 id_col: str = "vec_id"):
+        self.vec_col, self.id_col = vec_col, id_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        v = _vectors_from_batch(batch, self.vec_col)      # float64 copies
+        mx = np.abs(v).max(axis=1) if v.shape[1] else \
+            np.zeros(v.shape[0])
+        safe = np.where(mx == 0, 1.0, mx)   # guard ONLY the zero vector
+        q = np.floor(v * 127.0 / safe[:, None] + 0.5)
+        q[mx == 0] = 0.0
+        err = np.abs(q * mx[:, None] / 127.0 - v)
+        err[mx == 0] = 0.0
+        return pa.table({
+            "vec_id": batch[self.id_col].cast(pa.int64()),
+            "scale": pa.array(np.round(mx, 6), type=pa.float64()),
+            "q_sum": pa.array(q.sum(axis=1).astype(np.int64),
+                              type=pa.int64()),
+            "q_l1": pa.array(np.abs(q).sum(axis=1).astype(np.int64),
+                             type=pa.int64()),
+            "max_err": pa.array(
+                np.round(err.max(axis=1) if v.shape[1]
+                         else np.zeros(v.shape[0]), 6),
+                type=pa.float64()),
+        })

@@ -221,3 +221,29 @@ class TestTextStats:
                                               ids=list(range(i, min(i+7, 20)))))[
                 "fingerprint"].to_pylist()
         assert whole == parts
+
+
+def test_quantize_embeddings_bounds_and_zero_vector():
+    import numpy as np
+    import pyarrow as pa
+    from search_engine_ray.stages.similarity import QuantizeEmbeddings
+    rng = np.random.default_rng(7)
+    vecs = [rng.normal(size=16).astype(np.float32) * 0.3,
+            np.zeros(16, dtype=np.float32),
+            (rng.normal(size=16) * 50).astype(np.float32)]
+    t = pa.table({"vec_id": pa.array([1, 2, 3], type=pa.int64()),
+                  "embedding": pa.array([v.tolist() for v in vecs],
+                                        type=pa.list_(pa.float32()))})
+    out = QuantizeEmbeddings()(t).to_pandas()
+    # zero vector → zero everything
+    z = out[out.vec_id == 2].iloc[0]
+    assert z.scale == 0 and z.q_sum == 0 and z.q_l1 == 0 and z.max_err == 0
+    for vid, v in [(1, vecs[0]), (3, vecs[2])]:
+        r = out[out.vec_id == vid].iloc[0]
+        v64 = v.astype(np.float64)
+        mx = np.abs(v64).max()
+        q = np.floor(v64 * 127.0 / mx + 0.5)
+        assert np.abs(q).max() <= 127          # fits int8, no -128
+        assert r.q_sum == q.sum() and r.q_l1 == np.abs(q).sum()
+        # reconstruction error is bounded by half a quantization step
+        assert r.max_err <= mx / 254 + 1e-6
