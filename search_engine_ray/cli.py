@@ -109,6 +109,11 @@ def cmd_query(args) -> int:
         for rank, (doc_id, score) in enumerate(
                 qe.prefix_query(args.query, k=args.k)):
             print(f"{rank:2d}  doc={doc_id}  bm25={score:.6f}")
+    elif _has_fuzzy(args.query):
+        # trailing-~ tokens = Levenshtein-1 expansion (Lucene fuzzy)
+        for rank, (doc_id, score) in enumerate(
+                qe.fuzzy_query(args.query, k=args.k)):
+            print(f"{rank:2d}  doc={doc_id}  bm25={score:.6f}")
     elif _has_negation(args.query):
         # '-token' = boolean negation; remaining tokens are ANDed musts
         for rank, (doc_id, score) in enumerate(
@@ -132,6 +137,10 @@ def _has_wildcard(text: str) -> bool:
 
 def _has_negation(text: str) -> bool:
     return any(tok.startswith("-") and len(tok) > 1 for tok in text.split())
+
+
+def _has_fuzzy(text: str) -> bool:
+    return any(tok.endswith("~") and len(tok) > 1 for tok in text.split())
 
 
 def cmd_print_database(args) -> int:
@@ -218,6 +227,8 @@ def cmd_ui(args) -> int:
                 results = qe.phrase_query(rest.strip()[1:-1], k=10)
             elif _has_wildcard(rest):
                 results = qe.prefix_query(rest, k=10)
+            elif _has_fuzzy(rest):
+                results = qe.fuzzy_query(rest, k=10)
             elif _has_negation(rest):
                 results = qe.boolean_query(rest, k=10)
             else:

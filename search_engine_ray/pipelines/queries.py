@@ -2856,6 +2856,42 @@ FROM q GROUP BY vec_id
 """
 
 
+FUZZY_QUERY = "windoq~ merge"   # 'windoq~' = Lucene fuzzy, max distance 1
+
+
+def q_bm25_fuzzy_topk(sf_dir: str):
+    """Typo-tolerant search: BM25 top-10 for ``windoq~ merge`` — the
+    fuzzy token matches every indexed term within Levenshtein distance 1
+    via SymSpell deletion-neighborhood expansion inside each shard
+    searcher (vocab-local index, O(log) probes, exact-distance verify);
+    each matched term keeps its own global df/idf.  Oracle: the same BM25
+    core with a ``levenshtein(term, ...) <= 1`` predicate."""
+    from .query import QueryEngine
+    idx = _ensure_index(sf_dir)
+    qe = QueryEngine(idx, num_searchers=4, use_actors=True)
+    res = qe.fuzzy_query(FUZZY_QUERY, k=10)
+    return pa.table({"rank": pa.array(range(len(res)), type=pa.int32()),
+                     "doc_id": pa.array([d for d, _ in res], type=pa.int64()),
+                     "score": pa.array([round(s, 6) for _, s in res])})
+
+
+def _sql_bm25_fuzzy_topk(k: int = 10) -> str:
+    exact = [t for t in FUZZY_QUERY.split() if not t.endswith("~")]
+    fuzzies = [t[:-1] for t in FUZZY_QUERY.split()
+               if t.endswith("~") and len(t) > 1]
+    preds = [f"levenshtein(term, '{f}') <= 1" for f in fuzzies]
+    if exact:
+        preds.append("term IN ({})".format(
+            ", ".join(f"'{t}'" for t in sorted(set(exact)))))
+    return _sql_bm25_core(" OR ".join(preds)) + f"""
+SELECT (row_number() OVER (ORDER BY score DESC, doc_id ASC))::INTEGER - 1
+         AS rank,
+       doc_id, round(score, 6) AS score
+FROM raw_scores
+ORDER BY score DESC, doc_id ASC LIMIT {k}
+"""
+
+
 QUERIES = {
     "term_df": q_term_df,
     "doc_lengths": q_doc_lengths,
@@ -2930,6 +2966,7 @@ QUERIES = {
     "bpe_token_counts": q_bpe_token_counts,
     "sequence_packing": q_sequence_packing,
     "embedding_quantize": q_embedding_quantize,
+    "bm25_fuzzy_topk": q_bm25_fuzzy_topk,
 }
 
 ORACLE_SQL = {
@@ -2976,6 +3013,7 @@ ORACLE_SQL = {
     "top_users_per_type": SQL_TOP_USERS_PER_TYPE,
     "bm25_topk": _sql_bm25_topk(),
     "bm25_prefix_topk": _sql_bm25_prefix_topk(),
+    "bm25_fuzzy_topk": _sql_bm25_fuzzy_topk(),
     "bm25_boolean_topk": _sql_bm25_boolean_topk(),
     "hybrid_rrf": _sql_hybrid_rrf(),
     "term_suggest": SQL_TERM_SUGGEST,

@@ -63,6 +63,24 @@ def sparse_union(ids_parts: list[np.ndarray], sc_parts: list[np.ndarray]
     return cid[starts].astype(np.int64), np.add.reduceat(csc, starts)
 
 
+def edit_distance_le1(a: str, b: str) -> bool:
+    """Exact Levenshtein-distance ≤ 1 test (SQL ``levenshtein(a,b) <= 1``
+    parity: a transposition counts 2, so 'ab'→'ba' is NOT within 1)."""
+    if a == b:
+        return True
+    la, lb = len(a), len(b)
+    if abs(la - lb) > 1:
+        return False
+    if la == lb:
+        return sum(x != y for x, y in zip(a, b)) == 1
+    if la > lb:
+        a, b, la, lb = b, a, lb, la
+    i = 0
+    while i < la and a[i] == b[i]:
+        i += 1
+    return a[i:] == b[i + 1:]
+
+
 class SegmentSearcher:
     """Holds the postings of a set of DOC SHARDS in memory; answers queries
     with complete per-doc scores for its shards' documents.
@@ -557,6 +575,77 @@ class SegmentSearcher:
         hi = int(np.searchsorted(terms, prefix + "\U0010FFFF",
                                  side="left"))
         return terms[lo:hi][:limit].tolist()
+
+    def _deletion_index(self) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """Lazily-built SymSpell deletion-neighborhood index over the scored
+        field's term dictionary: sorted uint64 hashes of every term's
+        distance-≤1 deletion variants (the term itself plus each
+        single-char deletion), with aligned term indexes.  Memory ≈
+        vocab·(avg_len+1) rows — the classic symmetric-delete trade: built
+        ONCE per searcher (vectorized per deletion position, no per-term
+        Python loop), probed in O(log) per query variant.  Hash collisions
+        are harmless: every candidate is re-verified with the exact
+        distance check."""
+        if getattr(self, "_del_idx", None) is None:
+            from ..functions.hashing import fnv1a64_array
+            terms = self._sorted_field_terms()
+            if not terms.size:
+                self._del_idx = (np.zeros(0, dtype=np.uint64),
+                                 np.zeros(0, dtype=np.int64), terms)
+                return self._del_idx
+            tarr = pa.array(terms, type=pa.string())
+            lens = pc.utf8_length(tarr).to_numpy(zero_copy_only=False)
+            hs = [fnv1a64_array(tarr)]
+            ti = [np.arange(terms.size, dtype=np.int64)]
+            for j in range(int(lens.max())):
+                m = lens > j
+                sub = tarr.filter(pa.array(m))
+                var = pc.binary_join_element_wise(
+                    pc.utf8_slice_codeunits(sub, 0, j),
+                    pc.utf8_slice_codeunits(sub, j + 1, 2**30), "")
+                hs.append(fnv1a64_array(var))
+                ti.append(np.flatnonzero(m).astype(np.int64))
+            h = np.concatenate(hs)
+            idx = np.concatenate(ti)
+            order = np.argsort(h, kind="stable")
+            self._del_idx = (h[order], idx[order], terms)
+        return self._del_idx
+
+    def expand_fuzzy(self, term: str, *, limit: int = 1024) -> list[str]:
+        """Dictionary terms within Levenshtein distance ≤ 1 of ``term``
+        (ascending).  SymSpell candidate generation: any dist-≤1 pair
+        shares a member of each other's deletion neighborhoods, so probing
+        the query's |term|+1 variants finds every candidate; an exact
+        distance check filters hash collisions and dist-2 del-pairs."""
+        h, ti, terms = self._deletion_index()
+        if not terms.size or not term:
+            return []
+        from ..functions.hashing import fnv1a64_scalar
+        variants = {term} | {term[:j] + term[j + 1:]
+                             for j in range(len(term))}
+        cand: set[int] = set()
+        for v in variants:
+            k = np.uint64(fnv1a64_scalar(v.encode()))
+            lo = int(np.searchsorted(h, k, side="left"))
+            hi = int(np.searchsorted(h, k, side="right"))
+            cand.update(ti[lo:hi].tolist())
+        out = [terms[i] for i in sorted(cand)
+               if edit_distance_le1(term, terms[i])]
+        return out[:limit]
+
+    def search_fuzzy(self, exact: list[str], fuzzy: list[str],
+                     k: int = 10) -> tuple[np.ndarray, np.ndarray]:
+        """Typo-tolerant BM25 (Lucene ``term~`` semantics at max edit
+        distance 1): each fuzzy token expands to every dictionary term
+        within distance 1 locally, OR-unioned with the exact tokens; each
+        matched term keeps its OWN global df/idf."""
+        terms = set(exact)
+        for f in fuzzy:
+            terms.update(self.expand_fuzzy(f))
+        if not terms:
+            return (np.zeros(0, dtype=np.int64),
+                    np.zeros(0, dtype=np.float64))
+        return self.search(sorted(terms), k)
 
     def search_expanded(self, exact: list[str], prefixes: list[str],
                         k: int = 10) -> tuple[np.ndarray, np.ndarray]:
@@ -1140,6 +1229,39 @@ class QueryEngine:
                                 for s in self.searchers])
         else:
             partials = [s.phrase_topk(terms, k, df) for s in self.searchers]
+        ids = np.concatenate([p[0] for p in partials])
+        sc = np.concatenate([p[1] for p in partials])
+        if ids.size == 0:
+            return []
+        ids, sc = top_k(ids, sc, k)
+        return [(int(d), float(s)) for d, s in zip(ids, sc)]
+
+    def fuzzy_query(self, text: str, k: int = 10) -> list[tuple[int, float]]:
+        """Typo-tolerant BM25 top-k: query tokens ending in ``~`` (Lucene
+        fuzzy syntax) match every indexed term within Levenshtein distance
+        1 (SymSpell deletion-neighborhood expansion inside each shard
+        searcher), OR-unioned with the exact tokens; every matched term
+        scores with its own global df/idf.  Fuzzy fragments are normalized
+        with the analyzer's character rules but never stemmed (the stem of
+        a typo is not a typo of the stem)."""
+        exact: list[str] = []
+        fuzzy: list[str] = []
+        for raw_tok in text.split():
+            if raw_tok.endswith("~") and len(raw_tok) > 1:
+                frag = tokenize(raw_tok[:-1])
+                if frag:
+                    fuzzy.append(frag[0])
+            else:
+                exact.extend(tokenize(raw_tok, stopwords=self.stopwords,
+                                      stem=self.stem))
+        if not exact and not fuzzy:
+            return []
+        if self.use_actors:
+            partials = ray.get([s.search_fuzzy.remote(exact, fuzzy, k)
+                                for s in self.searchers])
+        else:
+            partials = [s.search_fuzzy(exact, fuzzy, k)
+                        for s in self.searchers]
         ids = np.concatenate([p[0] for p in partials])
         sc = np.concatenate([p[1] for p in partials])
         if ids.size == 0:

@@ -68,3 +68,47 @@ def test_prefix_query_empty_inputs(engine):
     assert engine.prefix_query("", k=10) == []
     assert engine.prefix_query("*", k=10) == []          # bare star ignored
     assert engine.prefix_query("!!!* ...", k=10) == []   # normalizes away
+
+
+class TestFuzzy:
+    def test_edit_distance_le1_semantics(self):
+        from search_engine_ray.pipelines.query import edit_distance_le1 as d
+        assert d("window", "window")
+        assert d("window", "windoq")       # one substitution
+        assert d("window", "windo")        # one deletion
+        assert d("windo", "window")        # one insertion
+        assert not d("window", "widnow")   # transposition = distance 2
+        assert not d("window", "wind")     # two deletions
+        assert not d("ab", "ba")
+        assert d("a", "")
+        assert not d("abc", "a")
+
+    def test_expand_matches_bruteforce_levenshtein(self, engine):
+        from search_engine_ray.pipelines.query import edit_distance_le1
+        s = engine.searchers[0]
+        vocab = sorted(s.vocabulary("text"))
+        for probe in ["windoq", "scan", "xyz", "mergee", vocab[0]]:
+            want = sorted(t for t in vocab if edit_distance_le1(probe, t))
+            assert s.expand_fuzzy(probe) == want, probe
+
+    def test_fuzzy_query_equals_expanded_or_union(self, engine):
+        import numpy as np
+        from search_engine_ray.pipelines.query import (edit_distance_le1,
+                                                       top_k)
+        got = engine.fuzzy_query("windoq~ merge", k=10)
+        # brute force: per searcher, expand over ITS vocabulary (matches
+        # the local-expansion semantics), exact-search, then global merge
+        partials = []
+        for s in engine.searchers:
+            vocab = s.vocabulary("text")
+            terms = sorted({t for t in vocab
+                            if edit_distance_le1("windoq", t)}
+                           | ({"merge"} & vocab))
+            partials.append(s.search(terms, 10) if terms else
+                            (np.zeros(0, dtype=np.int64),
+                             np.zeros(0, dtype=np.float64)))
+        ids = np.concatenate([p[0] for p in partials])
+        sc = np.concatenate([p[1] for p in partials])
+        wid, wsc = top_k(ids, sc, 10)
+        assert [d for d, _ in got] == list(wid)
+        assert np.allclose([s for _, s in got], wsc)
