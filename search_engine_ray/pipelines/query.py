@@ -508,23 +508,39 @@ class SegmentSearcher:
         got = self._group_maps.get(field)
         if got is not None:
             return got
-        values: list[str] = []
-        if self._seg is not None and self._seg.num_rows:
-            values = sorted(pc.unique(self._seg.filter(
-                pc.equal(self._seg["field"], field))["term"]
-                .combine_chunks()).to_pylist())
-        doc_parts, code_parts = [], []
-        for gi, v in enumerate(values):
-            local = self._metadata_docset([(field, v)])
-            if local.size:
-                doc_parts.append(local.astype(np.int64))
-                code_parts.append(np.full(local.size, gi, dtype=np.int64))
-        docs = (np.concatenate(doc_parts) if doc_parts
-                else np.zeros(0, dtype=np.int64))
-        codes = (np.concatenate(code_parts) if code_parts
-                 else np.zeros(0, dtype=np.int64))
+        empty = (np.zeros(0, dtype=np.int64), np.zeros(0, dtype=np.int64),
+                 [])
+        if self._seg is None or not self._seg.num_rows:
+            self._group_maps[field] = empty
+            return empty
+        # fully vectorized build — no Python loop over group values: take
+        # the field's slots, expand each slot's posting run via a ranges-
+        # concat gather, tag with the value's code, dedupe (group, doc)
+        mask = pc.equal(self._seg["field"], field).combine_chunks() \
+            .to_numpy(zero_copy_only=False)
+        slots = np.flatnonzero(mask)
+        if not slots.size:
+            self._group_maps[field] = empty
+            return empty
+        slot_terms = self._seg["term"].combine_chunks() \
+            .to_numpy(zero_copy_only=False)[slots]
+        values_arr = np.unique(slot_terms)          # sorted unique values
+        codes = np.searchsorted(values_arr, slot_terms)
+        lens = np.diff(self._slot_off)[slots].astype(np.int64)
+        starts = self._slot_off[slots]
+        total = int(lens.sum())
+        offs = np.concatenate(([0], np.cumsum(lens)[:-1]))
+        idx = (np.arange(total, dtype=np.int64)
+               - np.repeat(offs, lens) + np.repeat(starts, lens))
+        docs = self._post_local[idx].astype(np.int64)
+        gcodes = np.repeat(codes, lens)
+        order = np.lexsort((docs, gcodes))
+        docs, gcodes = docs[order], gcodes[order]
+        keep = np.concatenate(([True], (docs[1:] != docs[:-1])
+                               | (gcodes[1:] != gcodes[:-1])))
+        docs, gcodes = docs[keep], gcodes[keep]
         order = np.argsort(docs, kind="stable")
-        entry = (docs[order], codes[order], values)
+        entry = (docs[order], gcodes[order], values_arr.tolist())
         self._group_maps[field] = entry
         return entry
 
