@@ -86,18 +86,38 @@ def _pages_factory(pages_dir: str):
     return factory
 
 
+def _cpu_sample() -> tuple[int, int]:
+    """(steal_ticks, total_ticks) from /proc/stat — hypervisor steal is the
+    only visibility this VM has into ambient co-tenant load, which /proc/
+    loadavg can NOT see (it counts only this VM's runnable tasks)."""
+    with open("/proc/stat") as f:
+        parts = f.readline().split()[1:]
+    ticks = [int(x) for x in parts]
+    return (ticks[7] if len(ticks) > 7 else 0), sum(ticks)
+
+
+def steal_pct(before: tuple[int, int], after: tuple[int, int]) -> float:
+    dt = after[1] - before[1]
+    return 100.0 * (after[0] - before[0]) / dt if dt > 0 else 0.0
+
+
 def bench_index_build(pages_dir: str, idx_dir: str,
                       n_docs: int = BENCH_PAGES_N) -> dict:
     """Flagship: pages → extract → tokenize → postings segments (fresh)."""
     from search_engine_ray.pipelines.build import build_index
     from search_engine_ray.state.checkpoint import IndexConfig
     shutil.rmtree(idx_dir, ignore_errors=True)
+    s0 = _cpu_sample()
     t0 = time.time()
     build_index(_pages_factory(pages_dir), idx_dir,
                 IndexConfig(n_buckets=16, n_doc_shards=4), keep_cols=("url",),
                 exchange=EXCHANGE)
     dt = time.time() - t0
-    return {"sec": dt, "docs_per_sec": n_docs / dt}
+    return {"sec": dt, "docs_per_sec": n_docs / dt,
+            # contamination telemetry: % of this run's CPU ticks stolen by
+            # the hypervisor for co-tenants (>2-3% invalidates a trial)
+            "steal_pct": round(steal_pct(s0, _cpu_sample()), 2),
+            "load1": float(open("/proc/loadavg").read().split()[0])}
 
 
 def bench_query_latency(idx_dir: str, n_queries: int = 60) -> dict:
@@ -255,9 +275,11 @@ def scaling_main() -> None:
         "n_docs": SCALING_PAGES_N,
         "trials_per_level": trials,
         f"cpus{lo}": {"sec": round(t_lo, 2),
-                      "docs_per_sec": round(results[lo]["docs_per_sec"], 1)},
+                      "docs_per_sec": round(results[lo]["docs_per_sec"], 1),
+                      "steal_pct": results[lo].get("steal_pct")},
         f"cpus{hi}": {"sec": round(t_hi, 2),
-                      "docs_per_sec": round(results[hi]["docs_per_sec"], 1)},
+                      "docs_per_sec": round(results[hi]["docs_per_sec"], 1),
+                      "steal_pct": results[hi].get("steal_pct")},
         "speedup": round(t_lo / t_hi, 3),
         "scaling_efficiency": round(eff, 3),
         "exchange": EXCHANGE,

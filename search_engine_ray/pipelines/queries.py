@@ -1717,6 +1717,92 @@ def q_bm25_topk(sf_dir: str):
                      "score": pa.array([round(s, 6) for _, s in res])})
 
 
+TITLE_TOKENS = 8     # derived title field := first N kept tokens of text
+TITLE_WEIGHT = 2.0   # BM25F title boost (w_text = 1 implicitly)
+
+
+def _ensure_titled_index(sf_dir: str) -> str:
+    """documents + a DERIVED title column (first ``TITLE_TOKENS`` kept
+    tokens, ``stages.tokenize.derive_title_column``) → two-text-field
+    (text, title) segment index via ``FieldedPostings``; cached per sf_dir.
+    The derivation makes the fielded index fully oracle-checkable: the
+    title token stream is exactly ``ord <= TITLE_TOKENS`` of the ordinal
+    tokenize CTE."""
+    from .build import build_index
+    from ..state.checkpoint import IndexConfig
+    from ..stages.tokenize import FieldedPostings, derive_title_column
+    tag = sf_dir.strip("/").replace("/", "_") + "_titled"
+    idx = os.path.join(_INDEX_CACHE, tag)
+    if os.path.exists(os.path.join(idx, "manifest.json")):
+        return idx
+    path = os.path.join(sf_dir, "documents.parquet")
+
+    def factory():
+        def add_title(t: pa.Table) -> pa.Table:
+            return t.append_column(
+                "title", derive_title_column(t["text"], TITLE_TOKENS))
+        return (ray.data.read_parquet(path, columns=["doc_id", "text"])
+                .map_batches(add_title, batch_format="pyarrow"))
+
+    cfg = IndexConfig(n_buckets=16, fields=("text", "title"))
+    stage = FieldedPostings(text_fields={"text": "text", "title": "title"},
+                            n_buckets=cfg.n_buckets,
+                            n_doc_shards=cfg.n_doc_shards)
+    build_index(factory, idx, cfg, postings_stage=stage,
+                postings_columns=["doc_id", "text", "title"])
+    return idx
+
+
+def q_bm25f_topk(sf_dir: str):
+    """BM25F top-10: fielded (text+title) index, weighted field tfs combined
+    before saturation (``SegmentSearcher.search_fielded``)."""
+    from .query import QueryEngine
+    idx = _ensure_titled_index(sf_dir)
+    qe = QueryEngine(idx, num_searchers=4, use_actors=True)
+    res = qe.fielded_query(FLAGSHIP_QUERY, k=10, title_weight=TITLE_WEIGHT)
+    return pa.table({"rank": pa.array(range(len(res)), type=pa.int32()),
+                     "doc_id": pa.array([d for d, _ in res], type=pa.int64()),
+                     "score": pa.array([round(s, 6) for _, s in res])})
+
+
+def _sql_bm25f_topk(k: int = 10) -> str:
+    """BM25F oracle: title tf = tokens with ``ord <= TITLE_TOKENS`` in the
+    ordinal tokenize CTE; same float expression shape as the engine
+    (text tf normalized by ``1 − b + b·dl/avgdl``, title unnormalized,
+    idf from the text-field df)."""
+    qterms = sorted(set(tokenize(FLAGSHIP_QUERY)))
+    terms_sql = ", ".join(f"'{t}'" for t in qterms)
+    return f"""
+WITH otoks AS ({sql_ordinal_tokenize_cte()}),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM otoks GROUP BY 1, 2),
+ttf AS (SELECT doc_id, term, count(*) AS ttf FROM otoks
+        WHERE ord <= {TITLE_TOKENS} GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*) AS doc_len FROM otoks GROUP BY 1),
+stats AS (SELECT (SELECT count(*) FROM documents) AS n,
+                 (SELECT count(*) FROM otoks) * 1.0
+                    / (SELECT count(*) FROM documents) AS avgdl),
+qtf AS (SELECT * FROM tf WHERE term IN ({terms_sql})),
+df AS (SELECT term, count(*) AS df FROM qtf GROUP BY term),
+raw AS (
+  SELECT q.doc_id,
+         sum( ln((s.n - f.df + 0.5) / (f.df + 0.5) + 1.0)
+              * ((q.tf / (1.0 - {BM25_B} + {BM25_B} * d.doc_len / s.avgdl)
+                  + {TITLE_WEIGHT} * coalesce(t.ttf, 0)) * ({BM25_K1} + 1.0))
+              / ((q.tf / (1.0 - {BM25_B} + {BM25_B} * d.doc_len / s.avgdl)
+                  + {TITLE_WEIGHT} * coalesce(t.ttf, 0)) + {BM25_K1}) )
+           AS score
+  FROM qtf q
+  JOIN df f USING (term) JOIN dl d USING (doc_id)
+  LEFT JOIN ttf t ON t.doc_id = q.doc_id AND t.term = q.term
+  CROSS JOIN stats s
+  GROUP BY q.doc_id)
+SELECT (row_number() OVER (ORDER BY score DESC, doc_id ASC))::INTEGER - 1
+         AS rank,
+       doc_id, round(score, 6) AS score
+FROM raw ORDER BY score DESC, doc_id ASC LIMIT {k}
+"""
+
+
 RRF_K0 = 60        # the standard reciprocal-rank-fusion constant
 RRF_LEG_K = 100    # per-system candidate depth
 
@@ -2927,6 +3013,7 @@ QUERIES = {
     "customers_big_orders_semi": q_customers_big_orders_semi,
     "binary_payload_stats": q_binary_payload_stats,
     "bm25_topk": q_bm25_topk,
+    "bm25f_topk": q_bm25f_topk,
     "bm25_prefix_topk": q_bm25_prefix_topk,
     "bm25_boolean_topk": q_bm25_boolean_topk,
     "hybrid_rrf": q_hybrid_rrf,
@@ -3012,6 +3099,7 @@ ORACLE_SQL = {
     "event_user_reach": SQL_EVENT_USER_REACH,
     "top_users_per_type": SQL_TOP_USERS_PER_TYPE,
     "bm25_topk": _sql_bm25_topk(),
+    "bm25f_topk": _sql_bm25f_topk(),
     "bm25_prefix_topk": _sql_bm25_prefix_topk(),
     "bm25_fuzzy_topk": _sql_bm25_fuzzy_topk(),
     "bm25_boolean_topk": _sql_bm25_boolean_topk(),

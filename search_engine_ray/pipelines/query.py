@@ -339,9 +339,9 @@ class SegmentSearcher:
         sel = lo + np.flatnonzero(self._key_h2[lo:hi] == k2)
         return self._slot_order[sel]
 
-    def _global_df(self, term: str) -> int:
+    def _global_df(self, term: str, field: str | None = None) -> int:
         from ..functions.hashing import key_hash128_scalar
-        k1, k2 = key_hash128_scalar(f"{self.field}\x00{term}")
+        k1, k2 = key_hash128_scalar(f"{field or self.field}\x00{term}")
         k1, k2 = np.uint64(k1), np.uint64(k2)
         lo = int(np.searchsorted(self._df_h1, k1, side="left"))
         hi = int(np.searchsorted(self._df_h1, k1, side="right"))
@@ -418,6 +418,56 @@ class SegmentSearcher:
         if hits.size > 4 * k > 0:
             # exact prefilter: keep every doc scoring >= the k-th largest
             # (ties at the boundary included), then tie-break-sort the rest
+            thresh = np.partition(scores, hits.size - k)[hits.size - k]
+            sel = scores >= thresh
+            hits, scores = hits[sel], scores[sel]
+        return top_k(self._docs[hits], scores, k)
+
+    def search_fielded(self, terms: list[str], k: int = 10,
+                       title_weight: float = 2.0,
+                       title_field: str = "title"
+                       ) -> tuple[np.ndarray, np.ndarray]:
+        """Simple BM25F (Robertson & Zaragoza): per-term field tfs are
+        combined into ONE weighted pseudo-frequency BEFORE the saturation
+        nonlinearity — ``tfw = tf_text/B(d) + w_title·tf_title`` with the
+        text field length-normalized (``B = 1 − b + b·dl/avgdl``) and the
+        title field unnormalized (``b_title = 0``, the standard config for
+        a short near-constant-length field) — then scored once:
+        ``idf_text · tfw·(k1+1)/(tfw + k1)``.  IDF comes from the main
+        (text) field's global df; on a title⊆text corpus every title match
+        is also a text match, so df_text covers the full candidate set."""
+        parts = []
+        for t in sorted(set(terms)):
+            key = f"\x01bm25f\x00{title_field}\x00{title_weight!r}\x00{t}"
+            cached = self._score_cache.get(key)
+            if cached is not None:
+                self._score_cache.move_to_end(key)
+                parts.append(cached)
+                continue
+            tf_parts = []
+            for slot in self._slots_of(self.field, t):
+                local, tf, dl = self._decode_slot(slot)
+                norm = 1.0 - self.b + self.b * dl / self.avgdl
+                tf_parts.append((local, tf / norm))
+            for slot in self._slots_of(title_field, t):
+                local, tf, _dl = self._decode_slot(slot)
+                tf_parts.append((local, title_weight * tf))
+            if not tf_parts:
+                continue
+            ids, tfw = self._union_scores(tf_parts)
+            idf = bm25_idf(self.n_docs, float(self._global_df(t)))
+            entry = (ids, idf * tfw * (self.k1 + 1.0) / (tfw + self.k1))
+            self._score_cache[key] = entry
+            self._cache_bytes += entry[0].nbytes + entry[1].nbytes
+            while self._cache_bytes > self._cache_max_bytes and \
+                    len(self._score_cache) > 1:
+                _, (eids, esc) = self._score_cache.popitem(last=False)
+                self._cache_bytes -= eids.nbytes + esc.nbytes
+            parts.append(entry)
+        if not parts:
+            return (np.zeros(0, dtype=np.int64), np.zeros(0, dtype=np.float64))
+        hits, scores = self._union_scores(parts)
+        if hits.size > 4 * k > 0:
             thresh = np.partition(scores, hits.size - k)[hits.size - k]
             sel = scores >= thresh
             hits, scores = hits[sel], scores[sel]
@@ -1051,6 +1101,28 @@ class QueryEngine:
                                 for s in self.searchers])
         else:
             partials = [getattr(s, method)(terms, k) for s in self.searchers]
+        ids = np.concatenate([p[0] for p in partials])
+        sc = np.concatenate([p[1] for p in partials])
+        if ids.size == 0:
+            return []
+        ids, sc = top_k(ids, sc, k)
+        return [(int(d), float(s)) for d, s in zip(ids, sc)]
+
+    def fielded_query(self, text: str, k: int = 10, *,
+                      title_weight: float = 2.0,
+                      title_field: str = "title") -> list[tuple[int, float]]:
+        """BM25F top-k over a fielded (text+title) index — see
+        :meth:`SegmentSearcher.search_fielded` for the scoring model."""
+        terms = tokenize(text, stopwords=self.stopwords, stem=self.stem)
+        if not terms:
+            return []
+        if self.use_actors:
+            partials = ray.get([
+                s.search_fielded.remote(terms, k, title_weight, title_field)
+                for s in self.searchers])
+        else:
+            partials = [s.search_fielded(terms, k, title_weight, title_field)
+                        for s in self.searchers]
         ids = np.concatenate([p[0] for p in partials])
         sc = np.concatenate([p[1] for p in partials])
         if ids.size == 0:

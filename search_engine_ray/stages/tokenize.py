@@ -67,6 +67,30 @@ def split_and_normalize(texts: pa.Array | pa.ChunkedArray,
     return row_idx, terms
 
 
+def derive_title_column(texts: pa.Array | pa.ChunkedArray,
+                        n_tokens: int = 8) -> pa.Array:
+    """Deterministic per-row "title": the first ``n_tokens`` kept tokens of
+    the normalized token stream, space-joined.  Because kept tokens contain
+    no delimiter characters and normalization is idempotent, re-tokenizing
+    the title reproduces exactly those tokens — which is what makes the
+    BM25F oracle expressible as ``ord <= n_tokens`` over the ordinal
+    tokenize CTE (``sql_ordinal_tokenize_cte``)."""
+    row_idx, terms = split_and_normalize(texts)
+    n = len(texts)
+    counts = np.bincount(row_idx, minlength=n)
+    starts = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(counts, out=starts[1:])
+    within = np.arange(row_idx.size, dtype=np.int64) - starts[row_idx]
+    sel = within < n_tokens
+    head_counts = np.bincount(row_idx[sel], minlength=n)
+    offsets = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(head_counts, out=offsets[1:])
+    values = terms.filter(pa.array(sel))
+    lst = pa.ListArray.from_arrays(pa.array(offsets, type=pa.int32()),
+                                   values)
+    return pc.binary_join(lst, " ")
+
+
 def count_tf(row_idx: np.ndarray, terms: pa.Array,
              doc_ids: np.ndarray) -> pa.Table:
     """Per-(doc, term) frequency within the batch → ``(term, doc_id, tf)``."""
