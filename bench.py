@@ -101,12 +101,32 @@ def steal_pct(before: tuple[int, int], after: tuple[int, int]) -> float:
     return 100.0 * (after[0] - before[0]) / dt if dt > 0 else 0.0
 
 
+def fault_gbps() -> float:
+    """First-touch page-fault/zeroing throughput (GB/s): mmap 256 MB anon
+    and write one byte per page.  This VM's fault path slows 5-10× under
+    HOST-side memory contention that is invisible to both loadavg and
+    steal%% (measured: kernel profile 74%% clear_page_erms during such an
+    episode, <0.2%% steal) — the single best quiet-machine gate for builds,
+    whose allocator churn makes them fault-latency-bound."""
+    import mmap as _mmap
+    size = 256 << 20
+    t0 = time.time()
+    m = _mmap.mmap(-1, size)
+    step = 4096
+    for off in range(0, size, step):
+        m[off] = 1
+    dt = time.time() - t0
+    m.close()
+    return round(size / dt / 1e9, 2)
+
+
 def bench_index_build(pages_dir: str, idx_dir: str,
                       n_docs: int = BENCH_PAGES_N) -> dict:
     """Flagship: pages → extract → tokenize → postings segments (fresh)."""
     from search_engine_ray.pipelines.build import build_index
     from search_engine_ray.state.checkpoint import IndexConfig
     shutil.rmtree(idx_dir, ignore_errors=True)
+    fg = fault_gbps()
     s0 = _cpu_sample()
     t0 = time.time()
     build_index(_pages_factory(pages_dir), idx_dir,
@@ -117,6 +137,7 @@ def bench_index_build(pages_dir: str, idx_dir: str,
             # contamination telemetry: % of this run's CPU ticks stolen by
             # the hypervisor for co-tenants (>2-3% invalidates a trial)
             "steal_pct": round(steal_pct(s0, _cpu_sample()), 2),
+            "fault_gbps": fg,
             "load1": float(open("/proc/loadavg").read().split()[0])}
 
 

@@ -1803,6 +1803,167 @@ FROM raw ORDER BY score DESC, doc_id ASC LIMIT {k}
 """
 
 
+MLT_DOC_ID = 42    # more-like-this source document
+MLT_TERMS = 10     # query terms extracted from the source doc
+
+
+def q_mlt_topk(sf_dir: str, *, k: int = 10):
+    """More-like-this: find documents similar to ``MLT_DOC_ID`` by using
+    its top-``MLT_TERMS`` tf-idf terms (``tf · ln(N/df)``, ties broken by
+    term) as a BM25 OR-query, excluding the source doc from the results.
+
+    Scale shape: the source doc's text is ONE pushed-down row read; its
+    per-term global dfs come from the searcher actors' resident term
+    statistics (``QueryEngine.df_of`` — no corpus pass); the query itself
+    is the ordinary k-bounded sharded BM25 path."""
+    import math
+    from collections import Counter
+    from .query import QueryEngine
+    from ..state import checkpoint as _ckpt
+    idx = _ensure_index(sf_dir)
+    qe = QueryEngine(idx, num_searchers=4, use_actors=True)
+    want = pa.array([MLT_DOC_ID], type=pa.int64())
+    rows = (_docs(sf_dir, ["doc_id", "text"])
+            .map_batches(lambda t: t.filter(pc.is_in(t["doc_id"],
+                                                     value_set=want)),
+                         batch_format="pyarrow")
+            .take_all())   # one row — provably bounded
+    text = rows[0]["text"] or ""
+    tfs = Counter(tokenize(text))
+    dfs = qe.df_of(sorted(tfs))
+    n = _ckpt.read_docstats(idx)["n_docs"]
+    scored = [(t, tf * math.log(n / dfs[t]))
+              for t, tf in tfs.items() if dfs.get(t, 0) > 0]
+    scored.sort(key=lambda kv: (-kv[1], kv[0]))
+    mlt_terms = [t for t, _ in scored[:MLT_TERMS]]
+    # ask k+1 so dropping the source doc still leaves k results
+    res = [(d, s) for d, s in qe.query(" ".join(mlt_terms), k=k + 1)
+           if d != MLT_DOC_ID][:k]
+    return pa.table({"rank": pa.array(range(len(res)), type=pa.int32()),
+                     "doc_id": pa.array([d for d, _ in res], type=pa.int64()),
+                     "score": pa.array([round(s, 6) for _, s in res])})
+
+
+def _sql_mlt_topk(k: int = 10) -> str:
+    """MLT oracle: the source doc's top tf-idf terms (same formula/ties as
+    ``doc_keywords``) feed the shared BM25 CTE chain; rank is assigned
+    after excluding the source doc."""
+    return f"""
+WITH toks AS ({sql_tokenize_cte()}),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*) AS doc_len FROM toks GROUP BY 1),
+stats AS (SELECT (SELECT count(*) FROM documents) AS n,
+                 (SELECT count(*) FROM toks) * 1.0
+                    / (SELECT count(*) FROM documents) AS avgdl),
+dfall AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+mlt AS (SELECT s.term
+        FROM (SELECT term, tf FROM tf WHERE doc_id = {MLT_DOC_ID}) s
+        JOIN dfall f USING (term) CROSS JOIN stats st
+        ORDER BY s.tf * ln(st.n / f.df) DESC, s.term ASC
+        LIMIT {MLT_TERMS}),
+qtf AS (SELECT tf.* FROM tf JOIN mlt USING (term)),
+df AS (SELECT term, count(*) AS df FROM qtf GROUP BY term),
+raw_scores AS (
+  SELECT q.doc_id,
+         sum( ln((s.n - f.df + 0.5) / (f.df + 0.5) + 1.0)
+              * q.tf * ({BM25_K1} + 1.0)
+              / (q.tf + {BM25_K1} * (1.0 - {BM25_B}
+                                     + {BM25_B} * d.doc_len / s.avgdl)) )
+           AS score
+  FROM qtf q
+  JOIN df f USING (term) JOIN dl d USING (doc_id) CROSS JOIN stats s
+  GROUP BY q.doc_id)
+SELECT (row_number() OVER (ORDER BY score DESC, doc_id ASC))::INTEGER - 1
+         AS rank,
+       doc_id, round(score, 6) AS score
+FROM raw_scores WHERE doc_id <> {MLT_DOC_ID}
+ORDER BY score DESC, doc_id ASC LIMIT {k}
+"""
+
+
+PRF_DOCS = 3       # pseudo-relevance feedback depth (top-R docs)
+PRF_TERMS = 5      # expansion terms added to the query
+
+
+def q_prf_topk(sf_dir: str, *, k: int = 10):
+    """Pseudo-relevance-feedback (Rocchio-style) query expansion: run the
+    flagship query, take the top-``PRF_DOCS`` hits as feedback, extract the
+    top-``PRF_TERMS`` non-query terms by pooled tf-idf (``Σtf · ln(N/df)``
+    summed across the feedback docs, ties by term), and re-run BM25 with
+    the expanded term set.
+
+    Scale shape: both passes are the ordinary k-bounded sharded BM25 path;
+    the feedback pool is ``PRF_DOCS`` pushed-down row reads and the df
+    probes hit the searchers' resident term statistics."""
+    import math
+    from collections import Counter
+    from .query import QueryEngine
+    from ..state import checkpoint as _ckpt
+    idx = _ensure_index(sf_dir)
+    qe = QueryEngine(idx, num_searchers=4, use_actors=True)
+    qterms = set(tokenize(FLAGSHIP_QUERY))
+    base = qe.query(FLAGSHIP_QUERY, k=PRF_DOCS)
+    want = pa.array(sorted(d for d, _ in base), type=pa.int64())
+    rows = (_docs(sf_dir, ["doc_id", "text"])
+            .map_batches(lambda t: t.filter(pc.is_in(t["doc_id"],
+                                                     value_set=want)),
+                         batch_format="pyarrow")
+            .take_all())   # PRF_DOCS rows — provably bounded
+    pooled: Counter = Counter()
+    for r in rows:
+        pooled.update(tokenize(r["text"] or ""))
+    cands = sorted(t for t in pooled if t not in qterms)
+    dfs = qe.df_of(cands)
+    n = _ckpt.read_docstats(idx)["n_docs"]
+    scored = [(t, pooled[t] * math.log(n / dfs[t]))
+              for t in cands if dfs.get(t, 0) > 0]
+    scored.sort(key=lambda kv: (-kv[1], kv[0]))
+    expanded = sorted(qterms | {t for t, _ in scored[:PRF_TERMS]})
+    res = qe.query(" ".join(expanded), k=k)
+    return pa.table({"rank": pa.array(range(len(res)), type=pa.int32()),
+                     "doc_id": pa.array([d for d, _ in res], type=pa.int64()),
+                     "score": pa.array([round(s, 6) for _, s in res])})
+
+
+def _sql_prf_topk(k: int = 10) -> str:
+    """PRF oracle: the base BM25 CTE chain picks the feedback docs, pooled
+    tf-idf picks the expansion terms, and a second scoring pass over the
+    union term set produces the final ranking."""
+    qterms = sorted(set(tokenize(FLAGSHIP_QUERY)))
+    terms_sql = ", ".join(f"'{t}'" for t in qterms)
+    return _sql_bm25_core() + f""",
+fb AS (SELECT doc_id FROM raw_scores
+       ORDER BY score DESC, doc_id ASC LIMIT {PRF_DOCS}),
+dfall AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+pooled AS (SELECT t.term, sum(t.tf) AS stf
+           FROM tf t JOIN fb USING (doc_id)
+           WHERE t.term NOT IN ({terms_sql})
+           GROUP BY t.term),
+expansion AS (SELECT p.term
+              FROM pooled p JOIN dfall f USING (term) CROSS JOIN stats st
+              ORDER BY p.stf * ln(st.n / f.df) DESC, p.term ASC
+              LIMIT {PRF_TERMS}),
+qset AS (SELECT term FROM expansion
+         UNION SELECT unnest(ARRAY[{terms_sql}]) AS term),
+qtf2 AS (SELECT tf.* FROM tf JOIN qset USING (term)),
+df2 AS (SELECT term, count(*) AS df FROM qtf2 GROUP BY term),
+raw2 AS (
+  SELECT q.doc_id,
+         sum( ln((s.n - f.df + 0.5) / (f.df + 0.5) + 1.0)
+              * q.tf * ({BM25_K1} + 1.0)
+              / (q.tf + {BM25_K1} * (1.0 - {BM25_B}
+                                     + {BM25_B} * d.doc_len / s.avgdl)) )
+           AS score
+  FROM qtf2 q
+  JOIN df2 f USING (term) JOIN dl d USING (doc_id) CROSS JOIN stats s
+  GROUP BY q.doc_id)
+SELECT (row_number() OVER (ORDER BY score DESC, doc_id ASC))::INTEGER - 1
+         AS rank,
+       doc_id, round(score, 6) AS score
+FROM raw2 ORDER BY score DESC, doc_id ASC LIMIT {k}
+"""
+
+
 RRF_K0 = 60        # the standard reciprocal-rank-fusion constant
 RRF_LEG_K = 100    # per-system candidate depth
 
@@ -3014,6 +3175,8 @@ QUERIES = {
     "binary_payload_stats": q_binary_payload_stats,
     "bm25_topk": q_bm25_topk,
     "bm25f_topk": q_bm25f_topk,
+    "mlt_topk": q_mlt_topk,
+    "prf_topk": q_prf_topk,
     "bm25_prefix_topk": q_bm25_prefix_topk,
     "bm25_boolean_topk": q_bm25_boolean_topk,
     "hybrid_rrf": q_hybrid_rrf,
@@ -3100,6 +3263,8 @@ ORACLE_SQL = {
     "top_users_per_type": SQL_TOP_USERS_PER_TYPE,
     "bm25_topk": _sql_bm25_topk(),
     "bm25f_topk": _sql_bm25f_topk(),
+    "mlt_topk": _sql_mlt_topk(),
+    "prf_topk": _sql_prf_topk(),
     "bm25_prefix_topk": _sql_bm25_prefix_topk(),
     "bm25_fuzzy_topk": _sql_bm25_fuzzy_topk(),
     "bm25_boolean_topk": _sql_bm25_boolean_topk(),

@@ -1130,6 +1130,21 @@ class QueryEngine:
         ids, sc = top_k(ids, sc, k)
         return [(int(d), float(s)) for d, s in zip(ids, sc)]
 
+    def df_of(self, terms: list[str]) -> dict[str, int]:
+        """GLOBAL document frequency per term.  Each searcher stores the
+        global df for every term present in its own shards (and 0 for the
+        rest), so combining with max — not sum — yields the global value."""
+        if self.use_actors:
+            parts = ray.get([s.df_of.remote(terms) for s in self.searchers])
+        else:
+            parts = [s.df_of(terms) for s in self.searchers]
+        out = {t: 0 for t in terms}
+        for p in parts:
+            for t, v in p.items():
+                if v > out[t]:
+                    out[t] = v
+        return out
+
     def query_many(self, texts: list[str], k: int = 10, *,
                    prune: bool = False) -> list[list[tuple[int, float]]]:
         """Batched top-k: one RPC per actor for the whole batch — the
