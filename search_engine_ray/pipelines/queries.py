@@ -891,6 +891,109 @@ GROUP BY 1
 """
 
 
+BIGRAM_TOP = 100
+
+
+def q_bigram_lm(sf_dir: str):
+    """Bigram language-model counts over the corpus token stream: within-doc
+    adjacent token pairs, global counts, and the conditional probability
+    ``p(r|l) = c(l,r) / c(l,·)``, reported for the top-{BIGRAM_TOP} bigrams
+    (count desc, then l, r — a deterministic total order).
+
+    Scale shape: pairs are built vectorized per batch (a shifted mask on the
+    token stream — no row loop) and pre-aggregated per batch before ONE
+    global (l, r) groupby; head counts reduce from the already-aggregated
+    bigram table; only the top-{BIGRAM_TOP} rows and their heads' totals
+    ever reach the driver."""
+    from ..stages.tokenize import split_and_normalize
+
+    def pairs(t: pa.Table) -> pa.Table:
+        row_idx, terms = split_and_normalize(t["text"])
+        if len(terms) < 2:
+            return pa.table({"l": pa.array([], type=pa.string()),
+                             "r": pa.array([], type=pa.string()),
+                             "c": pa.array([], type=pa.int64())})
+        m = pa.array(row_idx[1:] == row_idx[:-1])
+        left = terms.slice(0, len(terms) - 1).filter(m)
+        right = terms.slice(1).filter(m)
+        agg = pa.table({"l": left, "r": right}) \
+            .group_by(["l", "r"]).aggregate([([], "count_all")])
+        return agg.rename_columns(["l", "r", "c"])
+
+    agg = (_docs(sf_dir, ["text"])
+           .map_batches(pairs, batch_format="pyarrow")
+           .groupby(["l", "r"]).aggregate(Sum("c")))
+    top = _collect_table(
+        agg.sort(["sum(c)", "l", "r"], descending=[True, False, False])
+           .limit(BIGRAM_TOP))
+    heads = pa.array(sorted(set(top["l"].to_pylist())), type=pa.string())
+    head_tbl = _collect_table(
+        agg.map_batches(lambda t: t.filter(pc.is_in(t["l"], value_set=heads)),
+                        batch_format="pyarrow")
+           .groupby("l").aggregate(Sum("sum(c)")))
+    hc = dict(zip(head_tbl["l"].to_pylist(),
+                  head_tbl["sum(sum(c))"].to_pylist()))
+    c = top["sum(c)"].to_pylist()
+    l = top["l"].to_pylist()
+    return pa.table({
+        "l": top["l"], "r": top["r"],
+        "c": pa.array(c, type=pa.int64()),
+        "p": pa.array([round(ci / hc[li], 6) for ci, li in zip(c, l)],
+                      type=pa.float64())})
+
+
+def _sql_bigram_lm() -> str:
+    return f"""
+WITH o AS ({sql_ordinal_tokenize_cte()}),
+big AS (SELECT a.term AS l, b.term AS r
+        FROM o a JOIN o b ON a.doc_id = b.doc_id AND b.ord = a.ord + 1),
+bc AS (SELECT l, r, count(*) AS c FROM big GROUP BY l, r),
+hc AS (SELECT l, sum(c) AS hc FROM bc GROUP BY l)
+SELECT l, r, c, round(c * 1.0 / hc, 6) AS p
+FROM bc JOIN hc USING (l)
+ORDER BY c DESC, l ASC, r ASC LIMIT {BIGRAM_TOP}
+"""
+
+
+def q_user_retention(sf_dir: str):
+    """Cohort retention: each user's cohort is the day of their first event;
+    for every (cohort_day, day_offset) the number of users active that many
+    days after their cohort day — the standard growth-analytics matrix.
+
+    Scale shape: ONE ``groupby(user_id).map_groups`` confines all per-user
+    state (unique active days, min) to the user's own partition, emitting
+    (cohort_day, day_offset) rows; a small groupby counts them.  No join —
+    the cohort and the activity set live in the same group."""
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                               columns=["user_id", "ts"])
+    US_DAY = 86_400_000_000
+
+    def per_user(group: pa.Table) -> pa.Table:
+        ts = group["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        days = np.unique(ts // US_DAY)
+        cohort = days[0]
+        off = days - cohort
+        return pa.table({
+            "cohort_day": pa.array(np.full(off.size, cohort * US_DAY),
+                                   type=pa.int64()).cast(pa.timestamp("us")),
+            "day_offset": pa.array(off, type=pa.int64()),
+        })
+
+    return (ds.groupby("user_id").map_groups(per_user, batch_format="pyarrow")
+            .groupby(["cohort_day", "day_offset"]).aggregate(Count())
+            .rename_columns({"count()": "n_users"}))
+
+
+SQL_USER_RETENTION = """
+WITH act AS (SELECT DISTINCT user_id, date_trunc('day', ts) AS d FROM events),
+coh AS (SELECT user_id, min(d) AS c FROM act GROUP BY user_id)
+SELECT c AS cohort_day, datediff('day', c, d) AS day_offset,
+       count(*) AS n_users
+FROM act JOIN coh USING (user_id)
+GROUP BY 1, 2
+"""
+
+
 def q_user_sessions(sf_dir: str, *, gap_s: int = 1800):
     """Gap-based sessionization: events of one user sorted by time; a gap
     over ``gap_s`` starts a new session.  The per-user state is confined to
@@ -3191,6 +3294,8 @@ QUERIES = {
     "knn_topk": q_knn_topk,
     "events_tumbling": q_events_tumbling,
     "user_sessions": q_user_sessions,
+    "bigram_lm": q_bigram_lm,
+    "user_retention": q_user_retention,
     "events_asof_orders": q_events_asof_orders,
     "events_range_orders": q_events_range_orders,
     "events_hopping": q_events_hopping,
@@ -3255,6 +3360,8 @@ ORACLE_SQL = {
     "binary_payload_stats": SQL_BINARY_PAYLOAD_STATS,
     "events_tumbling": SQL_EVENTS_TUMBLING,
     "user_sessions": SQL_USER_SESSIONS,
+    "bigram_lm": _sql_bigram_lm(),
+    "user_retention": SQL_USER_RETENTION,
     "events_asof_orders": SQL_EVENTS_ASOF_ORDERS,
     "events_range_orders": SQL_EVENTS_RANGE_ORDERS,
     "events_hopping": SQL_EVENTS_HOPPING,

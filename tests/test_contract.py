@@ -11,7 +11,8 @@ TABLES = ["documents", "embeddings", "events", "lineitem"]
 KEYS = ["term_df", "dedup_exact", "bm25_scores", "cosine_scores",
         "lineitem_pricing", "doc_keywords", "unigram_nll",
         "embedding_pairs_exact", "term_suggest", "hybrid_rrf",
-        "classifier_scores", "bm25f_topk", "mlt_topk", "prf_topk"]
+        "classifier_scores", "bm25f_topk", "mlt_topk", "prf_topk",
+        "bigram_lm", "user_retention"]
 
 
 @pytest.fixture(scope="module")
