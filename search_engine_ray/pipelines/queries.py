@@ -955,6 +955,93 @@ ORDER BY c DESC, l ASC, r ASC LIMIT {BIGRAM_TOP}
 """
 
 
+PMI_VOCAB = 32     # pairs restricted to the top-M df terms (bounds M²/2)
+PMI_TOP = 50
+
+
+def q_term_pmi(sf_dir: str):
+    """Pointwise-mutual-information term associations: doc-level
+    co-occurrence counts among the top-{PMI_VOCAB} df terms, scored
+    ``pmi = ln(c(a,b)·N / (df(a)·df(b)))``, top-{PMI_TOP} pairs.
+
+    Scale shape: one distinct-(doc, term) pass feeds a tiny driver-side
+    top-M df cut (broadcast); pair generation is a PER-BATCH arrow hash
+    self-join on doc_id over the frequent-term subset (a doc's rows live in
+    one batch of the documents read), pre-aggregated before ONE global
+    (a, b) groupby whose output is bounded by M²/2 rows."""
+    import math
+    from ..stages.tokenize import split_and_normalize
+
+    def doc_terms(t: pa.Table) -> pa.Table:
+        row_idx, terms = split_and_normalize(t["text"])
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        tok = pa.table({"doc_id": pa.array(ids[row_idx], type=pa.int64()),
+                        "term": terms})
+        return tok.group_by(["doc_id", "term"]).aggregate([])
+
+    dt = _docs(sf_dir, ["doc_id", "text"]) \
+        .map_batches(doc_terms, batch_format="pyarrow")
+    df_tbl = _collect_table(
+        dt.groupby("term").aggregate(Count())
+          .rename_columns({"count()": "df"})
+          .sort(["df", "term"], descending=[True, False]).limit(PMI_VOCAB))
+    dfs = dict(zip(df_tbl["term"].to_pylist(), df_tbl["df"].to_pylist()))
+    vocab = pa.array(sorted(dfs), type=pa.string())
+
+    def pairs(t: pa.Table) -> pa.Table:
+        sub = t.filter(pc.is_in(t["term"], value_set=vocab))
+        if sub.num_rows == 0:
+            return pa.table({"a": pa.array([], type=pa.string()),
+                             "b": pa.array([], type=pa.string()),
+                             "c": pa.array([], type=pa.int64())})
+        left = sub.rename_columns(["doc_id", "a"])
+        right = sub.rename_columns(["doc_id", "b"])
+        j = left.join(right, keys="doc_id", join_type="inner")
+        j = j.filter(pc.less(j["a"], j["b"]))
+        agg = j.group_by(["a", "b"]).aggregate([([], "count_all")])
+        return agg.rename_columns(["a", "b", "c"])
+
+    # batch_size=None: a doc's (doc, term) rows must stay in one batch for
+    # the batch-local self-join to see all its pairs
+    co = _collect_table(dt.map_batches(pairs, batch_format="pyarrow",
+                                       batch_size=None)
+                        .groupby(["a", "b"]).aggregate(Sum("c")))
+    n = _docs(sf_dir, ["doc_id"]).count()
+    rows = sorted(
+        ((a, b, int(c),
+          round(math.log((c * 1.0 * n) / (dfs[a] * 1.0 * dfs[b])), 6))
+         for a, b, c in zip(co["a"].to_pylist(), co["b"].to_pylist(),
+                            co["sum(c)"].to_pylist())),
+        key=lambda r: (-r[3], r[0], r[1]))[:PMI_TOP]
+    return pa.table({"a": pa.array([r[0] for r in rows], type=pa.string()),
+                     "b": pa.array([r[1] for r in rows], type=pa.string()),
+                     "c": pa.array([r[2] for r in rows], type=pa.int64()),
+                     "pmi": pa.array([r[3] for r in rows],
+                                     type=pa.float64())})
+
+
+def _sql_term_pmi() -> str:
+    return f"""
+WITH toks AS ({sql_tokenize_cte()}),
+dt AS (SELECT DISTINCT doc_id, term FROM toks),
+dfq AS (SELECT term, count(*) AS df FROM dt GROUP BY term),
+topm AS (SELECT term, df FROM dfq
+         ORDER BY df DESC, term ASC LIMIT {PMI_VOCAB}),
+pairs AS (SELECT x.term AS a, y.term AS b, count(*) AS c
+          FROM dt x
+          JOIN dt y ON x.doc_id = y.doc_id AND x.term < y.term
+          JOIN topm tx ON tx.term = x.term
+          JOIN topm ty ON ty.term = y.term
+          GROUP BY 1, 2),
+nn AS (SELECT count(*) AS n FROM documents)
+SELECT a, b, c,
+       round(ln((c * 1.0 * n) / (ta.df * 1.0 * tb.df)), 6) AS pmi
+FROM pairs JOIN topm ta ON ta.term = a JOIN topm tb ON tb.term = b
+CROSS JOIN nn
+ORDER BY pmi DESC, a ASC, b ASC LIMIT {PMI_TOP}
+"""
+
+
 def q_user_retention(sf_dir: str):
     """Cohort retention: each user's cohort is the day of their first event;
     for every (cohort_day, day_offset) the number of users active that many
@@ -3295,6 +3382,7 @@ QUERIES = {
     "events_tumbling": q_events_tumbling,
     "user_sessions": q_user_sessions,
     "bigram_lm": q_bigram_lm,
+    "term_pmi": q_term_pmi,
     "user_retention": q_user_retention,
     "events_asof_orders": q_events_asof_orders,
     "events_range_orders": q_events_range_orders,
@@ -3361,6 +3449,7 @@ ORACLE_SQL = {
     "events_tumbling": SQL_EVENTS_TUMBLING,
     "user_sessions": SQL_USER_SESSIONS,
     "bigram_lm": _sql_bigram_lm(),
+    "term_pmi": _sql_term_pmi(),
     "user_retention": SQL_USER_RETENTION,
     "events_asof_orders": SQL_EVENTS_ASOF_ORDERS,
     "events_range_orders": SQL_EVENTS_RANGE_ORDERS,

@@ -12,7 +12,7 @@ KEYS = ["term_df", "dedup_exact", "bm25_scores", "cosine_scores",
         "lineitem_pricing", "doc_keywords", "unigram_nll",
         "embedding_pairs_exact", "term_suggest", "hybrid_rrf",
         "classifier_scores", "bm25f_topk", "mlt_topk", "prf_topk",
-        "bigram_lm", "user_retention"]
+        "bigram_lm", "user_retention", "term_pmi"]
 
 
 @pytest.fixture(scope="module")
