@@ -3329,6 +3329,217 @@ ORDER BY score DESC, doc_id ASC LIMIT {k}
 """
 
 
+# ---------------------------------------------------------------------------
+# Multi-way relational joins (TPC-H Q3/Q5 shapes) + window functions
+# ---------------------------------------------------------------------------
+
+def q_order_revenue_topk(sf_dir: str, *, k: int = 10):
+    """TPC-H-Q3-shaped LARGE⋈LARGE⋈LARGE composition (shipping priority):
+    customer filters to one market segment and joins orders on custkey
+    (hash-bucketed exchange), the result RE-KEYS and joins lineitem on
+    orderkey (second bucketed exchange — re-keying between joins is the
+    general multi-join pattern), revenue aggregates per order, and the
+    top-k sorts the already-reduced per-order aggregate.  Every read is
+    column-pruned and every filter runs before its join so the exchanges
+    carry only qualifying keys."""
+    import datetime as dt
+    from ..stages.join import hash_join
+    cutoff = pa.scalar(dt.datetime(1998, 1, 1), type=pa.timestamp("us"))
+
+    def seg_cust(t: pa.Table) -> pa.Table:
+        return (t.filter(pc.equal(t["c_mktsegment"], "BUILDING"))
+                .select(["c_custkey"]))
+
+    def open_orders(t: pa.Table) -> pa.Table:
+        return t.filter(pc.less(t["o_orderdate"], cutoff))
+
+    def late_items(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.greater(t["l_shipdate"], cutoff))
+        rev = pc.multiply(t["l_extendedprice"],
+                          pc.subtract(pa.scalar(1.0), t["l_discount"]))
+        return pa.table({"l_orderkey": t["l_orderkey"], "rev": rev})
+
+    cust = ray.data.read_parquet(
+        os.path.join(sf_dir, "customer.parquet"),
+        columns=["c_custkey", "c_mktsegment"]).map_batches(
+            seg_cust, batch_format="pyarrow")
+    orders = ray.data.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_custkey", "o_orderdate",
+                 "o_orderpriority"]).map_batches(
+            open_orders, batch_format="pyarrow")
+    li = ray.data.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_shipdate", "l_extendedprice",
+                 "l_discount"]).map_batches(
+            late_items, batch_format="pyarrow")
+
+    co = (hash_join(orders, cust, left_key="o_custkey",
+                    right_key="c_custkey", n_buckets=32)
+          .select_columns(["o_orderkey", "o_orderdate", "o_orderpriority"]))
+    j = hash_join(li, co, left_key="l_orderkey", right_key="o_orderkey",
+                  n_buckets=32)
+    out = (j.groupby(["l_orderkey", "o_orderdate", "o_orderpriority"])
+           .aggregate(Sum("rev"))
+           .rename_columns({"sum(rev)": "revenue"}))
+
+    def _round(t: pa.Table) -> pa.Table:
+        i = t.schema.get_field_index("revenue")
+        return t.set_column(i, "revenue", pc.round(t["revenue"], 2))
+
+    return (out.map_batches(_round, batch_format="pyarrow")
+            .sort(key=["revenue", "o_orderdate", "l_orderkey"],
+                  descending=[True, False, False])
+            .limit(k))
+
+
+SQL_ORDER_REVENUE_TOPK = """
+SELECT l_orderkey,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       o_orderdate, o_orderpriority
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-01-01'
+  AND l_shipdate > TIMESTAMP '1998-01-01'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, o_orderdate, l_orderkey
+LIMIT 10
+"""
+
+
+def q_regional_trade_volume(sf_dir: str):
+    """TPC-H-Q5-shaped 6-table join (local-supplier volume): the two
+    corpus-scale sides (lineitem ⋈ orders, then ⋈ customer) run as
+    hash-bucketed exchanges; supplier and nation⋈region attach as
+    broadcast dims (``ray.put`` once, probed per batch); the same-nation
+    predicate (customer nation == supplier nation) is a vectorized
+    post-join filter.  At TPC-H scale supplier is 100× smaller than
+    lineitem — if it outgrew worker heaps it would move to a third
+    ``hash_join`` with no other change."""
+    import datetime as dt
+    import pyarrow.parquet as pq
+    from ..stages.join import broadcast_lookup, hash_join
+    y0 = pa.scalar(dt.datetime(1996, 1, 1), type=pa.timestamp("us"))
+    y1 = pa.scalar(dt.datetime(1997, 1, 1), type=pa.timestamp("us"))
+
+    def year_orders(t: pa.Table) -> pa.Table:
+        m = pc.and_(pc.greater_equal(t["o_orderdate"], y0),
+                    pc.less(t["o_orderdate"], y1))
+        return t.filter(m).select(["o_orderkey", "o_custkey"])
+
+    def items(t: pa.Table) -> pa.Table:
+        rev = pc.multiply(t["l_extendedprice"],
+                          pc.subtract(pa.scalar(1.0), t["l_discount"]))
+        return pa.table({"l_orderkey": t["l_orderkey"],
+                         "l_suppkey": t["l_suppkey"], "rev": rev})
+
+    orders = ray.data.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_custkey", "o_orderdate"]).map_batches(
+            year_orders, batch_format="pyarrow")
+    li = ray.data.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_suppkey", "l_extendedprice",
+                 "l_discount"]).map_batches(items, batch_format="pyarrow")
+    cust = ray.data.read_parquet(
+        os.path.join(sf_dir, "customer.parquet"),
+        columns=["c_custkey", "c_nationkey"])
+
+    j1 = (hash_join(li, orders, left_key="l_orderkey",
+                    right_key="o_orderkey", n_buckets=32)
+          .select_columns(["l_suppkey", "rev", "o_custkey"]))
+    j2 = hash_join(j1, cust, left_key="o_custkey", right_key="c_custkey",
+                   n_buckets=32)
+
+    supp = pq.read_table(os.path.join(sf_dir, "supplier.parquet"),
+                         columns=["s_suppkey", "s_nationkey"])
+    nation = pq.read_table(os.path.join(sf_dir, "nation.parquet"))
+    region = pq.read_table(os.path.join(sf_dir, "region.parquet"))
+    dim = nation.join(region, keys="n_regionkey", right_keys="r_regionkey",
+                      join_type="inner") \
+        .select(["n_nationkey", "n_name", "r_name"])
+
+    j3 = broadcast_lookup(j2, supp, key="l_suppkey", dim_key="s_suppkey")
+    j4 = broadcast_lookup(j3, dim, key="c_nationkey", dim_key="n_nationkey")
+
+    def local_asia(t: pa.Table) -> pa.Table:
+        m = pc.and_(pc.equal(t["c_nationkey"], t["s_nationkey"]),
+                    pc.equal(t["r_name"], "ASIA"))
+        t = t.filter(m)
+        return pa.table({"n_name": t["n_name"], "rev": t["rev"]})
+
+    out = (j4.map_batches(local_asia, batch_format="pyarrow")
+           .groupby("n_name").aggregate(Sum("rev"))
+           .rename_columns({"sum(rev)": "revenue"}))
+
+    def _round(t: pa.Table) -> pa.Table:
+        i = t.schema.get_field_index("revenue")
+        return t.set_column(i, "revenue", pc.round(t["revenue"], 2))
+
+    return out.map_batches(_round, batch_format="pyarrow")
+
+
+SQL_REGIONAL_TRADE_VOLUME = """
+SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1997-01-01'
+GROUP BY n_name
+"""
+
+
+def q_user_running_stats(sf_dir: str):
+    """Window functions over event streams (row_number / running sum /
+    lag): state is confined to one ``groupby(user_id).map_groups`` call
+    per user — the standard Ray Data shape for ordered per-key windows
+    (same partitioning as sessionization).  Inside the group everything
+    is vectorized (one sort, ``np.cumsum``, shifted diffs).
+    PARTITIONING ASSUMPTION: one user's history fits a worker (true for
+    user-keyed web/event data; a whale key would be range-chunked by time
+    with carry-in offsets)."""
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                               columns=["event_id", "ts", "user_id", "value"])
+
+    def win(g: pa.Table) -> pa.Table:
+        order = pc.sort_indices(
+            g, sort_keys=[("ts", "ascending"), ("event_id", "ascending")])
+        g = g.take(order)
+        ts = g["ts"].cast(pa.int64()).to_numpy()
+        val = g["value"].to_numpy(zero_copy_only=False)
+        n = len(ts)
+        gap = np.empty(n)
+        gap[0] = np.nan
+        gap[1:] = (ts[1:] - ts[:-1]) / 1e6
+        return pa.table({
+            "event_id": g["event_id"],
+            "user_id": g["user_id"],
+            "row_n": pa.array(np.arange(1, n + 1, dtype=np.int64)),
+            "cum_value": pc.round(pa.array(np.cumsum(val)), 6),
+            "gap_s": pa.array(np.round(gap, 6), mask=np.isnan(gap)),
+        })
+
+    return ds.groupby("user_id").map_groups(win, batch_format="pyarrow")
+
+
+SQL_USER_RUNNING_STATS = """
+SELECT event_id, user_id,
+       row_number() OVER w AS row_n,
+       round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING), 6) AS cum_value,
+       round(date_diff('microsecond', lag(ts) OVER w, ts) / 1e6, 6) AS gap_s
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+"""
+
+
 QUERIES = {
     "term_df": q_term_df,
     "doc_lengths": q_doc_lengths,
@@ -3360,6 +3571,9 @@ QUERIES = {
     "dedup_incremental_bloom": q_dedup_incremental_bloom,
     "contamination": q_contamination,
     "nation_order_stats": q_nation_order_stats,
+    "order_revenue_topk": q_order_revenue_topk,
+    "regional_trade_volume": q_regional_trade_volume,
+    "user_running_stats": q_user_running_stats,
     "customers_no_big_orders": q_customers_no_big_orders,
     "customers_big_orders_semi": q_customers_big_orders_semi,
     "binary_payload_stats": q_binary_payload_stats,
@@ -3443,6 +3657,9 @@ ORACLE_SQL = {
     "dedup_incremental_bloom": SQL_DEDUP_INCREMENTAL,
     "contamination": SQL_CONTAMINATION,
     "nation_order_stats": SQL_NATION_ORDER_STATS,
+    "order_revenue_topk": SQL_ORDER_REVENUE_TOPK,
+    "regional_trade_volume": SQL_REGIONAL_TRADE_VOLUME,
+    "user_running_stats": SQL_USER_RUNNING_STATS,
     "customers_no_big_orders": SQL_CUSTOMERS_NO_BIG_ORDERS,
     "customers_big_orders_semi": SQL_CUSTOMERS_BIG_ORDERS_SEMI,
     "binary_payload_stats": SQL_BINARY_PAYLOAD_STATS,

@@ -7,12 +7,15 @@ import pandas as pd
 import pytest
 
 SF = "/root/testdata/sf0.001"
-TABLES = ["documents", "embeddings", "events", "lineitem"]
+TABLES = ["documents", "embeddings", "events", "lineitem", "customer",
+          "orders", "supplier", "nation", "region"]
 KEYS = ["term_df", "dedup_exact", "bm25_scores", "cosine_scores",
         "lineitem_pricing", "doc_keywords", "unigram_nll",
         "embedding_pairs_exact", "term_suggest", "hybrid_rrf",
         "classifier_scores", "bm25f_topk", "mlt_topk", "prf_topk",
-        "bigram_lm", "user_retention", "term_pmi"]
+        "bigram_lm", "user_retention", "term_pmi",
+        "order_revenue_topk", "regional_trade_volume",
+        "user_running_stats"]
 
 
 @pytest.fixture(scope="module")
