@@ -3540,6 +3540,133 @@ WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 """
 
 
+_SPAN_W = 8   # tokens per span (Lee et al. use 50 BPE tokens; 8 keeps the
+              # sf-testdata corpus, whose docs are ~50 words, producing hits)
+
+
+def q_span_dedup(sf_dir: str, *, w: int = _SPAN_W):
+    """Substring-level duplication census (the candidate-generation half of
+    suffix-style training-data dedup, Lee et al. 2022 "Deduplicating
+    Training Data Makes Language Models Better"): every ``w``-token window
+    of every document is FNV-hashed and the spans occurring in ≥2 distinct
+    documents are reported with doc- and occurrence-frequency.  The
+    shuffle carries 8-byte span hashes, never text (same scale rule as
+    ``dedup_exact``); the window build is fully vectorized — flattened
+    token array, one ``take`` per window offset, one
+    ``binary_join_element_wise``.  At 100 TB the downstream "cut the
+    duplicated spans out" pass is a broadcast-filter of this (small,
+    df≥2) table against the corpus."""
+    from ..functions.hashing import fnv1a64_array
+
+    def spans(t: pa.Table) -> pa.Table:
+        txt = pc.utf8_lower(t["text"])
+        toks = pc.split_pattern_regex(txt.cast(pa.string()), "[^a-z0-9]+")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        lens = pc.list_value_length(toks).to_numpy().astype(np.int64)
+        flat = pc.list_flatten(toks)
+        doc_idx = np.repeat(np.arange(t.num_rows, dtype=np.int64), lens)
+        keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        flat = flat.filter(pa.array(keep))
+        doc_idx = doc_idx[keep]
+        n = len(doc_idx)
+        empty = pa.table({"span_hash": pa.array([], pa.int64()),
+                          "doc_id": pa.array([], pa.int64()),
+                          "occ": pa.array([], pa.int64())})
+        if n < w:
+            return empty
+        starts = np.nonzero(doc_idx[: n - w + 1] == doc_idx[w - 1:])[0]
+        if starts.size == 0:
+            return empty
+        parts = [flat.take(pa.array(starts + j)) for j in range(w)]
+        span = pc.binary_join_element_wise(*parts, " ")
+        h = (fnv1a64_array(span)
+             & np.uint64(0x7FFFFFFFFFFFFFFF)).astype(np.int64)
+        doc = t["doc_id"].cast(pa.int64()).to_numpy()[doc_idx[starts]]
+        # map-side combine: one (doc, span) row per batch, occurrences summed
+        pair = np.stack([doc, h], axis=1)
+        uniq, counts = np.unique(pair, axis=0, return_counts=True)
+        return pa.table({"span_hash": uniq[:, 1], "doc_id": uniq[:, 0],
+                         "occ": counts.astype(np.int64)})
+
+    def dup_only(t: pa.Table) -> pa.Table:
+        return t.filter(pc.greater_equal(t["df"], 2))
+
+    return (_docs(sf_dir, ["doc_id", "text"])
+            .map_batches(spans, batch_format="pyarrow")
+            .groupby("span_hash")
+            .aggregate(Count(), Sum("occ"))
+            .rename_columns({"count()": "df", "sum(occ)": "n_occ"})
+            .map_batches(dup_only, batch_format="pyarrow"))
+
+
+# 64-bit FNV-1a over the span's ASCII bytes ([a-z0-9 ] only, so the
+# xor-touches-low-7-bits identity from SQL_FINGERPRINTS applies), masked to
+# the positive int64 range exactly as the Ray side does.
+SQL_SPAN_DEDUP = f"""
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t
+  FROM documents),
+pos AS (
+  SELECT doc_id, t, unnest(range(0, greatest(len(t) - {_SPAN_W - 1}, 0))) AS i
+  FROM toks),
+spans AS (
+  SELECT doc_id, array_to_string(t[i + 1:i + {_SPAN_W}], ' ') AS span
+  FROM pos),
+agg AS (
+  SELECT span, count(DISTINCT doc_id) AS df, count(*) AS n_occ
+  FROM spans GROUP BY span HAVING count(DISTINCT doc_id) >= 2)
+SELECT
+  (list_reduce(
+     list_prepend(14695981039346656037::HUGEINT,
+       list_transform(range(1, length(span) + 1),
+                      i -> ascii(substr(span, i, 1))::HUGEINT)),
+     (acc, c) -> ((acc - (acc % 128)
+                   + xor((acc % 128)::BIGINT, c::BIGINT)::HUGEINT)
+                  * 1099511628211::HUGEINT)
+                 % 18446744073709551616::HUGEINT)
+   % 9223372036854775808::HUGEINT)::BIGINT AS span_hash,
+  df::BIGINT AS df, n_occ::BIGINT AS n_occ
+FROM agg
+"""
+
+
+def q_semantic_dedup(sf_dir: str, *, n_cells: int = 8,
+                     threshold: float = 0.4, seed: int = 42):
+    """SemDeDup (Abbas et al. 2023): semantic near-dup pruning by
+    k-means-cluster-then-greedy-dedup.  Centroids train on a seeded
+    UNBIASED sample (``ivf.sample_vectors`` — whole-file strided, not the
+    head); every vector assigns to its cell in one broadcast-centroid
+    ``map_batches`` (vectors ride the rows, ``carry_vec`` pattern); the
+    greedy keep-lowest-id dedup runs INSIDE ``groupby(cell)`` — no
+    all-pairs, no driver collection.  Cross-cluster near-dups are missed
+    by construction (the SemDeDup tradeoff: candidate scope = cell).
+    PARTITIONING ASSUMPTION: one cell ≈ corpus/n_cells rows fits a worker;
+    size ``n_cells`` with the corpus exactly as IVF does.  Seeded
+    k-means → rows-only check; golden-pinned in
+    tests/test_golden_snapshots.py, semantics in test_training_ops.py."""
+    from ..stages.ivf import AssignCells, sample_vectors, train_centroids
+    from ..stages.similarity import _vectors_from_batch, greedy_semantic_keep
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    cents = train_centroids(
+        sample_vectors(path, "embedding", 2048, seed=seed), n_cells,
+        seed=seed)
+
+    def dedup_cell(g: pa.Table) -> pa.Table:
+        g = g.take(pc.sort_indices(g["vec_id"]))
+        v = _vectors_from_batch(g, "embedding")
+        vn = v / np.maximum(np.linalg.norm(v, axis=1, keepdims=True), 1e-30)
+        return pa.table({"vec_id": g["vec_id"],
+                         "cell": g["cell"],
+                         "keep": pa.array(greedy_semantic_keep(vn,
+                                                               threshold))})
+
+    return (ray.data.read_parquet(path, columns=["vec_id", "embedding"])
+            .map_batches(AssignCells(cents), batch_format="pyarrow")
+            .groupby("cell")
+            .map_groups(dedup_cell, batch_format="pyarrow"))
+
+
 QUERIES = {
     "term_df": q_term_df,
     "doc_lengths": q_doc_lengths,
@@ -3574,6 +3701,8 @@ QUERIES = {
     "order_revenue_topk": q_order_revenue_topk,
     "regional_trade_volume": q_regional_trade_volume,
     "user_running_stats": q_user_running_stats,
+    "span_dedup": q_span_dedup,
+    "semantic_dedup": q_semantic_dedup,
     "customers_no_big_orders": q_customers_no_big_orders,
     "customers_big_orders_semi": q_customers_big_orders_semi,
     "binary_payload_stats": q_binary_payload_stats,
@@ -3660,6 +3789,7 @@ ORACLE_SQL = {
     "order_revenue_topk": SQL_ORDER_REVENUE_TOPK,
     "regional_trade_volume": SQL_REGIONAL_TRADE_VOLUME,
     "user_running_stats": SQL_USER_RUNNING_STATS,
+    "span_dedup": SQL_SPAN_DEDUP,
     "customers_no_big_orders": SQL_CUSTOMERS_NO_BIG_ORDERS,
     "customers_big_orders_semi": SQL_CUSTOMERS_BIG_ORDERS_SEMI,
     "binary_payload_stats": SQL_BINARY_PAYLOAD_STATS,
@@ -3697,6 +3827,7 @@ ORACLE_SQL = {
     "sequence_packing": SQL_SEQUENCE_PACKING,
     "embedding_quantize": SQL_EMBEDDING_QUANTIZE,
     # bpe_token_counts: iterative merge learning — golden-pinned
+    # semantic_dedup: seeded sampled k-means cells — golden-pinned
     # minhash_neardup / simhash_neardup / embedding_neardup / ivf_topk /
     # url_host_stats / boilerplate_removal / media_frame_stats /
     # event_value_quantiles_tdigest /

@@ -304,3 +304,23 @@ class QuantizeEmbeddings:
                          else np.zeros(v.shape[0]), 6),
                 type=pa.float64()),
         })
+
+
+def greedy_semantic_keep(vecs: np.ndarray, threshold: float) -> np.ndarray:
+    """Within-cluster SemDeDup keep mask (Abbas et al. 2023, "SemDeDup:
+    Data-efficient learning at web-scale through semantic deduplication"):
+    row ``i`` is kept iff its cosine to every EARLIER kept row is
+    ``< threshold``.  Rows must arrive L2-normalized and already in the
+    canonical (ascending-id) order — the greedy survivor is then the
+    lowest id of each semantic-duplicate set, independent of batching.
+    Each step is one vectorized dot against the kept matrix, so a cluster
+    of n rows with k survivors costs O(n·k·dim)."""
+    n = len(vecs)
+    keep = np.zeros(n, dtype=bool)
+    kept: list[int] = []
+    for i in range(n):
+        if kept and float(np.max(vecs[kept] @ vecs[i])) >= threshold:
+            continue
+        keep[i] = True
+        kept.append(i)
+    return keep

@@ -63,6 +63,10 @@ GOLDEN = {
     # exact word counts + lexicographic merge tie-break → deterministic
     "bpe_token_counts":
         "b945124231646120c71190c4496989082881fdd5ec6077ef7ddbc77b5da53ed7",
+    # seeded (seed=42) sampled k-means cells + greedy keep-lowest-id →
+    # deterministic regardless of batching (dedup sorts inside the cell)
+    "semantic_dedup":
+        "b4fda3df83662bb91e712fbeaf5864ae95fd808ecfab90c05e28a6eaad6cc740",
 }
 
 

@@ -247,3 +247,59 @@ def test_quantize_embeddings_bounds_and_zero_vector():
         assert r.q_sum == q.sum() and r.q_l1 == np.abs(q).sum()
         # reconstruction error is bounded by half a quantization step
         assert r.max_err <= mx / 254 + 1e-6
+
+
+class TestSemanticDedup:
+    def test_greedy_keeps_lowest_id_of_each_dup_set(self):
+        from search_engine_ray.stages.similarity import greedy_semantic_keep
+        a = np.array([1.0, 0.0, 0.0])
+        b = np.array([0.0, 1.0, 0.0])
+        # rows in ascending-id order: a, a (dup), b, a-again (dup), b (dup)
+        vecs = np.stack([a, a, b, a, b])
+        keep = greedy_semantic_keep(vecs, threshold=0.9)
+        assert keep.tolist() == [True, False, True, False, False]
+
+    def test_greedy_below_threshold_all_kept(self):
+        from search_engine_ray.stages.similarity import greedy_semantic_keep
+        rng = np.random.default_rng(0)
+        v = rng.normal(size=(8, 16))
+        v /= np.linalg.norm(v, axis=1, keepdims=True)
+        assert greedy_semantic_keep(v, threshold=1.01).all()
+
+    def test_greedy_transitive_chain_keeps_first_only(self):
+        from search_engine_ray.stages.similarity import greedy_semantic_keep
+        # c0·c1 ≈ c1·c2 ≈ cos(25°) > τ, but c0·c2 ≈ cos(50°) < τ: greedy
+        # drops c1 against c0, then KEEPS c2 (only kept rows are compared)
+        th = np.deg2rad([0.0, 25.0, 50.0])
+        vecs = np.stack([np.cos(th), np.sin(th)], axis=1)
+        keep = greedy_semantic_keep(vecs, threshold=np.cos(np.deg2rad(30)))
+        assert keep.tolist() == [True, False, True]
+
+
+class TestSpanDedup:
+    def test_duplicated_span_found_across_docs(self, ray_session, tmp_path):
+        import pyarrow.parquet as pq
+        from search_engine_ray.pipelines.queries import q_span_dedup
+        shared = "one two three four five six seven eight"
+        t = pa.table({
+            "doc_id": pa.array([1, 2, 3], type=pa.int64()),
+            "text": pa.array([f"prefix {shared} tail-a",
+                              f"other start {shared} tail-b",
+                              "no overlap here at all in this document x"],
+                             type=pa.string())})
+        pq.write_table(t, tmp_path / "documents.parquet")
+        out = q_span_dedup(str(tmp_path)).to_pandas()
+        # every 8-token window fully inside the shared run dups across
+        # docs 1 and 2; doc 3 contributes nothing
+        assert (out["df"] == 2).all() and len(out) >= 1
+        assert (out["n_occ"] == 2 * out["df"] / 2).all()
+
+    def test_no_dup_spans_empty(self, ray_session, tmp_path):
+        import pyarrow.parquet as pq
+        from search_engine_ray.pipelines.queries import q_span_dedup
+        t = pa.table({
+            "doc_id": pa.array([1, 2], type=pa.int64()),
+            "text": pa.array(["a b c d e f g h", "p q r s t u v w"],
+                             type=pa.string())})
+        pq.write_table(t, tmp_path / "documents.parquet")
+        assert q_span_dedup(str(tmp_path)).count() == 0
