@@ -3631,6 +3631,89 @@ FROM agg
 """
 
 
+_EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+def q_user_type_pivot(sf_dir: str):
+    """PIVOT (long → wide): per-user event counts spread into one column
+    per event type.  The indicator columns are built vectorized in a
+    stateless ``map_batches`` (one ``pc.equal`` per type), then a single
+    hash aggregate sums them — map-side combine plus one shuffle, the
+    same cost as any grouped count.  The type list is a broadcast-small
+    constant; an unknown type lands in no column (count it upstream if
+    completeness matters)."""
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                               columns=["user_id", "event_type"])
+
+    def indicators(t: pa.Table) -> pa.Table:
+        cols = {"user_id": t["user_id"]}
+        for et in _EVENT_TYPES:
+            cols[f"n_{et}"] = pc.cast(pc.equal(t["event_type"], et),
+                                      pa.int64())
+        return pa.table(cols)
+
+    agg = (ds.map_batches(indicators, batch_format="pyarrow")
+           .groupby("user_id")
+           .aggregate(*[Sum(f"n_{et}") for et in _EVENT_TYPES]))
+    return agg.rename_columns(
+        {f"sum(n_{et})": f"n_{et}" for et in _EVENT_TYPES})
+
+
+SQL_USER_TYPE_PIVOT = """
+SELECT user_id,
+       count(*) FILTER (WHERE event_type = 'click')    AS n_click,
+       count(*) FILTER (WHERE event_type = 'error')    AS n_error,
+       count(*) FILTER (WHERE event_type = 'purchase') AS n_purchase,
+       count(*) FILTER (WHERE event_type = 'signup')   AS n_signup,
+       count(*) FILTER (WHERE event_type = 'view')     AS n_view
+FROM events GROUP BY user_id
+"""
+
+
+def q_lineitem_rollup(sf_dir: str):
+    """ROLLUP / grouping sets: (flag, status), (flag, ALL), (ALL, ALL)
+    subtotal levels.  The corpus-scale work happens ONCE (the finest
+    groupby); the coarser levels re-aggregate the tiny grouped result
+    driver-side (aggregate-of-aggregate — never a second corpus pass).
+    NULL grouping keys are spelled 'ALL' so the driver's value-hash is
+    null-layout independent."""
+    base = (ray.data.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_returnflag", "l_linestatus", "l_quantity"])
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(Count(), Sum("l_quantity")))
+    t = _collect_table(base)   # |flags|×|statuses| rows — provably bounded
+    t = t.rename_columns(["l_returnflag", "l_linestatus", "n_rows",
+                          "sum_qty"])
+    flag = t["l_returnflag"].to_pylist()
+    stat = t["l_linestatus"].to_pylist()
+    n = t["n_rows"].to_numpy()
+    qty = t["sum_qty"].to_numpy()
+    rows: dict[tuple[str, str], tuple[int, float]] = {}
+    for f, s, c, q in zip(flag, stat, n, qty):
+        for key in ((f, s), (f, "ALL"), ("ALL", "ALL")):
+            cc, qq = rows.get(key, (0, 0.0))
+            rows[key] = (cc + int(c), qq + float(q))
+    keys = sorted(rows)
+    return pa.table({
+        "l_returnflag": pa.array([k[0] for k in keys]),
+        "l_linestatus": pa.array([k[1] for k in keys]),
+        "n_rows": pa.array([rows[k][0] for k in keys], type=pa.int64()),
+        "sum_qty": pa.array([round(rows[k][1], 6) for k in keys],
+                            type=pa.float64()),
+    })
+
+
+SQL_LINEITEM_ROLLUP = """
+SELECT coalesce(l_returnflag, 'ALL') AS l_returnflag,
+       coalesce(l_linestatus, 'ALL') AS l_linestatus,
+       count(*) AS n_rows,
+       round(sum(l_quantity), 6) AS sum_qty
+FROM lineitem
+GROUP BY ROLLUP(l_returnflag, l_linestatus)
+"""
+
+
 def q_semantic_dedup(sf_dir: str, *, n_cells: int = 8,
                      threshold: float = 0.4, seed: int = 42):
     """SemDeDup (Abbas et al. 2023): semantic near-dup pruning by
@@ -3703,6 +3786,8 @@ QUERIES = {
     "user_running_stats": q_user_running_stats,
     "span_dedup": q_span_dedup,
     "semantic_dedup": q_semantic_dedup,
+    "user_type_pivot": q_user_type_pivot,
+    "lineitem_rollup": q_lineitem_rollup,
     "customers_no_big_orders": q_customers_no_big_orders,
     "customers_big_orders_semi": q_customers_big_orders_semi,
     "binary_payload_stats": q_binary_payload_stats,
@@ -3790,6 +3875,8 @@ ORACLE_SQL = {
     "regional_trade_volume": SQL_REGIONAL_TRADE_VOLUME,
     "user_running_stats": SQL_USER_RUNNING_STATS,
     "span_dedup": SQL_SPAN_DEDUP,
+    "user_type_pivot": SQL_USER_TYPE_PIVOT,
+    "lineitem_rollup": SQL_LINEITEM_ROLLUP,
     "customers_no_big_orders": SQL_CUSTOMERS_NO_BIG_ORDERS,
     "customers_big_orders_semi": SQL_CUSTOMERS_BIG_ORDERS_SEMI,
     "binary_payload_stats": SQL_BINARY_PAYLOAD_STATS,

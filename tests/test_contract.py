@@ -15,7 +15,8 @@ KEYS = ["term_df", "dedup_exact", "bm25_scores", "cosine_scores",
         "classifier_scores", "bm25f_topk", "mlt_topk", "prf_topk",
         "bigram_lm", "user_retention", "term_pmi",
         "order_revenue_topk", "regional_trade_volume",
-        "user_running_stats"]
+        "user_running_stats", "span_dedup", "user_type_pivot",
+        "lineitem_rollup"]
 
 
 @pytest.fixture(scope="module")
