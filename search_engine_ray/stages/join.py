@@ -7,16 +7,34 @@ provides the two scale shapes:
 
 - :func:`hash_join` — large ⋈ large: both sides are hash-bucketed on the
   key (one all-to-all exchange each), then each bucket is joined locally
-  with Arrow's Acero hash join inside ``groupby(bucket).map_groups``.
-  PARTITIONING ASSUMPTION: keys hash-uniform across ``n_buckets``; a hot
-  key concentrates its bucket — salt it on the build side (duplicate the
-  probe row per salt) exactly as the index build salts hot terms.
+  with Arrow's Acero hash join.  The exchange itself has two modes, the
+  same split (and the same rationale) as ``build_index``:
+
+  * ``exchange="fs"`` (default): a filesystem external shuffle — map tasks
+    spill per-bucket Arrow IPC fragments to node-local scratch in
+    parallel, one join task per bucket reads them back.  On a single node
+    Ray's sort-based ``groupby`` funnels every row through one plasma
+    store ~3×; the page-cache-backed spill sidesteps that (measured 4×
+    on the TPC-H-Q3 pipeline).  ASSUMES every worker sees the same
+    filesystem (single node, or a shared/NFS scratch).
+  * ``exchange="groupby"``: the idiomatic ``groupby(bucket).map_groups``
+    sort-shuffle — the correct shape on a multi-node cluster, where every
+    node contributes object-store bandwidth.
+
+  PARTITIONING ASSUMPTION (both modes): keys hash-uniform across
+  ``n_buckets``; a hot key concentrates its bucket — salt it on the build
+  side (duplicate the probe row per salt) exactly as the index build
+  salts hot terms.
 - :func:`broadcast_lookup` — large ⋈ tiny: the dim table is read ONCE,
   ``ray.put`` into the object store, and probed per batch inside
   ``map_batches`` — no shuffle of the big side at all.
 """
 
 from __future__ import annotations
+
+import os
+import shutil
+import uuid
 
 import numpy as np
 import pyarrow as pa
@@ -26,19 +44,28 @@ import ray
 import ray.data
 
 
+def _key_as_int64(t: pa.Table, key: str) -> np.ndarray:
+    """Key column → int64 ndarray (FNV for non-integer keys).  Null keys
+    map to 0 / hash("") — they land in a well-defined bucket and still
+    never match inside the Acero join, which is the SQL semantic."""
+    kv = t[key]
+    if isinstance(kv, pa.ChunkedArray):
+        kv = kv.combine_chunks()
+    if pa.types.is_integer(kv.type):
+        return (kv.cast(pa.int64()).fill_null(0)
+                .to_numpy(zero_copy_only=False))
+    from ..functions.hashing import fnv1a64_array
+    return fnv1a64_array(kv).view(np.int64)
+
+
 def _with_bucket(ds: "ray.data.Dataset", key: str, n_buckets: int,
                  side: int, all_cols: list[tuple[str, pa.DataType]],
                  ) -> "ray.data.Dataset":
     """Attach join-bucket + side marker and align to the union schema
     (missing columns become typed nulls) so the two sides can union."""
     def add(t: pa.Table) -> pa.Table:
-        kv = t[key]
-        if not pa.types.is_integer(kv.type):
-            from ..functions.hashing import fnv1a64_array
-            kv = pa.array(fnv1a64_array(kv).view(np.int64))
-        bucket = pc.cast(
-            pc.bit_wise_and(pc.cast(kv, pa.int64()),
-                            np.int64(n_buckets - 1)), pa.int32())
+        k = _key_as_int64(t, key)
+        bucket = pa.array((k & (n_buckets - 1)).astype(np.int32))
         cols = {}
         for name, typ in all_cols:
             if name in t.column_names:
@@ -51,22 +78,142 @@ def _with_bucket(ds: "ray.data.Dataset", key: str, n_buckets: int,
     return ds.map_batches(add, batch_format="pyarrow")
 
 
+def _join_scratch() -> str:
+    """Per-join scratch root: node-local fast storage (``/dev/shm`` here,
+    NVMe on a real node; ``SERX_SCRATCH_DIR`` overrides), keyed by a fresh
+    nonce so concurrent joins never collide."""
+    env = os.environ.get("SERX_SCRATCH_DIR", "").strip()
+    if env and env.lower() != "none":
+        base = env
+    elif os.path.isdir("/dev/shm") and os.access("/dev/shm", os.W_OK):
+        base = "/dev/shm/serx_join"
+    else:
+        import tempfile
+        base = os.path.join(tempfile.gettempdir(), "serx_join")
+    return os.path.join(base, uuid.uuid4().hex)
+
+
+class _SideSpiller:
+    """Map side of the fs exchange: split each batch by join bucket and
+    append one Arrow IPC fragment per bucket.  Fragment names derive from
+    a content hash of the batch's key column (same idempotence scheme as
+    the index build's ``FragmentSpiller``): a retried task overwrites its
+    own fragments, distinct blocks never collide.  Only a tiny metrics
+    row returns through the object store."""
+
+    def __init__(self, scratch: str, side: int, key: str, n_buckets: int):
+        self.dir = os.path.join(scratch, f"side{side}")
+        self.key = key
+        self.n_buckets = n_buckets
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"rows": pa.array([0], type=pa.int64())})
+        import zlib
+        k = _key_as_int64(t, self.key)
+        content = zlib.crc32(np.ascontiguousarray(k).tobytes())
+        tag = f"{k[0] & 0xFFFFFFFFFFFF:012x}-{content:08x}-{len(k)}"
+        b = (k & (self.n_buckets - 1)).astype(np.int64)
+        order = np.argsort(b, kind="stable")
+        t = t.take(pa.array(order))
+        b = b[order]
+        starts = np.flatnonzero(np.r_[True, np.diff(b) != 0])
+        ends = np.append(starts[1:], len(b))
+        for s, e in zip(starts, ends):
+            d = os.path.join(self.dir, f"b{int(b[s]):05d}")
+            os.makedirs(d, exist_ok=True)
+            tmp = os.path.join(d, f".tmp-{tag}.arrow")
+            with pa.OSFile(tmp, "wb") as f, \
+                    pa.ipc.new_stream(f, t.schema) as w:
+                w.write_table(t.slice(s, e - s))
+            os.replace(tmp, os.path.join(d, f"frag-{tag}.arrow"))
+        return pa.table({"rows": pa.array([t.num_rows], type=pa.int64())})
+
+
+def _read_fragments(dir_: str, schema: pa.Schema) -> pa.Table:
+    if not os.path.isdir(dir_):
+        return schema.empty_table()
+    tabs = []
+    for name in sorted(os.listdir(dir_)):
+        if name.startswith("frag-"):
+            with pa.OSFile(os.path.join(dir_, name), "rb") as f:
+                tabs.append(pa.ipc.open_stream(f).read_all())
+    if not tabs:
+        return schema.empty_table()
+    return pa.concat_tables(tabs, promote_options="none")
+
+
+def _check_collisions(ls: pa.Schema, rs: pa.Schema, right_key: str) -> None:
+    dup = (set(ls.names) & set(rs.names)) - {right_key}
+    if dup:
+        raise ValueError(f"column name collision across sides: {sorted(dup)}")
+
+
 def hash_join(left: "ray.data.Dataset", right: "ray.data.Dataset", *,
               left_key: str, right_key: str, n_buckets: int = 64,
-              join_type: str = "inner") -> "ray.data.Dataset":
+              join_type: str = "inner",
+              exchange: str | None = None) -> "ray.data.Dataset":
     """Hash-partitioned equi-join.  ``n_buckets`` MUST be a power of two
     (bucket = key & (n_buckets-1)); size it so one bucket of the LARGER
     side fits a worker heap (~rows/n_buckets per group).  Column names must
-    be disjoint apart from the keys (rename upstream)."""
+    be disjoint apart from the keys (rename upstream).  ``exchange`` picks
+    the shuffle implementation (module docstring); default is
+    ``SERX_JOIN_EXCHANGE`` or ``"fs"``."""
     assert n_buckets & (n_buckets - 1) == 0, "n_buckets must be a power of 2"
-    ls = left.schema()
-    rs = right.schema()
+    if exchange is None:
+        exchange = os.environ.get("SERX_JOIN_EXCHANGE", "fs")
+    ls = left.schema(fetch_if_missing=True)
+    rs = right.schema(fetch_if_missing=True)
+    ls = pa.schema(list(zip(ls.names, ls.types)))
+    rs = pa.schema(list(zip(rs.names, rs.types)))
+    _check_collisions(ls, rs, right_key)
+    if exchange == "fs":
+        return _hash_join_fs(left, right, left_key, right_key, n_buckets,
+                             join_type, ls, rs)
+    return _hash_join_groupby(left, right, left_key, right_key, n_buckets,
+                              join_type, ls, rs)
+
+
+def _hash_join_fs(left, right, left_key, right_key, n_buckets, join_type,
+                  ls: pa.Schema, rs: pa.Schema) -> "ray.data.Dataset":
+    scratch = _join_scratch()
+    try:
+        spill = (left.map_batches(
+            _SideSpiller(scratch, 0, left_key, n_buckets),
+            batch_format="pyarrow")
+            .union(right.map_batches(
+                _SideSpiller(scratch, 1, right_key, n_buckets),
+                batch_format="pyarrow")))
+        spill.materialize()                       # barrier: both sides spilled
+
+        # authoritative output schema: Acero on empty inputs
+        expected = ls.empty_table().join(
+            rs.empty_table(), keys=left_key, right_keys=right_key,
+            join_type=join_type).schema
+
+        def join_bucket(bt: pa.Table) -> pa.Table:
+            b = int(bt["b"][0].as_py())
+            l = _read_fragments(
+                os.path.join(scratch, "side0", f"b{b:05d}"), ls)
+            r = _read_fragments(
+                os.path.join(scratch, "side1", f"b{b:05d}"), rs)
+            out = l.join(r, keys=left_key, right_keys=right_key,
+                         join_type=join_type)
+            return out.select(expected.names).cast(expected)
+
+        parts = ray.data.from_items([{"b": i} for i in range(n_buckets)])
+        return parts.map_batches(join_bucket, batch_size=1,
+                                 batch_format="pyarrow").materialize()
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+
+
+def _hash_join_groupby(left, right, left_key, right_key, n_buckets,
+                       join_type, ls: pa.Schema, rs: pa.Schema
+                       ) -> "ray.data.Dataset":
     left_cols = list(zip(ls.names, ls.types))
     right_cols = [(n, t) for n, t in zip(rs.names, rs.types)
                   if n != right_key]
-    dup = {n for n, _ in left_cols} & {n for n, _ in right_cols}
-    if dup:
-        raise ValueError(f"column name collision across sides: {sorted(dup)}")
     all_cols = left_cols + right_cols
 
     lt = _with_bucket(left, left_key, n_buckets, 0, all_cols)

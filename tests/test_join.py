@@ -103,3 +103,48 @@ def test_hash_join_semi_anti_matches_arrow(ray_session, jt):
         assert got["k"].isin(match).all()
     else:
         assert ~got["k"].isin(match).any()
+
+
+@pytest.mark.parametrize("join_type", ["inner", "left outer", "left semi",
+                                       "left anti"])
+def test_fs_and_groupby_exchanges_agree(ray_session, join_type):
+    from search_engine_ray.stages.join import hash_join
+    rng = np.random.default_rng(7)
+    left = pa.table({"k": rng.integers(0, 40, 300),
+                     "lv": np.arange(300, dtype=np.int64)})
+    right = pa.table({"rk": np.arange(0, 80, 3, dtype=np.int64),
+                      "rv": np.arange(27, dtype=np.int64) * 7})
+
+    def run(exchange):
+        df = hash_join(_ds(left), _ds(right), left_key="k", right_key="rk",
+                       n_buckets=8, join_type=join_type,
+                       exchange=exchange).to_pandas()
+        return df.sort_values(list(df.columns)).reset_index(drop=True)
+
+    fs, gb = run("fs"), run("groupby")
+    assert list(fs.columns) == list(gb.columns)
+    assert len(fs) == len(gb) > 0
+    assert fs.equals(gb)
+
+
+def test_fs_join_string_keys_and_empty_side(ray_session):
+    from search_engine_ray.stages.join import hash_join
+    left = pa.table({"k": pa.array(["a", "b", "c", "a", None]),
+                     "lv": pa.array([1, 2, 3, 4, 5], type=pa.int64())})
+    right = pa.table({"rk": pa.array(["a", "c", "x"]),
+                      "rv": pa.array([10, 30, 99], type=pa.int64())})
+    got = hash_join(_ds(left, 2), _ds(right, 2), left_key="k",
+                    right_key="rk", n_buckets=4,
+                    exchange="fs").to_pandas()
+    got = got.sort_values(["lv"]).reset_index(drop=True)
+    assert got["lv"].tolist() == [1, 3, 4]        # null key never matches
+    assert got["rv"].tolist() == [10, 30, 10]
+    # empty probe side: result is empty but schema intact (no repartition —
+    # Ray loses an empty dataset's schema through an all-to-all)
+    import ray.data
+    empty = pa.table({"k": pa.array([], pa.string()),
+                      "lv": pa.array([], pa.int64())})
+    out = hash_join(ray.data.from_arrow(empty), _ds(right, 2), left_key="k",
+                    right_key="rk", n_buckets=4, exchange="fs")
+    assert out.count() == 0
+    assert set(out.schema().names) == {"k", "lv", "rv"}
