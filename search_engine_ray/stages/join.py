@@ -58,21 +58,72 @@ def _key_as_int64(t: pa.Table, key: str) -> np.ndarray:
     return fnv1a64_array(kv).view(np.int64)
 
 
+class _Salter:
+    """Hot-key salting: a LEFT row with a hot key scatters across ``salt``
+    sub-buckets (deterministic in-batch round-robin — retry-stable), and
+    every RIGHT row with a hot key is REPLICATED into all ``salt``
+    sub-buckets, so each left fragment still sees every matching right
+    row exactly once.  Non-hot keys pay nothing (sub-bucket 0).  This is
+    the join-side analogue of the index build's hot-term salting: it caps
+    the largest bucket at ~|hot key rows|/salt instead of |hot key rows|."""
+
+    def __init__(self, hot_keys, salt: int):
+        assert salt >= 2, "salting needs salt >= 2"
+        arr = pa.array(list(hot_keys))
+        if pa.types.is_integer(arr.type):
+            hot = arr.cast(pa.int64()).to_numpy(zero_copy_only=False)
+        else:
+            from ..functions.hashing import fnv1a64_array
+            hot = fnv1a64_array(arr).view(np.int64)
+        self.hot = np.unique(hot)
+        self.salt = int(salt)
+
+    def left_buckets(self, k: np.ndarray, base: np.ndarray) -> np.ndarray:
+        sub = np.where(np.isin(k, self.hot),
+                       np.arange(len(k), dtype=np.int64) % self.salt, 0)
+        return base * self.salt + sub
+
+    def expand_right(self, t: pa.Table, k: np.ndarray, base: np.ndarray
+                     ) -> tuple[pa.Table, np.ndarray]:
+        b = base * self.salt
+        ishot = np.isin(k, self.hot)
+        if not ishot.any():
+            return t, b
+        idx = np.flatnonzero(ishot)
+        tables, buckets = [t], [b]
+        for j in range(1, self.salt):
+            tables.append(t.take(pa.array(idx)))
+            buckets.append(base[idx] * self.salt + j)
+        return (pa.concat_tables(tables, promote_options="none"),
+                np.concatenate(buckets))
+
+
+def _bucketize(t: pa.Table, key: str, n_buckets: int, side: int,
+               salter: "_Salter | None") -> tuple[pa.Table, np.ndarray]:
+    """(table, per-row bucket ids) for one side, salting applied."""
+    k = _key_as_int64(t, key)
+    base = k & (n_buckets - 1)
+    if salter is None:
+        return t, base
+    if side == 0:
+        return t, salter.left_buckets(k, base)
+    return salter.expand_right(t, k, base)
+
+
 def _with_bucket(ds: "ray.data.Dataset", key: str, n_buckets: int,
                  side: int, all_cols: list[tuple[str, pa.DataType]],
-                 ) -> "ray.data.Dataset":
+                 salter: "_Salter | None" = None) -> "ray.data.Dataset":
     """Attach join-bucket + side marker and align to the union schema
     (missing columns become typed nulls) so the two sides can union."""
     def add(t: pa.Table) -> pa.Table:
-        k = _key_as_int64(t, key)
-        bucket = pa.array((k & (n_buckets - 1)).astype(np.int32))
+        t, b = _bucketize(t, key, n_buckets, side, salter)
         cols = {}
         for name, typ in all_cols:
             if name in t.column_names:
                 cols[name] = t[name].cast(typ)
             else:
                 cols[name] = pa.nulls(t.num_rows, type=typ)
-        cols["__jb"] = bucket
+        cols["__jb"] = pa.array(b.astype(np.int32))
         cols["__side"] = pa.nulls(t.num_rows, pa.int8()).fill_null(side)
         return pa.table(cols)
     return ds.map_batches(add, batch_format="pyarrow")
@@ -101,10 +152,13 @@ class _SideSpiller:
     own fragments, distinct blocks never collide.  Only a tiny metrics
     row returns through the object store."""
 
-    def __init__(self, scratch: str, side: int, key: str, n_buckets: int):
+    def __init__(self, scratch: str, side: int, key: str, n_buckets: int,
+                 salter: "_Salter | None" = None):
         self.dir = os.path.join(scratch, f"side{side}")
+        self.side = side
         self.key = key
         self.n_buckets = n_buckets
+        self.salter = salter
 
     def __call__(self, t: pa.Table) -> pa.Table:
         if t.num_rows == 0:
@@ -113,7 +167,9 @@ class _SideSpiller:
         k = _key_as_int64(t, self.key)
         content = zlib.crc32(np.ascontiguousarray(k).tobytes())
         tag = f"{k[0] & 0xFFFFFFFFFFFF:012x}-{content:08x}-{len(k)}"
-        b = (k & (self.n_buckets - 1)).astype(np.int64)
+        t, b = _bucketize(t, self.key, self.n_buckets, self.side,
+                          self.salter)
+        b = b.astype(np.int64)
         order = np.argsort(b, kind="stable")
         t = t.take(pa.array(order))
         b = b[order]
@@ -151,17 +207,24 @@ def _check_collisions(ls: pa.Schema, rs: pa.Schema, right_key: str) -> None:
 
 def hash_join(left: "ray.data.Dataset", right: "ray.data.Dataset", *,
               left_key: str, right_key: str, n_buckets: int = 64,
-              join_type: str = "inner",
-              exchange: str | None = None) -> "ray.data.Dataset":
+              join_type: str = "inner", exchange: str | None = None,
+              hot_keys=None, salt: int = 8) -> "ray.data.Dataset":
     """Hash-partitioned equi-join.  ``n_buckets`` MUST be a power of two
     (bucket = key & (n_buckets-1)); size it so one bucket of the LARGER
     side fits a worker heap (~rows/n_buckets per group).  Column names must
     be disjoint apart from the keys (rename upstream).  ``exchange`` picks
     the shuffle implementation (module docstring); default is
-    ``SERX_JOIN_EXCHANGE`` or ``"fs"``."""
+    ``SERX_JOIN_EXCHANGE`` or ``"fs"``.
+
+    ``hot_keys``: known skewed key values (from a sample or a prior
+    heavy-hitter sketch — see ``stages.sketch.MisraGries``).  Each hot
+    key's LEFT rows spread over ``salt`` sub-buckets and its RIGHT rows
+    replicate into all of them (``_Salter``), capping the largest join
+    task at ~1/salt of the hot key's rows; results are identical."""
     assert n_buckets & (n_buckets - 1) == 0, "n_buckets must be a power of 2"
     if exchange is None:
         exchange = os.environ.get("SERX_JOIN_EXCHANGE", "fs")
+    salter = _Salter(hot_keys, salt) if hot_keys is not None else None
     ls = left.schema(fetch_if_missing=True)
     rs = right.schema(fetch_if_missing=True)
     ls = pa.schema(list(zip(ls.names, ls.types)))
@@ -169,20 +232,22 @@ def hash_join(left: "ray.data.Dataset", right: "ray.data.Dataset", *,
     _check_collisions(ls, rs, right_key)
     if exchange == "fs":
         return _hash_join_fs(left, right, left_key, right_key, n_buckets,
-                             join_type, ls, rs)
+                             join_type, ls, rs, salter)
     return _hash_join_groupby(left, right, left_key, right_key, n_buckets,
-                              join_type, ls, rs)
+                              join_type, ls, rs, salter)
 
 
 def _hash_join_fs(left, right, left_key, right_key, n_buckets, join_type,
-                  ls: pa.Schema, rs: pa.Schema) -> "ray.data.Dataset":
+                  ls: pa.Schema, rs: pa.Schema,
+                  salter: "_Salter | None" = None) -> "ray.data.Dataset":
     scratch = _join_scratch()
+    n_groups = n_buckets * (salter.salt if salter else 1)
     try:
         spill = (left.map_batches(
-            _SideSpiller(scratch, 0, left_key, n_buckets),
+            _SideSpiller(scratch, 0, left_key, n_buckets, salter),
             batch_format="pyarrow")
             .union(right.map_batches(
-                _SideSpiller(scratch, 1, right_key, n_buckets),
+                _SideSpiller(scratch, 1, right_key, n_buckets, salter),
                 batch_format="pyarrow")))
         spill.materialize()                       # barrier: both sides spilled
 
@@ -201,7 +266,7 @@ def _hash_join_fs(left, right, left_key, right_key, n_buckets, join_type,
                          join_type=join_type)
             return out.select(expected.names).cast(expected)
 
-        parts = ray.data.from_items([{"b": i} for i in range(n_buckets)])
+        parts = ray.data.from_items([{"b": i} for i in range(n_groups)])
         return parts.map_batches(join_bucket, batch_size=1,
                                  batch_format="pyarrow").materialize()
     finally:
@@ -209,17 +274,18 @@ def _hash_join_fs(left, right, left_key, right_key, n_buckets, join_type,
 
 
 def _hash_join_groupby(left, right, left_key, right_key, n_buckets,
-                       join_type, ls: pa.Schema, rs: pa.Schema
+                       join_type, ls: pa.Schema, rs: pa.Schema,
+                       salter: "_Salter | None" = None
                        ) -> "ray.data.Dataset":
     left_cols = list(zip(ls.names, ls.types))
     right_cols = [(n, t) for n, t in zip(rs.names, rs.types)
                   if n != right_key]
     all_cols = left_cols + right_cols
 
-    lt = _with_bucket(left, left_key, n_buckets, 0, all_cols)
+    lt = _with_bucket(left, left_key, n_buckets, 0, all_cols, salter)
     rt = _with_bucket(
         right.rename_columns({right_key: left_key}) if right_key != left_key
-        else right, left_key, n_buckets, 1, all_cols)
+        else right, left_key, n_buckets, 1, all_cols, salter)
 
     left_names = [n for n, _ in left_cols]
     right_names = [left_key] + [n for n, _ in right_cols]

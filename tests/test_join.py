@@ -148,3 +148,42 @@ def test_fs_join_string_keys_and_empty_side(ray_session):
                     right_key="rk", n_buckets=4, exchange="fs")
     assert out.count() == 0
     assert set(out.schema().names) == {"k", "lv", "rv"}
+
+
+@pytest.mark.parametrize("exchange", ["fs", "groupby"])
+def test_hot_key_salting_identical_results(ray_session, exchange):
+    from search_engine_ray.stages.join import hash_join
+    rng = np.random.default_rng(11)
+    # 90% of probe rows share one hot key; dim has several rows per key
+    k = np.where(rng.random(2000) < 0.9, 7,
+                 rng.integers(0, 40, 2000)).astype(np.int64)
+    left = pa.table({"k": k, "lv": np.arange(2000, dtype=np.int64)})
+    right = pa.table({"rk": np.repeat(np.arange(40, dtype=np.int64), 2),
+                      "rv": np.arange(80, dtype=np.int64)})
+
+    def run(**kw):
+        df = hash_join(_ds(left, 4), _ds(right, 2), left_key="k",
+                       right_key="rk", n_buckets=8, exchange=exchange,
+                       **kw).to_pandas()
+        return df.sort_values(list(df.columns)).reset_index(drop=True)
+
+    plain = run()
+    salted = run(hot_keys=[7], salt=4)
+    assert len(plain) == len(salted) > 2000   # hot key fans out ×2 dim rows
+    assert plain.equals(salted)
+
+
+def test_hot_key_salting_string_keys(ray_session):
+    from search_engine_ray.stages.join import hash_join
+    left = pa.table({"k": pa.array(["hot"] * 50 + ["a", "b", "c"]),
+                     "lv": pa.array(range(53), type=pa.int64())})
+    right = pa.table({"rk": pa.array(["hot", "a", "z"]),
+                      "rv": pa.array([1, 2, 3], type=pa.int64())})
+    plain = hash_join(_ds(left, 2), _ds(right, 1), left_key="k",
+                      right_key="rk", n_buckets=4).to_pandas()
+    salted = hash_join(_ds(left, 2), _ds(right, 1), left_key="k",
+                       right_key="rk", n_buckets=4, hot_keys=["hot"],
+                       salt=3).to_pandas()
+    key = lambda d: d.sort_values(list(d.columns)).reset_index(drop=True)
+    assert key(plain).equals(key(salted))
+    assert len(salted) == 51
