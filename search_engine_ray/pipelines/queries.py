@@ -3374,9 +3374,13 @@ def q_order_revenue_topk(sf_dir: str, *, k: int = 10):
                  "l_discount"]).map_batches(
             late_items, batch_format="pyarrow")
 
-    co = (hash_join(orders, cust, left_key="o_custkey",
-                    right_key="c_custkey", n_buckets=32)
-          .select_columns(["o_orderkey", "o_orderdate", "o_orderpriority"]))
+    # explicit batch projection, not .select_columns: Ray 2.49's lazy
+    # projection over a materialized dataset can report the un-projected
+    # schema from Dataset.schema() (defended in stages/join.py too)
+    co = hash_join(orders, cust, left_key="o_custkey",
+                   right_key="c_custkey", n_buckets=32).map_batches(
+        lambda t: t.select(["o_orderkey", "o_orderdate", "o_orderpriority"]),
+        batch_format="pyarrow")
     j = hash_join(li, co, left_key="l_orderkey", right_key="o_orderkey",
                   n_buckets=32)
     out = (j.groupby(["l_orderkey", "o_orderdate", "o_orderpriority"])
@@ -3447,9 +3451,10 @@ def q_regional_trade_volume(sf_dir: str):
         os.path.join(sf_dir, "customer.parquet"),
         columns=["c_custkey", "c_nationkey"])
 
-    j1 = (hash_join(li, orders, left_key="l_orderkey",
-                    right_key="o_orderkey", n_buckets=32)
-          .select_columns(["l_suppkey", "rev", "o_custkey"]))
+    j1 = hash_join(li, orders, left_key="l_orderkey",
+                   right_key="o_orderkey", n_buckets=32).map_batches(
+        lambda t: t.select(["l_suppkey", "rev", "o_custkey"]),
+        batch_format="pyarrow")
     j2 = hash_join(j1, cust, left_key="o_custkey", right_key="c_custkey",
                    n_buckets=32)
 
@@ -3714,6 +3719,96 @@ GROUP BY ROLLUP(l_returnflag, l_linestatus)
 """
 
 
+def q_orders_monthly(sf_dir: str):
+    """Datetime-bucketed rollup (``date_trunc``-class scalar + grouped
+    aggregate): orders per calendar month with revenue.  The truncation is
+    one vectorized ``pc.floor_temporal`` per batch; months are
+    low-cardinality so the shuffle is trivial after map-side combine."""
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "orders.parquet"),
+                               columns=["o_orderdate", "o_totalprice"])
+
+    def to_month(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "month": pc.floor_temporal(t["o_orderdate"], unit="month"),
+            "o_totalprice": t["o_totalprice"],
+        })
+
+    out = (ds.map_batches(to_month, batch_format="pyarrow")
+           .groupby("month")
+           .aggregate(Count(), Sum("o_totalprice"))
+           .rename_columns({"count()": "n_orders",
+                            "sum(o_totalprice)": "revenue"}))
+
+    def _round(t: pa.Table) -> pa.Table:
+        i = t.schema.get_field_index("revenue")
+        return t.set_column(i, "revenue", pc.round(t["revenue"], 2))
+
+    return out.map_batches(_round, batch_format="pyarrow")
+
+
+SQL_ORDERS_MONTHLY = """
+SELECT date_trunc('month', o_orderdate) AS month,
+       count(*) AS n_orders,
+       round(sum(o_totalprice), 2) AS revenue
+FROM orders GROUP BY 1
+"""
+
+
+def q_lineitem_corr_stats(sf_dir: str):
+    """Moment-based statistical aggregates (stddev / Pearson correlation)
+    as a pure map-side-combine pipeline: each batch contributes the five
+    raw moment sums (Σq, Σq², Σp, Σp², Σqp) as plain columns, one hash
+    aggregate sums them per group, and the tiny grouped result finalizes
+    sample stddev and corr.  No second pass, no mean broadcast — the
+    textbook distributed-moments decomposition."""
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_returnflag", "l_quantity", "l_extendedprice"])
+
+    def moments(t: pa.Table) -> pa.Table:
+        q = t["l_quantity"].to_numpy(zero_copy_only=False)
+        p = t["l_extendedprice"].to_numpy(zero_copy_only=False)
+        return pa.table({"l_returnflag": t["l_returnflag"],
+                         "q": q, "q2": q * q, "p": p, "p2": p * p,
+                         "qp": q * p})
+
+    agg = (ds.map_batches(moments, batch_format="pyarrow")
+           .groupby("l_returnflag")
+           .aggregate(Count(), Sum("q"), Sum("q2"), Sum("p"), Sum("p2"),
+                      Sum("qp")))
+
+    def finalize(t: pa.Table) -> pa.Table:
+        n = t["count()"].to_numpy().astype(np.float64)
+        sq, sq2 = t["sum(q)"].to_numpy(), t["sum(q2)"].to_numpy()
+        sp, sp2 = t["sum(p)"].to_numpy(), t["sum(p2)"].to_numpy()
+        sqp = t["sum(qp)"].to_numpy()
+        var_q = (sq2 - sq * sq / n) / (n - 1)
+        var_p = (sp2 - sp * sp / n) / (n - 1)
+        cov = (sqp - sq * sp / n) / (n - 1)
+        return pa.table({
+            "l_returnflag": t["l_returnflag"],
+            "n_rows": t["count()"],
+            "avg_qty": pa.array(np.round(sq / n, 6)),
+            "std_qty": pa.array(np.round(np.sqrt(var_q), 6)),
+            "std_price": pa.array(np.round(np.sqrt(var_p), 4)),
+            "corr_qty_price": pa.array(
+                np.round(cov / np.sqrt(var_q * var_p), 6)),
+        })
+
+    return agg.map_batches(finalize, batch_format="pyarrow")
+
+
+SQL_LINEITEM_CORR_STATS = """
+SELECT l_returnflag,
+       count(*) AS n_rows,
+       round(avg(l_quantity), 6) AS avg_qty,
+       round(stddev_samp(l_quantity), 6) AS std_qty,
+       round(stddev_samp(l_extendedprice), 4) AS std_price,
+       round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
 def q_semantic_dedup(sf_dir: str, *, n_cells: int = 8,
                      threshold: float = 0.4, seed: int = 42):
     """SemDeDup (Abbas et al. 2023): semantic near-dup pruning by
@@ -3788,6 +3883,8 @@ QUERIES = {
     "semantic_dedup": q_semantic_dedup,
     "user_type_pivot": q_user_type_pivot,
     "lineitem_rollup": q_lineitem_rollup,
+    "orders_monthly": q_orders_monthly,
+    "lineitem_corr_stats": q_lineitem_corr_stats,
     "customers_no_big_orders": q_customers_no_big_orders,
     "customers_big_orders_semi": q_customers_big_orders_semi,
     "binary_payload_stats": q_binary_payload_stats,
@@ -3877,6 +3974,8 @@ ORACLE_SQL = {
     "span_dedup": SQL_SPAN_DEDUP,
     "user_type_pivot": SQL_USER_TYPE_PIVOT,
     "lineitem_rollup": SQL_LINEITEM_ROLLUP,
+    "orders_monthly": SQL_ORDERS_MONTHLY,
+    "lineitem_corr_stats": SQL_LINEITEM_CORR_STATS,
     "customers_no_big_orders": SQL_CUSTOMERS_NO_BIG_ORDERS,
     "customers_big_orders_semi": SQL_CUSTOMERS_BIG_ORDERS_SEMI,
     "binary_payload_stats": SQL_BINARY_PAYLOAD_STATS,

@@ -164,6 +164,17 @@ class _SideSpiller:
         if t.num_rows == 0:
             return pa.table({"rows": pa.array([0], type=pa.int64())})
         import zlib
+        # publish the side's TRUE batch schema once (first writer wins):
+        # Dataset.schema() can report a stale, un-projected schema for a
+        # lazy projection over a materialized dataset (observed on Ray
+        # 2.49 under low parallelism), so the reduce side must not trust it
+        spath = os.path.join(self.dir, "_schema.arrow")
+        if not os.path.exists(spath):
+            os.makedirs(self.dir, exist_ok=True)
+            tmp = f"{spath}.{os.getpid()}.tmp"
+            with open(tmp, "wb") as f:
+                f.write(t.schema.serialize())
+            os.replace(tmp, spath)
         k = _key_as_int64(t, self.key)
         content = zlib.crc32(np.ascontiguousarray(k).tobytes())
         tag = f"{k[0] & 0xFFFFFFFFFFFF:012x}-{content:08x}-{len(k)}"
@@ -250,6 +261,17 @@ def _hash_join_fs(left, right, left_key, right_key, n_buckets, join_type,
                 _SideSpiller(scratch, 1, right_key, n_buckets, salter),
                 batch_format="pyarrow")))
         spill.materialize()                       # barrier: both sides spilled
+
+        # prefer the schemas the spillers actually observed (see
+        # _SideSpiller: Dataset.schema() can be stale for lazy projections)
+        def _spilled_schema(side: int, fallback: pa.Schema) -> pa.Schema:
+            p = os.path.join(scratch, f"side{side}", "_schema.arrow")
+            if os.path.exists(p):
+                with open(p, "rb") as f:
+                    return pa.ipc.read_schema(pa.BufferReader(f.read()))
+            return fallback
+        ls = _spilled_schema(0, ls)
+        rs = _spilled_schema(1, rs)
 
         # authoritative output schema: Acero on empty inputs
         expected = ls.empty_table().join(
