@@ -3845,6 +3845,201 @@ def q_semantic_dedup(sf_dir: str, *, n_cells: int = 8,
             .map_groups(dedup_cell, batch_format="pyarrow"))
 
 
+def q_lineitem_cube(sf_dir: str):
+    """CUBE grouping sets — all four subtotal levels of (flag, status).
+    Same scale shape as :func:`q_lineitem_rollup`: ONE corpus-scale
+    groupby at the finest grain, then the 2^k coarser levels re-aggregate
+    the tiny grouped result driver-side (aggregate-of-aggregate, never a
+    second corpus pass).  NULL keys spelled 'ALL' for null-layout-free
+    hashing."""
+    base = (ray.data.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_returnflag", "l_linestatus", "l_quantity"])
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(Count(), Sum("l_quantity")))
+    t = _collect_table(base)   # |flags|×|statuses| rows — provably bounded
+    t = t.rename_columns(["l_returnflag", "l_linestatus", "n_rows",
+                          "sum_qty"])
+    flag = t["l_returnflag"].to_pylist()
+    stat = t["l_linestatus"].to_pylist()
+    n = t["n_rows"].to_numpy()
+    qty = t["sum_qty"].to_numpy()
+    rows: dict[tuple[str, str], tuple[int, float]] = {}
+    for f, s, c, q in zip(flag, stat, n, qty):
+        for key in ((f, s), (f, "ALL"), ("ALL", s), ("ALL", "ALL")):
+            cc, qq = rows.get(key, (0, 0.0))
+            rows[key] = (cc + int(c), qq + float(q))
+    keys = sorted(rows)
+    return pa.table({
+        "l_returnflag": pa.array([k[0] for k in keys]),
+        "l_linestatus": pa.array([k[1] for k in keys]),
+        "n_rows": pa.array([rows[k][0] for k in keys], type=pa.int64()),
+        "sum_qty": pa.array([round(rows[k][1], 6) for k in keys],
+                            type=pa.float64()),
+    })
+
+
+SQL_LINEITEM_CUBE = """
+SELECT coalesce(l_returnflag, 'ALL') AS l_returnflag,
+       coalesce(l_linestatus, 'ALL') AS l_linestatus,
+       count(*) AS n_rows,
+       round(sum(l_quantity), 6) AS sum_qty
+FROM lineitem
+GROUP BY CUBE(l_returnflag, l_linestatus)
+"""
+
+
+def q_user_mode_type(sf_dir: str):
+    """Per-group mode (most frequent event_type per user, ties broken
+    lexicographically): the corpus-scale work is ONE
+    ``groupby(user, type)`` count; the argmax then runs over the tiny
+    (user × type) grouped result — a second groupby whose groups are
+    ≤ |event_type| rows each, so no bounded-group caveat applies."""
+    counts = (ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["user_id", "event_type"])
+        .groupby(["user_id", "event_type"])
+        .aggregate(Count())
+        .rename_columns({"count()": "n"}))
+
+    def pick(g: pa.Table) -> pa.Table:
+        order = pc.sort_indices(
+            g, sort_keys=[("n", "descending"), ("event_type", "ascending")])
+        g = g.take(order[:1])
+        return pa.table({"user_id": g["user_id"],
+                         "mode_type": g["event_type"],
+                         "n": g["n"]})
+
+    return counts.groupby("user_id").map_groups(pick,
+                                                batch_format="pyarrow")
+
+
+SQL_USER_MODE_TYPE = """
+SELECT user_id, event_type AS mode_type, n FROM (
+  SELECT user_id, event_type, count(*) AS n,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY count(*) DESC, event_type) AS rn
+  FROM events GROUP BY user_id, event_type) WHERE rn = 1
+"""
+
+
+_MAVG_W = 3
+
+
+def q_user_moving_avg(sf_dir: str, *, w: int = _MAVG_W):
+    """Trailing moving average (ROWS ``w-1`` PRECEDING) of event value per
+    user: per-key ordered window via ``groupby(user).map_groups``, inside
+    which the window is one cumsum + shifted diff (no per-row loop).
+    Same partitioning assumption as :func:`q_user_running_stats` (one
+    user's history fits a worker)."""
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                               columns=["event_id", "ts", "user_id",
+                                        "value"])
+
+    def win(g: pa.Table) -> pa.Table:
+        order = pc.sort_indices(
+            g, sort_keys=[("ts", "ascending"), ("event_id", "ascending")])
+        g = g.take(order)
+        val = g["value"].to_numpy(zero_copy_only=False)
+        n = len(val)
+        c = np.concatenate(([0.0], np.cumsum(val)))
+        lo = np.maximum(np.arange(n) - (w - 1), 0)
+        s = c[1 + np.arange(n)] - c[lo]
+        cnt = np.arange(n) - lo + 1
+        return pa.table({
+            "event_id": g["event_id"],
+            "user_id": g["user_id"],
+            "mavg": pa.array(np.round(s / cnt, 6)),
+        })
+
+    return ds.groupby("user_id").map_groups(win, batch_format="pyarrow")
+
+
+SQL_USER_MOVING_AVG = f"""
+SELECT event_id, user_id,
+       round(avg(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS BETWEEN {_MAVG_W - 1} PRECEDING
+                              AND CURRENT ROW), 6) AS mavg
+FROM events
+"""
+
+
+_MIX_ALPHA = 0.5
+
+
+def q_source_temperature_mix(sf_dir: str, *, alpha: float = _MIX_ALPHA):
+    """Temperature-based mixture weights (w_i ∝ n_i^α, the multilingual /
+    multi-source rebalance rule from XLM-R / mT5-style training recipes):
+    the corpus-scale work is one counted groupby; the power-law finalize
+    runs on the |sources|-row result.  ``target_n`` is each source's
+    resampled share of the ORIGINAL corpus size under the tempered
+    distribution."""
+    counts = (ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["source"])
+        .groupby("source")
+        .aggregate(Count())
+        .rename_columns({"count()": "n_docs"}))
+    t = _collect_table(counts)   # |sources| rows — provably bounded
+    n = t["n_docs"].to_numpy().astype(np.float64)
+    p = np.power(n, alpha)
+    wgt = p / p.sum()
+    total = n.sum()
+    return pa.table({
+        "source": t["source"],
+        "n_docs": t["n_docs"],
+        "weight": pa.array(np.round(wgt, 6)),
+        "target_n": pa.array(np.floor(wgt * total).astype(np.int64)),
+    })
+
+
+SQL_SOURCE_TEMPERATURE_MIX = f"""
+SELECT source, n_docs,
+       round(pw / sum(pw) OVER (), 6) AS weight,
+       CAST(floor(pw / sum(pw) OVER () * sum(n_docs) OVER ()) AS BIGINT)
+           AS target_n
+FROM (SELECT source, count(*) AS n_docs,
+             pow(count(*), {_MIX_ALPHA}) AS pw
+      FROM documents GROUP BY source)
+"""
+
+
+def q_order_ntile(sf_dir: str, *, tiles: int = 4):
+    """NTILE(4) — quartile assignment of orders by total price within each
+    priority class: per-key ordered window via
+    ``groupby(priority).map_groups`` with exact SQL NTILE semantics (first
+    ``n mod tiles`` tiles get the extra row), fully vectorized via
+    ``np.repeat`` over tile sizes.  PARTITIONING ASSUMPTION: one priority
+    class's orders fit a worker (priorities are enum-like); an unbounded
+    key would use the sampled-range-boundaries approach instead."""
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "orders.parquet"),
+                               columns=["o_orderkey", "o_orderpriority",
+                                        "o_totalprice"])
+
+    def ntile(g: pa.Table) -> pa.Table:
+        order = pc.sort_indices(
+            g, sort_keys=[("o_totalprice", "ascending"),
+                          ("o_orderkey", "ascending")])
+        g = g.take(order)
+        n = g.num_rows
+        q, rem = divmod(n, tiles)
+        sizes = np.full(tiles, q, dtype=np.int64)
+        sizes[:rem] += 1
+        tile = np.repeat(np.arange(1, tiles + 1, dtype=np.int64),
+                         sizes)[:n]
+        return g.append_column("quartile", pa.array(tile))
+
+    return ds.groupby("o_orderpriority").map_groups(
+        ntile, batch_format="pyarrow")
+
+
+SQL_ORDER_NTILE = """
+SELECT o_orderkey, o_orderpriority, o_totalprice,
+       ntile(4) OVER (PARTITION BY o_orderpriority
+                      ORDER BY o_totalprice, o_orderkey) AS quartile
+FROM orders
+"""
+
+
 QUERIES = {
     "term_df": q_term_df,
     "doc_lengths": q_doc_lengths,
@@ -3885,6 +4080,11 @@ QUERIES = {
     "lineitem_rollup": q_lineitem_rollup,
     "orders_monthly": q_orders_monthly,
     "lineitem_corr_stats": q_lineitem_corr_stats,
+    "lineitem_cube": q_lineitem_cube,
+    "user_mode_type": q_user_mode_type,
+    "user_moving_avg": q_user_moving_avg,
+    "source_temperature_mix": q_source_temperature_mix,
+    "order_ntile": q_order_ntile,
     "customers_no_big_orders": q_customers_no_big_orders,
     "customers_big_orders_semi": q_customers_big_orders_semi,
     "binary_payload_stats": q_binary_payload_stats,
@@ -3976,6 +4176,11 @@ ORACLE_SQL = {
     "lineitem_rollup": SQL_LINEITEM_ROLLUP,
     "orders_monthly": SQL_ORDERS_MONTHLY,
     "lineitem_corr_stats": SQL_LINEITEM_CORR_STATS,
+    "lineitem_cube": SQL_LINEITEM_CUBE,
+    "user_mode_type": SQL_USER_MODE_TYPE,
+    "user_moving_avg": SQL_USER_MOVING_AVG,
+    "source_temperature_mix": SQL_SOURCE_TEMPERATURE_MIX,
+    "order_ntile": SQL_ORDER_NTILE,
     "customers_no_big_orders": SQL_CUSTOMERS_NO_BIG_ORDERS,
     "customers_big_orders_semi": SQL_CUSTOMERS_BIG_ORDERS_SEMI,
     "binary_payload_stats": SQL_BINARY_PAYLOAD_STATS,
