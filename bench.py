@@ -242,6 +242,86 @@ def _warm_corpus_cache(pages_dir: str) -> None:
                 pass
 
 
+SERVING_IDX = os.path.join(IDX_BASE, "serx_serving_idx_1600k")
+SERVING_BATCH = 512
+SERVING_TERMS = ["market stock price", "german income funds",
+                 "euro bank rate", "growth shares investors",
+                 "trading index economy", "w00001 w00002",
+                 "federal report analyst", "billion percent"]
+
+
+def serving_child(num_cpus: int) -> None:
+    """One serving-scaling trial over the SHARED pre-built 1.6M-doc index:
+    a fixed 4-searcher corpus partitioning, replicated ``num_cpus // 8``
+    times (the cluster throughput shape: partition for corpus size,
+    REPLICATE for qps — more doc-partitions per query would instead
+    multiply the fixed per-query fan-out cost across actors).  Throughput
+    = batched ``query_many`` qps, best of SERVING_TRIALS timed batches
+    after one warm batch."""
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    _init(num_cpus)
+    import ray
+    from search_engine_ray.pipelines.query import QueryEngine
+    n_searchers = 4
+    n_replicas = max(1, num_cpus // 8)
+    qe = QueryEngine(SERVING_IDX, num_searchers=n_searchers,
+                     use_actors=True, num_replicas=n_replicas)
+    batch = [SERVING_TERMS[i % len(SERVING_TERMS)]
+             for i in range(SERVING_BATCH)]
+    qe.query_many(batch[:64], k=10)          # actor state load, excluded
+    best = 0.0
+    for _ in range(int(os.environ.get("SERVING_TRIALS", "3"))):
+        t0 = time.time()
+        qe.query_many(batch, k=10)
+        best = max(best, len(batch) / (time.time() - t0))
+    print(json.dumps({"qps": round(best, 1), "n_searchers": n_searchers,
+                      "n_replicas": n_replicas, "num_cpus": num_cpus}))
+    ray.shutdown()
+
+
+def serving_scaling_main() -> None:
+    """Query-side two-cluster-size evidence (complements ``--scaling``'s
+    build-side number): same index, same query batch, fresh processes at
+    8 and 32 CPUs with proportionally more searcher actors; efficiency =
+    (qps_hi / qps_lo) / (hi / lo)."""
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    man = os.path.join(SERVING_IDX, "manifest.json")
+    if not os.path.exists(man):
+        _init(NUM_CPUS)
+        import ray
+        from search_engine_ray.pipelines.build import build_index
+        from search_engine_ray.state.checkpoint import IndexConfig
+        pages_dir = _scaling_corpus()
+        shutil.rmtree(SERVING_IDX, ignore_errors=True)
+        build_index(_pages_factory(pages_dir), SERVING_IDX,
+                    IndexConfig(n_buckets=16, n_doc_shards=16),
+                    keep_cols=("url",), exchange=EXCHANGE)
+        ray.shutdown()
+    lo, hi = (int(x) for x in
+              os.environ.get("SCALING_CPUS", "8,32").split(","))
+    results: dict[int, dict] = {}
+    for n in (lo, hi):
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__),
+             "--serving-child", str(n)],
+            capture_output=True, text=True, timeout=3600)
+        line = [l for l in proc.stdout.strip().splitlines()
+                if l.startswith("{")][-1]
+        results[n] = json.loads(line)
+    eff = (results[hi]["qps"] / results[lo]["qps"]) / (hi / lo)
+    print(json.dumps({
+        "metric": f"BM25 serving throughput scaling, num_cpus={lo} vs {hi}"
+                  f" (N vs {hi // lo}N; fixed 4-searcher partitioning,"
+                  f" replica groups scale with CPUs)",
+        "unit": "qps",
+        "index_docs": SCALING_PAGES_N,
+        f"cpus{lo}": results[lo],
+        f"cpus{hi}": results[hi],
+        "speedup": round(results[hi]["qps"] / results[lo]["qps"], 3),
+        "scaling_efficiency": round(eff, 3),
+    }))
+
+
 def scaling_child(num_cpus: int) -> None:
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     _init(num_cpus)
@@ -310,6 +390,10 @@ def scaling_main() -> None:
 if __name__ == "__main__":
     if "--scaling-child" in sys.argv:
         scaling_child(int(sys.argv[sys.argv.index("--scaling-child") + 1]))
+    elif "--serving-child" in sys.argv:
+        serving_child(int(sys.argv[sys.argv.index("--serving-child") + 1]))
+    elif "--serving-scaling" in sys.argv:
+        serving_scaling_main()
     elif "--scaling" in sys.argv:
         scaling_main()
     else:

@@ -1071,7 +1071,15 @@ class QueryEngine:
     """
 
     def __init__(self, index_dir: str, *, num_searchers: int = 4,
-                 use_actors: bool = True):
+                 use_actors: bool = True, num_replicas: int = 1):
+        """``num_searchers`` partitions the corpus (each actor owns a doc-
+        shard slice — the LATENCY / corpus-size axis); ``num_replicas``
+        deploys that many independent full searcher groups and splits
+        batched query traffic across them (the THROUGHPUT axis).  Doc-
+        partitioned fan-out pays a fixed per-query cost in EVERY searcher,
+        so on a fixed corpus adding searchers stops paying once postings
+        work per actor is small — adding replicas keeps scaling because
+        each query still touches only ``num_searchers`` actors."""
         self.index_dir = index_dir
         man = ckpt.read_manifest(index_dir)
         self.cfg = man["config"]
@@ -1084,9 +1092,13 @@ class QueryEngine:
                   for i in range(num_searchers)]
         if use_actors:
             remote = ray.remote(SegmentSearcher)
-            self.searchers = [remote.remote(index_dir, sl) for sl in slices]
+            self._replicas = [
+                [remote.remote(index_dir, sl) for sl in slices]
+                for _ in range(max(1, num_replicas))]
         else:
-            self.searchers = [SegmentSearcher(index_dir, sl) for sl in slices]
+            self._replicas = [[SegmentSearcher(index_dir, sl)
+                               for sl in slices]]
+        self.searchers = self._replicas[0]
 
     def query(self, text: str, k: int = 10, *,
               prune: bool = False) -> list[tuple[int, float]]:
@@ -1156,18 +1168,40 @@ class QueryEngine:
         if not live:
             return out
         batch = [terms for _, terms in live]
+
+        def _merge(per_actor, start: int) -> None:
+            for j in range(len(per_actor[0])):
+                i = live[start + j][0]
+                ids = np.concatenate([p[j][0] for p in per_actor])
+                sc = np.concatenate([p[j][1] for p in per_actor])
+                if ids.size:
+                    tids, tsc = top_k(ids, sc, k)
+                    out[i] = [(int(d), float(s))
+                              for d, s in zip(tids, tsc)]
+
+        if self.use_actors and len(self._replicas) > 1:
+            # replica-parallel: contiguous batch chunk per replica group,
+            # ALL RPCs in flight before any merge
+            bounds = np.linspace(0, len(batch),
+                                 len(self._replicas) + 1).astype(int)
+            inflight = []
+            for r, group in enumerate(self._replicas):
+                chunk = batch[bounds[r]:bounds[r + 1]]
+                if chunk:
+                    inflight.append(
+                        (int(bounds[r]),
+                         [s.search_many.remote(chunk, k, prune)
+                          for s in group]))
+            for start, refs in inflight:
+                _merge(ray.get(refs), start)
+            return out
         if self.use_actors:
             per_actor = ray.get([s.search_many.remote(batch, k, prune)
                                  for s in self.searchers])
         else:
             per_actor = [s.search_many(batch, k, prune)
                          for s in self.searchers]
-        for j, (i, _terms) in enumerate(live):
-            ids = np.concatenate([p[j][0] for p in per_actor])
-            sc = np.concatenate([p[j][1] for p in per_actor])
-            if ids.size:
-                ids, sc = top_k(ids, sc, k)
-                out[i] = [(int(d), float(s)) for d, s in zip(ids, sc)]
+        _merge(per_actor, 0)
         return out
 
     def query_filtered(self, text: str, filters: list[tuple[str, str]],

@@ -104,6 +104,19 @@ def test_query_many_matches_single(built_index, oracle, use_actors,
         assert [d for d, _ in got] == [d for d, _ in want], q
 
 
+def test_query_many_replicas_match_single_group(built_index, ray_session):
+    """Replica-parallel batching (the throughput scaling shape) returns
+    byte-identical results to the one-group path, including empty-token
+    queries interleaved mid-batch."""
+    from search_engine_ray.pipelines.query import QueryEngine
+    idx, _ = built_index
+    qe1 = QueryEngine(idx, num_searchers=2, use_actors=True)
+    qe3 = QueryEngine(idx, num_searchers=2, use_actors=True,
+                      num_replicas=3)
+    batch = list(QUERIES) + ["", "...", "zzzznoterm"] + list(QUERIES)
+    assert qe3.query_many(batch, k=10) == qe1.query_many(batch, k=10)
+
+
 BOOL_QUERIES = ["table row -merge", "window agg -nosuchterm", "spark -spark",
                 "-table", "hash join -dup -spark", "nosuchterm -table",
                 "table -the"]

@@ -16,7 +16,9 @@ KEYS = ["term_df", "dedup_exact", "bm25_scores", "cosine_scores",
         "bigram_lm", "user_retention", "term_pmi",
         "order_revenue_topk", "regional_trade_volume",
         "user_running_stats", "span_dedup", "user_type_pivot",
-        "lineitem_rollup"]
+        "lineitem_rollup", "orders_monthly", "lineitem_corr_stats",
+        "lineitem_cube", "user_mode_type", "user_moving_avg",
+        "source_temperature_mix", "order_ntile"]
 
 
 @pytest.fixture(scope="module")
