@@ -3636,6 +3636,100 @@ FROM agg
 """
 
 
+def q_span_dedup_cut(sf_dir: str, *, w: int = _SPAN_W):
+    """The downstream half of suffix-style span dedup (Lee et al. 2022):
+    re-window every document against the duplicated-span set and report
+    how many of its tokens fall inside at least one duplicated span — the
+    removal census a "cut the spans out" rewrite acts on.  The dup-span
+    hash set is collected once (bounded by the number of DISTINCT
+    duplicated spans, not occurrences), ``ray.put`` once, membership is
+    one ``searchsorted`` per batch, and position coverage is a difference
+    array + cumsum — no per-token loop.  At web scale, swap the exact
+    broadcast set for the Bloom filter used by ``dedup_incremental_bloom``
+    (same shape; candidate-verify keeps exactness)."""
+    from ..functions.hashing import fnv1a64_array
+
+    dup_tbl = _collect_table(
+        q_span_dedup(sf_dir, w=w).select_columns(["span_hash"]))
+    dup_sorted = np.sort(dup_tbl["span_hash"].to_numpy(
+        zero_copy_only=False).astype(np.int64))
+    dup_ref = ray.put(dup_sorted)
+
+    class CutCensus:
+        def __init__(self):
+            self.dup = ray.get(dup_ref)   # once per actor, zero-copy view
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            txt = pc.utf8_lower(t["text"])
+            toks = pc.split_pattern_regex(txt.cast(pa.string()),
+                                          "[^a-z0-9]+")
+            if isinstance(toks, pa.ChunkedArray):
+                toks = toks.combine_chunks()
+            lens = pc.list_value_length(toks).to_numpy().astype(np.int64)
+            flat = pc.list_flatten(toks)
+            doc_idx = np.repeat(np.arange(t.num_rows, dtype=np.int64),
+                                lens)
+            keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+            flat = flat.filter(pa.array(keep))
+            doc_idx = doc_idx[keep]
+            n = len(doc_idx)
+            n_tokens = np.bincount(doc_idx, minlength=t.num_rows) \
+                .astype(np.int64)
+            doc_ids = t["doc_id"].cast(pa.int64())
+            n_dup = np.zeros(t.num_rows, dtype=np.int64)
+            if n >= w and self.dup.size:
+                starts = np.nonzero(
+                    doc_idx[: n - w + 1] == doc_idx[w - 1:])[0]
+                if starts.size:
+                    parts = [flat.take(pa.array(starts + j))
+                             for j in range(w)]
+                    span = pc.binary_join_element_wise(*parts, " ")
+                    h = (fnv1a64_array(span)
+                         & np.uint64(0x7FFFFFFFFFFFFFFF)).astype(np.int64)
+                    pos = np.searchsorted(self.dup, h)
+                    pos[pos >= self.dup.size] = self.dup.size - 1
+                    hit = starts[self.dup[pos] == h]
+                    if hit.size:
+                        diff = np.zeros(n + w, dtype=np.int64)
+                        np.add.at(diff, hit, 1)
+                        np.add.at(diff, hit + w, -1)
+                        covered = np.cumsum(diff[:n]) > 0
+                        n_dup = np.bincount(doc_idx[covered],
+                                            minlength=t.num_rows) \
+                            .astype(np.int64)
+            return pa.table({"doc_id": doc_ids,
+                             "n_tokens": pa.array(n_tokens),
+                             "n_dup_tokens": pa.array(n_dup)})
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        CutCensus, batch_format="pyarrow",
+        concurrency=(1, 8))
+
+
+SQL_SPAN_DEDUP_CUT = f"""
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t
+  FROM documents),
+pos AS (
+  SELECT doc_id, t, unnest(range(0, greatest(len(t) - {_SPAN_W - 1}, 0))) AS i
+  FROM toks),
+spans AS (
+  SELECT doc_id, i, array_to_string(t[i + 1:i + {_SPAN_W}], ' ') AS span
+  FROM pos),
+dupspans AS (
+  SELECT span FROM spans GROUP BY span
+  HAVING count(DISTINCT doc_id) >= 2),
+cover AS (
+  SELECT DISTINCT s.doc_id, unnest(range(s.i, s.i + {_SPAN_W})) AS p
+  FROM spans s JOIN dupspans USING (span))
+SELECT tk.doc_id, len(tk.t)::BIGINT AS n_tokens,
+       coalesce(c.n, 0)::BIGINT AS n_dup_tokens
+FROM toks tk
+LEFT JOIN (SELECT doc_id, count(*) AS n FROM cover GROUP BY doc_id) c
+  USING (doc_id)
+"""
+
+
 _EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
 
 
@@ -4080,6 +4174,7 @@ QUERIES = {
     "lineitem_rollup": q_lineitem_rollup,
     "orders_monthly": q_orders_monthly,
     "lineitem_corr_stats": q_lineitem_corr_stats,
+    "span_dedup_cut": q_span_dedup_cut,
     "lineitem_cube": q_lineitem_cube,
     "user_mode_type": q_user_mode_type,
     "user_moving_avg": q_user_moving_avg,
@@ -4176,6 +4271,7 @@ ORACLE_SQL = {
     "lineitem_rollup": SQL_LINEITEM_ROLLUP,
     "orders_monthly": SQL_ORDERS_MONTHLY,
     "lineitem_corr_stats": SQL_LINEITEM_CORR_STATS,
+    "span_dedup_cut": SQL_SPAN_DEDUP_CUT,
     "lineitem_cube": SQL_LINEITEM_CUBE,
     "user_mode_type": SQL_USER_MODE_TYPE,
     "user_moving_avg": SQL_USER_MOVING_AVG,
