@@ -4134,6 +4134,170 @@ FROM orders
 """
 
 
+def q_customer_order_profile(sf_dir: str):
+    """LEFT OUTER hash join (customers with ZERO orders survive with
+    null-filled order columns) + grouped fold: per-customer order count
+    and spend.  Same bucketed exchange as the inner joins — outer
+    semantics are safe under hash partitioning because every row of each
+    side lands in exactly one bucket with all its matches."""
+    from ..stages.join import hash_join
+    cust = ray.data.read_parquet(os.path.join(sf_dir, "customer.parquet"),
+                                 columns=["c_custkey"])
+    orders = ray.data.read_parquet(os.path.join(sf_dir, "orders.parquet"),
+                                   columns=["o_custkey", "o_totalprice"])
+    j = hash_join(cust, orders, left_key="c_custkey",
+                  right_key="o_custkey", n_buckets=32,
+                  join_type="left outer")
+
+    def fold(t: pa.Table) -> pa.Table:
+        price = t["o_totalprice"]
+        return pa.table({
+            "c_custkey": t["c_custkey"],
+            "n_orders": pc.cast(pc.is_valid(price), pa.int64()),
+            "spend": price.combine_chunks().fill_null(0.0)
+            if isinstance(price, pa.ChunkedArray) else price.fill_null(0.0),
+        })
+
+    out = (j.map_batches(fold, batch_format="pyarrow")
+           .groupby("c_custkey")
+           .aggregate(Sum("n_orders"), Sum("spend"))
+           .rename_columns({"sum(n_orders)": "n_orders",
+                            "sum(spend)": "spend"}))
+
+    def _round(t: pa.Table) -> pa.Table:
+        i = t.schema.get_field_index("spend")
+        return t.set_column(i, "spend", pc.round(t["spend"], 2))
+
+    return out.map_batches(_round, batch_format="pyarrow")
+
+
+SQL_CUSTOMER_ORDER_PROFILE = """
+SELECT c_custkey, count(o_totalprice) AS n_orders,
+       round(coalesce(sum(o_totalprice), 0), 2) AS spend
+FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+GROUP BY c_custkey
+"""
+
+
+_MEDIAN_BINS = 8192
+_MEDIAN_MAX_CANDIDATES = 4_000_000   # ~32 MB of float64 on the driver
+
+
+def q_event_value_median(sf_dir: str):
+    """EXACT global median without a global sort: the selection-by-
+    histogram-narrowing algorithm.  Pass 1 folds (min, max, count) per
+    batch; pass 2 histograms every batch into ``_MEDIAN_BINS`` fixed bins
+    (map-side partial, one tiny groupby — ≤bins rows per batch); the bin
+    prefix-sum locates the order statistics, and only THAT bin's values
+    (corpus_fraction ≈ 1/bins for non-degenerate distributions) are
+    collected for the final exact selection.  A bin holding more than
+    ``_MEDIAN_MAX_CANDIDATES`` values (pathological mass-at-a-point — in
+    which case that point IS the median unless the bin is a single value
+    range) re-narrows recursively; degenerate single-value bins
+    short-circuit."""
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                               columns=["value"])
+
+    stats = _collect_table(
+        ds.map_batches(
+            lambda t: pa.table({
+                "mn": pa.array([pc.min(t["value"]).as_py()]),
+                "mx": pa.array([pc.max(t["value"]).as_py()]),
+                "n": pa.array([pc.count(t["value"]).as_py()],
+                              type=pa.int64())}),
+            batch_format="pyarrow"))
+    lo = min(v for v in stats["mn"].to_pylist() if v is not None)
+    hi = max(v for v in stats["mx"].to_pylist() if v is not None)
+    n = int(pc.sum(stats["n"]).as_py())
+    k1, k2 = (n - 1) // 2, n // 2
+
+    def _narrow(lo: float, hi: float, k_below: int) -> tuple[float, float,
+                                                             int]:
+        """One histogram pass → the sub-range holding both order stats
+        (they always co-locate or sit in adjacent bins; widen to cover
+        both) and the count strictly below it."""
+        width = (hi - lo) or 1.0
+
+        def hist(t: pa.Table) -> pa.Table:
+            v = t["value"].to_numpy(zero_copy_only=False)
+            v = v[~np.isnan(v)]
+            b = np.clip(((v - lo) / width * _MEDIAN_BINS).astype(np.int64),
+                        0, _MEDIAN_BINS - 1)
+            # out-of-range values (other recursion branches) are excluded
+            b = b[(v >= lo) & (v <= hi)]
+            uniq, cnt = np.unique(b, return_counts=True)
+            return pa.table({"bin": uniq, "cnt": cnt.astype(np.int64)})
+
+        h = _collect_table(ds.map_batches(hist, batch_format="pyarrow")
+                           .groupby("bin").aggregate(Sum("cnt")))
+        bins = h["bin"].to_numpy(zero_copy_only=False)
+        cnts = h["sum(cnt)"].to_numpy(zero_copy_only=False)
+        order = np.argsort(bins)
+        bins, cnts = bins[order], cnts[order]
+        csum = np.cumsum(cnts)
+        lo_i = int(np.searchsorted(csum, k1 - k_below + 1))
+        hi_i = int(np.searchsorted(csum, k2 - k_below + 1))
+        new_lo = lo + bins[lo_i] * width / _MEDIAN_BINS
+        new_hi = lo + (bins[hi_i] + 1) * width / _MEDIAN_BINS
+        below = k_below + int(csum[lo_i - 1]) if lo_i else k_below
+        return new_lo, new_hi, below
+
+    b_lo, b_hi, below = _narrow(lo, hi, 0)
+    for _ in range(3):   # each round shrinks candidates ~8192×
+        cand_n = int(ds.map_batches(
+            lambda t, a=b_lo, b=b_hi: pa.table({"c": pa.array(
+                [pc.sum(pc.and_(pc.greater_equal(t["value"], a),
+                                pc.less_equal(t["value"], b))).as_py()
+                 or 0], type=pa.int64())}),
+            batch_format="pyarrow").sum("c"))
+        if cand_n <= _MEDIAN_MAX_CANDIDATES or b_lo == b_hi:
+            break
+        b_lo, b_hi, below = _narrow(b_lo, b_hi, below)
+
+    cand = _collect_table(ds.map_batches(
+        lambda t: t.filter(pc.and_(pc.greater_equal(t["value"], b_lo),
+                                   pc.less_equal(t["value"], b_hi))),
+        batch_format="pyarrow"))["value"].to_numpy(zero_copy_only=False)
+    cand = np.sort(cand)
+    med = (cand[k1 - below] + cand[k2 - below]) / 2.0
+    return pa.table({"median_value": pa.array([round(float(med), 6)]),
+                     "n_values": pa.array([n], type=pa.int64())})
+
+
+SQL_EVENT_VALUE_MEDIAN = """
+SELECT round(median(value), 6) AS median_value,
+       count(value) AS n_values
+FROM events
+"""
+
+
+def q_source_lang_profile(sf_dir: str):
+    """Grouped string aggregation (``string_agg`` with deterministic
+    order): the corpus-scale work is one distinct-pair groupby; the join
+    into a comma string runs over the tiny (source × lang) result."""
+    pairs = (ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["source", "lang"])
+        .groupby(["source", "lang"])
+        .aggregate(Count()))
+
+    def agg(g: pa.Table) -> pa.Table:
+        langs = sorted(g["lang"].to_pylist())
+        return pa.table({"source": g["source"][:1],
+                         "langs": pa.array([",".join(langs)]),
+                         "n_langs": pa.array([len(langs)],
+                                             type=pa.int64())})
+
+    return pairs.groupby("source").map_groups(agg, batch_format="pyarrow")
+
+
+SQL_SOURCE_LANG_PROFILE = """
+SELECT source, string_agg(lang, ',' ORDER BY lang) AS langs,
+       count(*) AS n_langs
+FROM (SELECT DISTINCT source, lang FROM documents) GROUP BY source
+"""
+
+
 QUERIES = {
     "term_df": q_term_df,
     "doc_lengths": q_doc_lengths,
@@ -4180,6 +4344,9 @@ QUERIES = {
     "user_moving_avg": q_user_moving_avg,
     "source_temperature_mix": q_source_temperature_mix,
     "order_ntile": q_order_ntile,
+    "customer_order_profile": q_customer_order_profile,
+    "event_value_median": q_event_value_median,
+    "source_lang_profile": q_source_lang_profile,
     "customers_no_big_orders": q_customers_no_big_orders,
     "customers_big_orders_semi": q_customers_big_orders_semi,
     "binary_payload_stats": q_binary_payload_stats,
@@ -4277,6 +4444,9 @@ ORACLE_SQL = {
     "user_moving_avg": SQL_USER_MOVING_AVG,
     "source_temperature_mix": SQL_SOURCE_TEMPERATURE_MIX,
     "order_ntile": SQL_ORDER_NTILE,
+    "customer_order_profile": SQL_CUSTOMER_ORDER_PROFILE,
+    "event_value_median": SQL_EVENT_VALUE_MEDIAN,
+    "source_lang_profile": SQL_SOURCE_LANG_PROFILE,
     "customers_no_big_orders": SQL_CUSTOMERS_NO_BIG_ORDERS,
     "customers_big_orders_semi": SQL_CUSTOMERS_BIG_ORDERS_SEMI,
     "binary_payload_stats": SQL_BINARY_PAYLOAD_STATS,

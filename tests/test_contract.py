@@ -63,3 +63,26 @@ def test_query_matches_oracle(key, duck, ray_session):
     assert len(got) == len(want)
     pd.testing.assert_frame_equal(got, want, check_dtype=False,
                                   check_exact=False, atol=1e-6, rtol=0)
+
+
+@pytest.mark.parametrize("n", [601, 600, 7])
+def test_median_exact_on_pathological_distributions(n, ray_session,
+                                                    tmp_path, monkeypatch):
+    """Histogram-narrowing median stays exact when 60% of the mass sits at
+    one point (the candidate bin never shrinks) and on tiny odd/even n —
+    forced through the recursion path with toy bins/caps."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from search_engine_ray.pipelines import queries as Q
+    rng = np.random.default_rng(n)
+    vals = np.concatenate([np.full(int(n * 0.6), 5.0),
+                           rng.uniform(-10, 30, n - int(n * 0.6))])
+    rng.shuffle(vals)
+    pq.write_table(pa.table({"value": vals}),
+                   str(tmp_path / "events.parquet"))
+    monkeypatch.setattr(Q, "_MEDIAN_BINS", 16)
+    monkeypatch.setattr(Q, "_MEDIAN_MAX_CANDIDATES", 8)
+    got = Q.q_event_value_median(str(tmp_path))
+    assert got["n_values"][0].as_py() == n
+    want = round(float(np.median(vals)), 6)
+    assert got["median_value"][0].as_py() == pytest.approx(want, abs=1e-6)
