@@ -197,6 +197,17 @@ def cmd_compact(args) -> int:
     return 0
 
 
+def cmd_ingest(args) -> int:
+    _ensure_ray(args.num_cpus)
+    from .pipelines.maintenance import ingest_documents
+    keep = tuple(args.keep_cols.split(",")) if args.keep_cols else ()
+    man = ingest_documents(args.index, _source_for(args.source),
+                           keep_cols=keep, exchange=args.exchange)
+    print(f"ingested {args.source} into {args.index} "
+          f"({len(man['partitions'])} partitions)")
+    return 0
+
+
 def cmd_merge(args) -> int:
     _ensure_ray(args.num_cpus)
     from .pipelines.merge import merge_indexes
@@ -316,6 +327,15 @@ def make_parser() -> argparse.ArgumentParser:
     co.add_argument("--index", required=True)
     co.add_argument("--into", required=True)
     co.set_defaults(fn=cmd_compact)
+
+    ing = sub.add_parser("ingest",
+                         help="incremental ingestion: delta build + merge "
+                              "+ in-place swap (re-crawls update)")
+    ing.add_argument("--index", required=True)
+    ing.add_argument("--source", required=True)
+    ing.add_argument("--keep-cols", default="")
+    ing.add_argument("--exchange", choices=["fs", "groupby"], default="fs")
+    ing.set_defaults(fn=cmd_ingest)
 
     m = sub.add_parser("merge", help="k-way merge of indexes")
     m.add_argument("--into", required=True)

@@ -185,3 +185,43 @@ def compact_index(index_dir: str, out_dir: str) -> dict:
     ckpt.write_manifest(out_dir, cfg, ckpt.partition_metrics(out_dir, cfg))
     shutil.rmtree(os.path.join(out_dir, "tombstones"), ignore_errors=True)
     return ckpt.read_manifest(out_dir)
+
+
+def ingest_documents(index_dir: str, source, *, keep_cols=(),
+                     workdir: str | None = None,
+                     exchange: str = "fs") -> dict:
+    """Incremental ingestion: build a DELTA index over ``source`` with the
+    live index's own config/partition grid, k-way merge with the delta
+    LAST (so a re-crawled doc_id takes the new content — the merge's
+    last-input-wins rule), then swap the merged index into place.
+
+    Crash story: both the delta build and the merge are themselves
+    resumable (per-partition ``_DONE`` commits), and the live index is
+    only renamed away AFTER the merge fully commits — re-running
+    ``ingest_documents`` after a crash either resumes the scratch dirs or,
+    if the crash hit the two-rename window, leaves ``<index>.pre-ingest``
+    on disk to recover from (directory swap is not atomic on POSIX).
+
+    Scale note: merge cost is ∝ total index size, not delta size — the
+    right cadence at 100 TB is batching deltas (build many cheap deltas,
+    merge once), which this API supports by pointing ``merge_indexes`` at
+    the accumulated list directly."""
+    from ..state.checkpoint import IndexConfig
+    from .build import build_index
+    from .merge import merge_indexes
+
+    man = ckpt.read_manifest(index_dir)
+    cfg = IndexConfig(**{k: tuple(v) if isinstance(v, list) else v
+                         for k, v in man["config"].items()})
+    base = workdir or (index_dir.rstrip("/") + ".ingest")
+    delta = os.path.join(base, "delta")
+    merged = os.path.join(base, "merged")
+    build_index(source, delta, cfg, keep_cols=tuple(keep_cols),
+                exchange=exchange)
+    merge_indexes([index_dir, delta], merged)
+    old = index_dir.rstrip("/") + ".pre-ingest"
+    os.rename(index_dir, old)
+    os.rename(merged, index_dir)
+    shutil.rmtree(old)
+    shutil.rmtree(base, ignore_errors=True)
+    return ckpt.read_manifest(index_dir)

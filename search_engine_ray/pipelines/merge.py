@@ -5,9 +5,11 @@ over successive crawl batches) into one, partition-parallel:
 
 - each (shard, bucket) partition is merged in its own Ray task — a k-way
   merge of the K inputs' docID-sorted posting lists (stable timsort over
-  concatenated runs), last-input-wins on re-crawled (field, term, doc_id),
-  optional per-input docID offset remapping — then committed atomically
-  with a ``_DONE`` marker (resumable like the build itself);
+  concatenated runs), DOC-level last-input-wins on re-crawled doc_ids (an
+  earlier input's postings for a doc a later input contains are dropped
+  outright, so terms the new version no longer has don't survive as stale
+  df), optional per-input docID offset remapping — then committed
+  atomically with a ``_DONE`` marker (resumable like the build itself);
 - docstores concatenate with last-input-wins per doc_id;
 - docstats / termstats are recomputed from the merged artifacts.
 
@@ -64,6 +66,7 @@ class _MergePartition:
         # the dicts of the ONE shard its partitions belong to, so per-task
         # memory stays O(corpus / n_doc_shards).
         self.dict_refs = dict_refs or {}
+        self._drop_cache: dict[int, list] = {}
 
     def _dict_for(self, rank: int, shard: int):
         ref = self.dict_refs.get((rank, shard))
@@ -73,13 +76,35 @@ class _MergePartition:
         d = self.out_dir if rank < 0 else self.index_dirs[rank]
         return load_shard_dict(ckpt.docstore_dir(d), shard)
 
+    def _drops_for(self, shard: int) -> list:
+        """Per input rank, the sorted docIDs this rank must DROP from its
+        postings: docs a LATER input also contains (doc-level last-input-
+        wins for re-crawls — see merge_segment_tables' drop_docs).  Built
+        once per shard from the shard dictionaries (already broadcast)."""
+        import numpy as np
+        cached = self._drop_cache.get(shard)
+        if cached is not None:
+            return cached
+        k = len(self.index_dirs)
+        drops: list = [None] * k
+        seen = None
+        for r in range(k - 1, -1, -1):
+            d = self._dict_for(r, shard)
+            drops[r] = (np.intersect1d(d, seen) if seen is not None
+                        else np.empty(0, dtype=np.int64))
+            seen = d if seen is None else np.union1d(seen, d)
+        self._drop_cache[shard] = drops
+        return drops
+
     def __call__(self, batch: pa.Table) -> pa.Table:
         import json
         import uuid as uuidlib
         out_rows = []
         for part in batch["part"].to_pylist():
             shard, bucket = ckpt.split_part(part, self.n_buckets)
-            segs, offsets, in_dicts = [], [], []
+            drop_by_rank = (self._drops_for(shard)
+                            if len(self.index_dirs) > 1 else None)
+            segs, offsets, in_dicts, drops = [], [], [], []
             for rank, d in enumerate(self.index_dirs):
                 path = os.path.join(ckpt.partition_dir(d, shard, bucket),
                                     "postings.parquet")
@@ -87,9 +112,12 @@ class _MergePartition:
                     segs.append(pq.read_table(path))
                     offsets.append(self.offsets[rank] if self.offsets else 0)
                     in_dicts.append(self._dict_for(rank, shard))
+                    drops.append(drop_by_rank[rank]
+                                 if drop_by_rank is not None else None)
             out_dict = self._dict_for(-1, shard)
             merged = merge_segment_tables(segs, offsets if any(offsets) else None,
-                                          in_dicts=in_dicts, out_dict=out_dict)
+                                          in_dicts=in_dicts, out_dict=out_dict,
+                                          drop_docs=drops)
             part_dir = os.path.join(self.out_dir, "segments",
                                     f"shard={shard:03d}", f"bucket={bucket:05d}")
             os.makedirs(part_dir, exist_ok=True)

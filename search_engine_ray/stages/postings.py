@@ -275,7 +275,8 @@ def decode_segment_to_rows(seg: pa.Table,
 def merge_segment_tables(segs: list[pa.Table],
                          doc_id_offsets: list[int] | None = None,
                          in_dicts: list[np.ndarray | None] | None = None,
-                         out_dict: np.ndarray | None = None) -> pa.Table:
+                         out_dict: np.ndarray | None = None,
+                         drop_docs: list | None = None) -> pa.Table:
     """K-way merge of segment partitions into one SEGMENT_SCHEMA table.
 
     Inputs are docID-sorted posting lists; the merged list is produced by a
@@ -289,6 +290,13 @@ def merge_segment_tables(segs: list[pa.Table],
     ``in_dicts[i]`` is input i's shard docID dictionary (required when that
     input is a local-space segment); ``out_dict`` re-encodes the merged
     output in local space against the MERGED shard's dictionary.
+
+    ``drop_docs[i]`` (sorted global docIDs, post-offset space) drops ALL of
+    input i's postings for those documents — DOC-level last-input-wins for
+    re-crawls: when a later input re-crawls a doc, the posting-level dedup
+    below only overrides terms present in BOTH versions; terms the new
+    version no longer contains must be dropped outright or they survive as
+    stale postings and inflate df.
     """
     rows = []
     for rank, seg in enumerate(segs):
@@ -298,6 +306,13 @@ def merge_segment_tables(segs: list[pa.Table],
             r = r.set_column(r.schema.get_field_index("doc_id"), "doc_id",
                              pa.array(r["doc_id"].to_numpy(zero_copy_only=False)
                                       + doc_id_offsets[rank], type=pa.int64()))
+        dd = drop_docs[rank] if drop_docs is not None else None
+        if dd is not None and len(dd) and r.num_rows:
+            dvals = r["doc_id"].to_numpy(zero_copy_only=False)
+            pos = np.minimum(np.searchsorted(dd, dvals), len(dd) - 1)
+            stale = dd[pos] == dvals
+            if stale.any():
+                r = r.filter(pa.array(~stale))
         rows.append(r.append_column(
             "rank", pa.array(np.full(r.num_rows, rank, dtype=np.int32))))
     if not rows:

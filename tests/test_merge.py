@@ -121,3 +121,49 @@ def test_merged_index_equals_full_build(two_indexes, ray_session):
         assert [d for d, _ in got] == [d for d, _ in want], q
         for (_, gs), (_, ws) in zip(got, want):
             assert gs == pytest.approx(ws, abs=1e-9)
+
+
+def test_ingest_updates_in_place_with_recrawl(ray_session, tmp_path):
+    """ingest_documents = delta build + merge + swap: new docs become
+    searchable, a re-crawled doc_id serves its NEW text, and the index
+    directory path is unchanged (scratch dirs cleaned up)."""
+    import numpy as np
+    from search_engine_ray.pipelines.build import build_index
+    from search_engine_ray.pipelines.maintenance import ingest_documents
+    from search_engine_ray.pipelines.oracle import build_oracle
+    from search_engine_ray.pipelines.query import QueryEngine
+    from search_engine_ray.state.checkpoint import IndexConfig
+
+    src = "/root/testdata/sf0.001/documents.parquet"
+    t = pq.read_table(src, columns=["doc_id", "text"])
+    half = t.num_rows // 2
+    base_t, new_t = t.slice(0, half), t.slice(half)
+    # re-crawl: doc 0 reappears in the delta with replaced text
+    recrawl = pa.table({
+        "doc_id": pa.array([t["doc_id"][0].as_py()], type=pa.int64()),
+        "text": pa.array(["zebra quokka zebra recrawl text"])})
+    delta_t = pa.concat_tables([new_t, recrawl])
+    p_base = str(tmp_path / "base.parquet")
+    p_delta = str(tmp_path / "delta.parquet")
+    pq.write_table(base_t, p_base)
+    pq.write_table(delta_t, p_delta)
+
+    idx = str(tmp_path / "idx")
+    cfg = IndexConfig(n_buckets=4, n_doc_shards=2, salt_hot_terms=False)
+    build_index(p_base, idx, cfg)
+    ingest_documents(idx, p_delta)
+    assert not os.path.exists(idx + ".ingest")
+    assert not os.path.exists(idx + ".pre-ingest")
+
+    # oracle over the post-ingest corpus (delta wins on doc 0)
+    docs = {d: x for d, x in zip(t["doc_id"].to_pylist(),
+                                 t["text"].to_pylist())}
+    docs[t["doc_id"][0].as_py()] = "zebra quokka zebra recrawl text"
+    orc = build_oracle(list(docs.items()))
+    qe = QueryEngine(idx, num_searchers=2, use_actors=False)
+    for q in ["table row merge", "zebra quokka", "the a window"]:
+        got = qe.query(q, k=10)
+        want = orc.bm25(q, k=10)
+        assert [d for d, _ in got] == [d for d, _ in want], q
+        for (_, gs), (_, ws) in zip(got, want):
+            assert gs == pytest.approx(ws, abs=1e-9)
