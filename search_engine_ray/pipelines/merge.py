@@ -206,6 +206,33 @@ def merge_indexes(index_dirs: list[str], out_dir: str, *,
             .write_parquet(tmp_store, partition_cols=["shard"])
         os.replace(tmp_store, store_dir)
 
+    # tombstones carry forward: a deleted doc stays dead in the merged
+    # index UNLESS a later input re-crawled it (same doc-level last-input-
+    # wins rule as the postings) — without this, merging resurrects every
+    # searchable-deleted document.  Idempotent (skip if already written).
+    import numpy as np
+    from ..stages.postings import load_shard_dict
+    from .maintenance import load_tombstones
+    for s in range(cfg.n_doc_shards):
+        out_ts = ckpt.tombstones_shard_dir(out_dir, s)
+        if os.path.isdir(out_ts):
+            continue                      # resumed merge
+        parts, later = [], None
+        for r in range(len(index_dirs) - 1, -1, -1):
+            t = load_tombstones(index_dirs[r], s)
+            if later is not None and t.size:
+                t = np.setdiff1d(t, later)    # revived by a later re-crawl
+            if t.size:
+                parts.append(t)
+            d = load_shard_dict(ckpt.docstore_dir(index_dirs[r]), s)
+            later = d if later is None else np.union1d(later, d)
+        if parts:
+            dead = np.unique(np.concatenate(parts))
+            os.makedirs(out_ts, exist_ok=True)
+            pq.write_table(
+                pa.table({"doc_id": pa.array(dead, type=pa.int64())}),
+                os.path.join(out_ts, "del-carried.parquet"))
+
     pending = ckpt.pending_partitions(out_dir, cfg)
     if pending:
         # shard dictionaries: load each (dir, shard) ONCE in parallel tasks

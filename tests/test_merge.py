@@ -167,3 +167,46 @@ def test_ingest_updates_in_place_with_recrawl(ray_session, tmp_path):
         assert [d for d, _ in got] == [d for d, _ in want], q
         for (_, gs), (_, ws) in zip(got, want):
             assert gs == pytest.approx(ws, abs=1e-9)
+
+
+def test_ingest_carries_tombstones_and_recrawl_revives(ray_session,
+                                                       tmp_path):
+    """Merging must not resurrect searchable-deleted docs: a tombstoned doc
+    stays dead through ingest, unless the delta re-crawls it (revive with
+    the NEW text)."""
+    import numpy as np
+    from search_engine_ray.pipelines.build import build_index
+    from search_engine_ray.pipelines.maintenance import (delete_docs,
+                                                         ingest_documents)
+    from search_engine_ray.pipelines.query import QueryEngine
+    from search_engine_ray.state.checkpoint import IndexConfig
+
+    src = "/root/testdata/sf0.001/documents.parquet"
+    t = pq.read_table(src, columns=["doc_id", "text"])
+    half = t.num_rows // 2
+    ids = t["doc_id"].to_pylist()
+    dead_forever, dead_revived = ids[0], ids[1]
+    p_base = str(tmp_path / "base.parquet")
+    pq.write_table(t.slice(0, half), p_base)
+    delta = pa.concat_tables([
+        t.slice(half),
+        pa.table({"doc_id": pa.array([dead_revived], type=pa.int64()),
+                  "text": pa.array(["zebra quokka revived text"])})])
+    p_delta = str(tmp_path / "delta.parquet")
+    pq.write_table(delta, p_delta)
+
+    idx = str(tmp_path / "idx")
+    build_index(p_base, idx,
+                IndexConfig(n_buckets=4, n_doc_shards=2,
+                            salt_hot_terms=False))
+    delete_docs(idx, [dead_forever, dead_revived])
+    qe0 = QueryEngine(idx, num_searchers=2, use_actors=False)
+    hits0 = {d for d, _ in qe0.query("table row merge window", k=500)}
+    assert dead_forever not in hits0 and dead_revived not in hits0
+
+    ingest_documents(idx, p_delta)
+    qe = QueryEngine(idx, num_searchers=2, use_actors=False)
+    hits = {d for d, _ in qe.query("table row merge window", k=500)}
+    assert dead_forever not in hits
+    revived = {d for d, _ in qe.query("zebra quokka", k=10)}
+    assert dead_revived in revived
