@@ -200,7 +200,7 @@ def cmd_compact(args) -> int:
 def cmd_ingest(args) -> int:
     _ensure_ray(args.num_cpus)
     from .pipelines.maintenance import ingest_documents
-    keep = tuple(args.keep_cols.split(",")) if args.keep_cols else ()
+    keep = tuple(args.keep_cols.split(",")) if args.keep_cols else None
     man = ingest_documents(args.index, _source_for(args.source),
                            keep_cols=keep, exchange=args.exchange)
     print(f"ingested {args.source} into {args.index} "

@@ -187,7 +187,7 @@ def compact_index(index_dir: str, out_dir: str) -> dict:
     return ckpt.read_manifest(out_dir)
 
 
-def ingest_documents(index_dir: str, source, *, keep_cols=(),
+def ingest_documents(index_dir: str, source, *, keep_cols=None,
                      workdir: str | None = None,
                      exchange: str = "fs") -> dict:
     """Incremental ingestion: build a DELTA index over ``source`` with the
@@ -213,6 +213,16 @@ def ingest_documents(index_dir: str, source, *, keep_cols=(),
     man = ckpt.read_manifest(index_dir)
     cfg = IndexConfig(**{k: tuple(v) if isinstance(v, list) else v
                          for k, v in man["config"].items()})
+    if keep_cols is None:
+        # inherit the live index's docstore display columns — the merged
+        # docstore concatenates both, so the delta must carry the same
+        # extras (url/title/…) beyond the core (doc_id, doc_len, shard)
+        frag = glob.glob(os.path.join(ckpt.docstore_dir(index_dir),
+                                      "**", "*.parquet"), recursive=True)
+        core = {cfg.id_col, "doc_len", "shard"}
+        keep_cols = tuple(
+            c for c in pq.read_schema(frag[0]).names
+            if c not in core) if frag else ()
     base = workdir or (index_dir.rstrip("/") + ".ingest")
     delta = os.path.join(base, "delta")
     merged = os.path.join(base, "merged")

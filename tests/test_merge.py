@@ -210,3 +210,31 @@ def test_ingest_carries_tombstones_and_recrawl_revives(ray_session,
     assert dead_forever not in hits
     revived = {d for d, _ in qe.query("zebra quokka", k=10)}
     assert dead_revived in revived
+
+
+def test_ingest_inherits_docstore_display_columns(ray_session, tmp_path):
+    """With keep_cols unspecified, ingest derives the delta's docstore
+    extras from the live index (merged docstore schema stays uniform)."""
+    from search_engine_ray.pipelines.build import build_index
+    from search_engine_ray.pipelines.maintenance import ingest_documents
+    from search_engine_ray.state import checkpoint as ckpt
+    from search_engine_ray.state.checkpoint import IndexConfig
+
+    t = pq.read_table("/root/testdata/sf0.001/documents.parquet",
+                      columns=["doc_id", "text"])
+    urls = pa.array([f"https://ex.com/{d}" for d in
+                     t["doc_id"].to_pylist()])
+    t = t.append_column("url", urls)
+    half = t.num_rows // 2
+    p_base, p_delta = str(tmp_path / "b.parquet"), str(tmp_path / "d.parquet")
+    pq.write_table(t.slice(0, half), p_base)
+    pq.write_table(t.slice(half), p_delta)
+    idx = str(tmp_path / "idx")
+    build_index(p_base, idx, IndexConfig(n_buckets=4, n_doc_shards=2,
+                                         salt_hot_terms=False),
+                keep_cols=("url",))
+    ingest_documents(idx, p_delta)
+    store = pq.read_table(ckpt.docstore_dir(idx))
+    assert "url" in store.column_names
+    assert store.num_rows == t.num_rows
+    assert store["url"].null_count == 0
