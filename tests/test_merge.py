@@ -238,3 +238,58 @@ def test_ingest_inherits_docstore_display_columns(ray_session, tmp_path):
     assert "url" in store.column_names
     assert store.num_rows == t.num_rows
     assert store["url"].null_count == 0
+
+
+def test_full_lifecycle_compact_after_ingest_equals_fresh_build(
+        ray_session, tmp_path):
+    """build → delete → ingest (re-crawl + new docs) → compact produces an
+    index whose postings and stats are byte-identical to a fresh build
+    over the surviving corpus."""
+    from search_engine_ray.pipelines.build import build_index
+    from search_engine_ray.pipelines.maintenance import (compact_index,
+                                                         delete_docs,
+                                                         ingest_documents)
+    from search_engine_ray.state import checkpoint as ckpt
+    from search_engine_ray.state.checkpoint import IndexConfig
+
+    t = pq.read_table("/root/testdata/sf0.001/documents.parquet",
+                      columns=["doc_id", "text"])
+    ids = t["doc_id"].to_pylist()
+    half = t.num_rows // 2
+    dead, recrawled = ids[2], ids[3]
+    cfg = IndexConfig(n_buckets=4, n_doc_shards=2, salt_hot_terms=False)
+
+    p_base = str(tmp_path / "b.parquet")
+    pq.write_table(t.slice(0, half), p_base)
+    delta = pa.concat_tables([
+        t.slice(half),
+        pa.table({"doc_id": pa.array([recrawled], type=pa.int64()),
+                  "text": pa.array(["replacement text body"])})])
+    p_delta = str(tmp_path / "d.parquet")
+    pq.write_table(delta, p_delta)
+
+    idx = str(tmp_path / "idx")
+    build_index(p_base, idx, cfg)
+    delete_docs(idx, [dead])
+    ingest_documents(idx, p_delta)
+    compacted = str(tmp_path / "compacted")
+    compact_index(idx, compacted)
+
+    docs = {d: x for d, x in zip(ids, t["text"].to_pylist())}
+    docs[recrawled] = "replacement text body"
+    del docs[dead]
+    p_surv = str(tmp_path / "surv.parquet")
+    pq.write_table(pa.table({
+        "doc_id": pa.array(list(docs.keys()), type=pa.int64()),
+        "text": pa.array(list(docs.values()))}), p_surv)
+    fresh = str(tmp_path / "fresh")
+    build_index(p_surv, fresh, cfg)
+
+    assert ckpt.read_docstats(compacted) == ckpt.read_docstats(fresh)
+    for s in range(2):
+        for b in range(4):
+            pm = pq.read_table(os.path.join(
+                ckpt.partition_dir(compacted, s, b), "postings.parquet"))
+            pf = pq.read_table(os.path.join(
+                ckpt.partition_dir(fresh, s, b), "postings.parquet"))
+            assert pm.equals(pf), (s, b)
