@@ -219,7 +219,9 @@ def ingest_documents(index_dir: str, source, *, keep_cols=None,
         # extras (url/title/…) beyond the core (doc_id, doc_len, shard)
         frag = glob.glob(os.path.join(ckpt.docstore_dir(index_dir),
                                       "**", "*.parquet"), recursive=True)
-        core = {cfg.id_col, "doc_len", "shard"}
+        # 'pos' guards legacy positional indexes whose docstore fragments
+        # carried the (all-null) postings position column
+        core = {cfg.id_col, "doc_len", "shard", "pos"}
         keep_cols = tuple(
             c for c in pq.read_schema(frag[0]).names
             if c not in core) if frag else ()

@@ -319,10 +319,15 @@ def merge_segment_tables(segs: list[pa.Table],
         return SEGMENT_SCHEMA.with_metadata(
             {DOCID_SPACE_KEY: b"local" if out_dict is not None else b"global"}
         ).empty_table()
-    # positions survive a merge only if EVERY input carries them — a mixed
-    # merge (positional + legacy index) cannot reconstruct the missing
-    # streams, so it degrades to a non-positional output rather than
-    # emitting misaligned position data.
+    # positions survive a merge only if every NON-EMPTY input carries them —
+    # a mixed merge (positional + legacy index) cannot reconstruct the
+    # missing streams, so it degrades to a non-positional output rather
+    # than emitting misaligned position data.  Empty partitions (committed
+    # with the base schema, no pos column) contribute nothing and must not
+    # trigger the degrade.
+    live = [r for r in rows if r.num_rows]
+    if live:
+        rows = live
     if any("pos" in r.column_names for r in rows) and \
             not all("pos" in r.column_names for r in rows):
         rows = [r.drop_columns(["pos"]) if "pos" in r.column_names else r
@@ -398,7 +403,7 @@ class FragmentSpiller:
         total_tokens = (int(pa.compute.sum(doc_rows["doc_len"]).as_py() or 0)
                         if "doc_len" in doc_rows.column_names else 0)
         if self.docstore_tmp is not None and doc_rows.num_rows:
-            drop = [c for c in ("term", "tf", "part", "field")
+            drop = [c for c in ("term", "tf", "part", "field", "pos")
                     if c in doc_rows.column_names]
             doc_rows = doc_rows.drop_columns(drop)
             # shard-partitioned spill: sort by shard once, slice runs

@@ -293,3 +293,30 @@ def test_full_lifecycle_compact_after_ingest_equals_fresh_build(
             pf = pq.read_table(os.path.join(
                 ckpt.partition_dir(fresh, s, b), "postings.parquet"))
             assert pm.equals(pf), (s, b)
+
+
+def test_ingest_preserves_positions_for_phrases(ray_session, tmp_path):
+    """Ingesting into a positional index keeps phrase serving exact (the
+    delta inherits positions=True from the live config)."""
+    from search_engine_ray.pipelines.build import build_index
+    from search_engine_ray.pipelines.maintenance import ingest_documents
+    from search_engine_ray.pipelines.query import QueryEngine
+    from search_engine_ray.state.checkpoint import IndexConfig
+
+    base = pa.table({
+        "doc_id": pa.array([1, 2], type=pa.int64()),
+        "text": pa.array(["alpha beta gamma delta", "beta alpha gamma"])})
+    delta = pa.table({
+        "doc_id": pa.array([3], type=pa.int64()),
+        "text": pa.array(["gamma alpha beta epsilon"])})
+    p_b, p_d = str(tmp_path / "b.parquet"), str(tmp_path / "d.parquet")
+    pq.write_table(base, p_b)
+    pq.write_table(delta, p_d)
+    idx = str(tmp_path / "idx")
+    build_index(p_b, idx, IndexConfig(n_buckets=4, n_doc_shards=2,
+                                      positions=True,
+                                      salt_hot_terms=False))
+    ingest_documents(idx, p_d)
+    qe = QueryEngine(idx, num_searchers=2, use_actors=False)
+    hits = [d for d, _ in qe.phrase_query("alpha beta", k=10)]
+    assert sorted(hits) == [1, 3]
