@@ -520,10 +520,18 @@ def build_reference_index(source: str | DatasetFactory, index_dir: str,
                           **kwargs) -> dict:
     """Multi-field index with the reference's full field set: tokenized
     text+title postings plus the 7 metadata set-indexes (SURVEY §1.2)."""
+    from dataclasses import replace as _dcreplace
+
     from ..stages.tokenize import FieldedPostings
     cfg = config or IndexConfig()
-    tf = text_fields or REFERENCE_TEXT_FIELDS
-    mf = metadata_fields or REFERENCE_METADATA_FIELDS
+    tf = text_fields or cfg.extra.get("text_fields") or REFERENCE_TEXT_FIELDS
+    mf = (metadata_fields or cfg.extra.get("metadata_fields")
+          or REFERENCE_METADATA_FIELDS)
+    # record the field mappings in the manifest so maintenance flows
+    # (ingest_documents' delta builds) can reconstruct the fielded stage
+    cfg = _dcreplace(cfg, fields=tuple(sorted(set(tf) | set(mf))),
+                     extra={**cfg.extra, "text_fields": dict(tf),
+                            "metadata_fields": dict(mf)})
     stage = FieldedPostings(
         id_col=cfg.id_col, text_fields=tf, metadata_fields=mf,
         stopwords=ENGLISH_STOPWORDS if cfg.stopwords else None,

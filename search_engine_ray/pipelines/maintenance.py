@@ -207,12 +207,16 @@ def ingest_documents(index_dir: str, source, *, keep_cols=None,
     merge once), which this API supports by pointing ``merge_indexes`` at
     the accumulated list directly."""
     from ..state.checkpoint import IndexConfig
-    from .build import build_index
+    from .build import build_index, build_reference_index
     from .merge import merge_indexes
 
     man = ckpt.read_manifest(index_dir)
     cfg = IndexConfig(**{k: tuple(v) if isinstance(v, list) else v
                          for k, v in man["config"].items()})
+    # a fielded (reference) index records its field mappings in the
+    # manifest; the delta must be built with the SAME fielded stage
+    builder = (build_reference_index if cfg.extra.get("text_fields")
+               else build_index)
     if keep_cols is None:
         # inherit the live index's docstore display columns — the merged
         # docstore concatenates both, so the delta must carry the same
@@ -228,8 +232,8 @@ def ingest_documents(index_dir: str, source, *, keep_cols=None,
     base = workdir or (index_dir.rstrip("/") + ".ingest")
     delta = os.path.join(base, "delta")
     merged = os.path.join(base, "merged")
-    build_index(source, delta, cfg, keep_cols=tuple(keep_cols),
-                exchange=exchange)
+    builder(source, delta, cfg, keep_cols=tuple(keep_cols),
+            exchange=exchange)
     merge_indexes([index_dir, delta], merged)
     old = index_dir.rstrip("/") + ".pre-ingest"
     os.rename(index_dir, old)

@@ -320,3 +320,39 @@ def test_ingest_preserves_positions_for_phrases(ray_session, tmp_path):
     qe = QueryEngine(idx, num_searchers=2, use_actors=False)
     hits = [d for d, _ in qe.phrase_query("alpha beta", k=10)]
     assert sorted(hits) == [1, 3]
+
+
+def test_ingest_fielded_index_rebuilds_fielded_delta(ray_session, tmp_path):
+    """Ingesting into a FIELDED (reference) index must build the delta
+    with the same fielded stage (mappings recorded in the manifest) — a
+    faceted query spanning both halves returns exactly the brute-force
+    filter set."""
+    from search_engine_ray.functions.analyze import tokenize
+    from search_engine_ray.pipelines.build import build_reference_index
+    from search_engine_ray.pipelines.maintenance import ingest_documents
+    from search_engine_ray.pipelines.query import QueryEngine
+    from search_engine_ray.state.checkpoint import IndexConfig
+
+    t = pq.read_table("/root/testdata/sf0.001/documents.parquet",
+                      columns=["doc_id", "text", "lang", "source"])
+    half = t.num_rows // 2
+    p_base, p_delta = str(tmp_path / "b.parquet"), str(tmp_path / "d.parquet")
+    pq.write_table(t.slice(0, half), p_base)
+    pq.write_table(t.slice(half), p_delta)
+    idx = str(tmp_path / "idx")
+    build_reference_index(
+        p_base, idx,
+        IndexConfig(n_buckets=4, n_doc_shards=2, salt_hot_terms=False),
+        text_fields={"text": "text"},
+        metadata_fields={"language": "lang", "source": "source"})
+    ingest_documents(idx, p_delta)
+
+    lang0 = t["lang"][0].as_py()
+    query = "scan merge window fast"
+    qe = QueryEngine(idx, num_searchers=2, use_actors=False)
+    hits = {d for d, _ in
+            qe.query_filtered(query, [("language", lang0)], k=10_000)}
+    qterms = set(tokenize(query))
+    want = {r["doc_id"] for r in t.to_pylist()
+            if r["lang"] == lang0 and qterms & set(tokenize(r["text"]))}
+    assert hits == want and len(want) > 0
