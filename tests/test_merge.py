@@ -356,3 +356,37 @@ def test_ingest_fielded_index_rebuilds_fielded_delta(ray_session, tmp_path):
     want = {r["doc_id"] for r in t.to_pylist()
             if r["lang"] == lang0 and qterms & set(tokenize(r["text"]))}
     assert hits == want and len(want) > 0
+
+
+def test_ingest_with_salting_matches_oracle(ray_session, tmp_path):
+    """Base and delta each sample their OWN hot-term set (different salting
+    layouts); merged serving must still be rank/score-identical to the
+    oracle — searchers merge a term's runs across buckets by design."""
+    from search_engine_ray.pipelines.build import build_index
+    from search_engine_ray.pipelines.maintenance import ingest_documents
+    from search_engine_ray.pipelines.oracle import build_oracle
+    from search_engine_ray.pipelines.query import QueryEngine
+    from search_engine_ray.state.checkpoint import IndexConfig
+
+    src = "/root/testdata/sf0.001/documents.parquet"
+    t = pq.read_table(src, columns=["doc_id", "text"])
+    half = t.num_rows // 2
+    p_base, p_delta = str(tmp_path / "b.parquet"), str(tmp_path / "d.parquet")
+    pq.write_table(t.slice(0, half), p_base)
+    pq.write_table(t.slice(half), p_delta)
+    idx = str(tmp_path / "idx")
+    # aggressive salting so head terms REALLY spread (tiny corpus)
+    cfg = IndexConfig(n_buckets=4, n_doc_shards=2, salt_hot_terms=True,
+                      hot_df_fraction=0.05, salt=4)
+    build_index(p_base, idx, cfg)
+    ingest_documents(idx, p_delta)
+
+    orc = build_oracle(list(zip(t["doc_id"].to_pylist(),
+                                t["text"].to_pylist())))
+    qe = QueryEngine(idx, num_searchers=2, use_actors=False)
+    for q in ["table row merge", "the a window", "scan fast value"]:
+        got = qe.query(q, k=10)
+        want = orc.bm25(q, k=10)
+        assert [d for d, _ in got] == [d for d, _ in want], q
+        for (_, gs), (_, ws) in zip(got, want):
+            assert gs == pytest.approx(ws, abs=1e-9)
