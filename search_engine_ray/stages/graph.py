@@ -51,6 +51,13 @@ def pagerank(edges: "ray.data.Dataset", *, damping: float = 0.85,
     """
     import ray
 
+    # pin the edge blocks ONCE: the Dataset is consumed 2 + iters times
+    # (node table, out-weights, one pass per iteration) and is usually the
+    # tail of an expensive lineage (href extraction, multi-table joins) —
+    # without this every iteration re-executes that whole upstream.  The
+    # object store spills oversized edge sets; recomputation never pays.
+    edges = edges.materialize()
+
     w_expr = weight
     sch = edges.schema()
     null_t = dict(zip(sch.names, sch.types))[src]
