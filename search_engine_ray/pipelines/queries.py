@@ -920,9 +920,12 @@ def q_bigram_lm(sf_dir: str):
             .group_by(["l", "r"]).aggregate([([], "count_all")])
         return agg.rename_columns(["l", "r", "c"])
 
+    # materialize: consumed twice (top-k sort, head re-reduce) — the
+    # aggregated bigram table is far smaller than the corpus pass that
+    # builds it, and a lazy second consumption would re-tokenize everything
     agg = (_docs(sf_dir, ["text"])
            .map_batches(pairs, batch_format="pyarrow")
-           .groupby(["l", "r"]).aggregate(Sum("c")))
+           .groupby(["l", "r"]).aggregate(Sum("c"))).materialize()
     top = _collect_table(
         agg.sort(["sum(c)", "l", "r"], descending=[True, False, False])
            .limit(BIGRAM_TOP))
@@ -979,8 +982,11 @@ def q_term_pmi(sf_dir: str):
                         "term": terms})
         return tok.group_by(["doc_id", "term"]).aggregate([])
 
+    # materialize: consumed twice (df vocab pass, co-occurrence pass) —
+    # pinning the (doc, term) pairs costs one spillable copy and saves a
+    # full corpus re-tokenize on the second consumption
     dt = _docs(sf_dir, ["doc_id", "text"]) \
-        .map_batches(doc_terms, batch_format="pyarrow")
+        .map_batches(doc_terms, batch_format="pyarrow").materialize()
     df_tbl = _collect_table(
         dt.groupby("term").aggregate(Count())
           .rename_columns({"count()": "df"})
