@@ -1139,26 +1139,27 @@ def q_events_asof_orders(sf_dir: str):
     okey = orders["o_orderkey"].to_numpy(zero_copy_only=False)
     odate = orders["o_orderdate"].cast(pa.int64()).to_numpy(zero_copy_only=False)
     sortval = (odate // 1_000_000) * 100_000 + okey   # composite, int64-safe
-    by_key: dict[int, tuple[np.ndarray, np.ndarray]] = {}
     order_idx = np.lexsort((sortval, cust))
-    cs, sv, ok = cust[order_idx], sortval[order_idx], okey[order_idx]
-    starts = np.flatnonzero(np.r_[True, np.diff(cs) != 0])
-    ends = np.append(starts[1:], cs.size)
-    for s, e in zip(starts, ends):
-        by_key[int(cs[s])] = (sv[s:e], ok[s:e])
+    # broadcast the sorted key/value arrays ONCE via the object store —
+    # capturing them in the UDF closure would re-ship the whole small side
+    # inside every task spec
+    side_ref = ray.put((cust[order_idx], sortval[order_idx],
+                        okey[order_idx]))
 
     def asof(batch: pa.Table) -> pa.Table:
+        cs, sv, ok = ray.get(side_ref)      # zero-copy plasma read
         uid = batch["user_id"].to_numpy(zero_copy_only=False)
         ts = batch["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
         ts_val = (ts // 1_000_000) * 100_000 + 99_999  # ≥ any same-second key
         out = np.full(len(uid), -1, dtype=np.int64)
         for u in np.unique(uid):
-            entry = by_key.get(int(u))
-            if entry is None:
+            lo = np.searchsorted(cs, u, side="left")
+            hi = np.searchsorted(cs, u, side="right")
+            if lo == hi:
                 continue
             sel = uid == u
-            pos = np.searchsorted(entry[0], ts_val[sel], side="right") - 1
-            vals = np.where(pos >= 0, entry[1][np.maximum(pos, 0)], -1)
+            pos = np.searchsorted(sv[lo:hi], ts_val[sel], side="right") - 1
+            vals = np.where(pos >= 0, ok[lo:hi][np.maximum(pos, 0)], -1)
             out[sel] = vals
         res = pa.table({
             "event_id": batch["event_id"].cast(pa.int64()),
