@@ -210,6 +210,13 @@ def ingest_documents(index_dir: str, source, *, keep_cols=None,
     from .build import build_index, build_reference_index
     from .merge import merge_indexes
 
+    # auto-heal a crash inside a previous ingest's two-rename window: the
+    # live dir is gone but its .pre-ingest snapshot (and possibly the fully
+    # committed merged dir) survive — restore the snapshot and resume
+    old = index_dir.rstrip("/") + ".pre-ingest"
+    if not os.path.isdir(index_dir) and os.path.isdir(old):
+        os.rename(old, index_dir)
+
     man = ckpt.read_manifest(index_dir)
     cfg = IndexConfig(**{k: tuple(v) if isinstance(v, list) else v
                          for k, v in man["config"].items()})
@@ -235,7 +242,10 @@ def ingest_documents(index_dir: str, source, *, keep_cols=None,
     builder(source, delta, cfg, keep_cols=tuple(keep_cols),
             exchange=exchange)
     merge_indexes([index_dir, delta], merged)
-    old = index_dir.rstrip("/") + ".pre-ingest"
+    # (a stale .pre-ingest here means a previous run crashed after its
+    # swap completed but before cleanup — the live dir is already the
+    # merged one, so the snapshot is disposable)
+    shutil.rmtree(old, ignore_errors=True)
     os.rename(index_dir, old)
     os.rename(merged, index_dir)
     shutil.rmtree(old)

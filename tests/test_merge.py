@@ -390,3 +390,28 @@ def test_ingest_with_salting_matches_oracle(ray_session, tmp_path):
         assert [d for d, _ in got] == [d for d, _ in want], q
         for (_, gs), (_, ws) in zip(got, want):
             assert gs == pytest.approx(ws, abs=1e-9)
+
+
+def test_ingest_heals_crash_in_swap_window(ray_session, tmp_path):
+    """A crash between the two swap renames leaves only <idx>.pre-ingest;
+    the next ingest restores it and completes normally."""
+    from search_engine_ray.pipelines.build import build_index
+    from search_engine_ray.pipelines.maintenance import ingest_documents
+    from search_engine_ray.pipelines.query import QueryEngine
+    from search_engine_ray.state.checkpoint import IndexConfig
+
+    t = pq.read_table("/root/testdata/sf0.001/documents.parquet",
+                      columns=["doc_id", "text"])
+    half = t.num_rows // 2
+    p_base, p_delta = str(tmp_path / "b.parquet"), str(tmp_path / "d.parquet")
+    pq.write_table(t.slice(0, half), p_base)
+    pq.write_table(t.slice(half), p_delta)
+    idx = str(tmp_path / "idx")
+    build_index(p_base, idx, IndexConfig(n_buckets=4, n_doc_shards=2,
+                                         salt_hot_terms=False))
+    os.rename(idx, idx + ".pre-ingest")       # simulate the crash window
+    ingest_documents(idx, p_delta)
+    assert os.path.isdir(idx)
+    assert not os.path.exists(idx + ".pre-ingest")
+    qe = QueryEngine(idx, num_searchers=2, use_actors=False)
+    assert len(qe.query("table row", k=10)) == 10
