@@ -197,6 +197,20 @@ def cmd_compact(args) -> int:
     return 0
 
 
+def cmd_explain(args) -> int:
+    _ensure_ray(args.num_cpus)
+    from .pipelines.query import QueryEngine
+    qe = QueryEngine(args.index, num_searchers=args.searchers)
+    tbl = qe.explain(args.query, k=args.k)
+    print(f"{'doc_id':>20} {'term':<16} {'tf':>4} {'dl':>5} {'df':>7} "
+          f"{'idf':>8} {'contribution':>12}")
+    for r in tbl.to_pylist():
+        print(f"{r['doc_id']:>20} {r['term']:<16} {r['tf']:>4} "
+              f"{r['doc_len']:>5} {r['df']:>7} {r['idf']:>8.4f} "
+              f"{r['contribution']:>12.6f}")
+    return 0
+
+
 def cmd_ingest(args) -> int:
     _ensure_ray(args.num_cpus)
     from .pipelines.maintenance import ingest_documents
@@ -327,6 +341,14 @@ def make_parser() -> argparse.ArgumentParser:
     co.add_argument("--index", required=True)
     co.add_argument("--into", required=True)
     co.set_defaults(fn=cmd_compact)
+
+    ex = sub.add_parser("explain",
+                        help="per-term BM25 breakdown for a query's top-k")
+    ex.add_argument("--index", required=True)
+    ex.add_argument("query")
+    ex.add_argument("-k", type=int, default=10)
+    ex.add_argument("--searchers", type=int, default=4)
+    ex.set_defaults(fn=cmd_explain)
 
     ing = sub.add_parser("ingest",
                          help="incremental ingestion: delta build + merge "

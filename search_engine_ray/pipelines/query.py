@@ -612,6 +612,51 @@ class SegmentSearcher:
                 out[t] = df
         return out
 
+    def explain(self, terms: list[str], doc_ids) -> pa.Table:
+        """Per-(doc, term) BM25 breakdown for the given GLOBAL docIDs this
+        searcher owns → (doc_id, term, tf, doc_len, df, idf, contribution);
+        a doc's contributions sum to exactly its :meth:`search` score.
+        Cost is one postings probe per query term (the docs filter is a
+        searchsorted against a k-sized id list), so it's cheap enough to
+        run per served query for debugging/relevance work."""
+        want = np.unique(np.asarray(list(doc_ids), dtype=np.int64))
+        cols: dict[str, list] = {c: [] for c in (
+            "doc_id", "term", "tf", "doc_len", "df", "idf", "contribution")}
+        for t in sorted(set(terms)):
+            slots = self._slots_of(self.field, t)
+            if not slots.size or not want.size:
+                continue
+            df = int(self._global_df(t))
+            idf = float(bm25_idf(self.n_docs, float(df)))
+            for slot in slots:
+                local_ids, tf, dl = self._decode_slot(slot)
+                g = self._docs[local_ids]
+                pos = np.minimum(np.searchsorted(want, g), want.size - 1)
+                m = want[pos] == g
+                if not m.any():
+                    continue
+                tfm, dlm = tf[m].astype(np.float64), dl[m].astype(np.float64)
+                denom = tfm + self.k1 * (1.0 - self.b
+                                         + self.b * dlm / self.avgdl)
+                cols["doc_id"].extend(g[m].tolist())
+                cols["term"].extend([t] * int(m.sum()))
+                cols["tf"].extend(tf[m].astype(np.int64).tolist())
+                cols["doc_len"].extend(dl[m].astype(np.int64).tolist())
+                cols["df"].extend([df] * int(m.sum()))
+                cols["idf"].extend([idf] * int(m.sum()))
+                cols["contribution"].extend(
+                    (idf * tfm * (self.k1 + 1.0) / denom).tolist())
+        return pa.table({
+            "doc_id": pa.array(cols["doc_id"], type=pa.int64()),
+            "term": pa.array(cols["term"], type=pa.string()),
+            "tf": pa.array(cols["tf"], type=pa.int64()),
+            "doc_len": pa.array(cols["doc_len"], type=pa.int64()),
+            "df": pa.array(cols["df"], type=pa.int64()),
+            "idf": pa.array(cols["idf"], type=pa.float64()),
+            "contribution": pa.array(cols["contribution"],
+                                     type=pa.float64()),
+        })
+
     def _sorted_field_terms(self) -> np.ndarray:
         """Lazily-built SORTED unique term-string array for the scored
         field — the range-scannable half of the term dictionary (the
@@ -1156,6 +1201,34 @@ class QueryEngine:
                 if v > out[t]:
                     out[t] = v
         return out
+
+    def explain(self, text: str, k: int = 10) -> pa.Table:
+        """Score breakdown for the top-k of ``text``: one row per
+        (doc, matched term) with tf/doc_len/df/idf/contribution, sorted by
+        (doc_id, term).  Per doc, ``sum(contribution)`` equals the
+        :meth:`query` score exactly."""
+        empty = pa.table({"doc_id": pa.array([], type=pa.int64()),
+                          "term": pa.array([], type=pa.string()),
+                          "tf": pa.array([], type=pa.int64()),
+                          "doc_len": pa.array([], type=pa.int64()),
+                          "df": pa.array([], type=pa.int64()),
+                          "idf": pa.array([], type=pa.float64()),
+                          "contribution": pa.array([], type=pa.float64())})
+        terms = tokenize(text, stopwords=self.stopwords, stem=self.stem)
+        if not terms:
+            return empty
+        ids = np.asarray([d for d, _ in self.query(text, k=k)],
+                         dtype=np.int64)
+        if not ids.size:
+            return empty
+        if self.use_actors:
+            parts = ray.get([s.explain.remote(terms, ids)
+                             for s in self.searchers])
+        else:
+            parts = [s.explain(terms, ids) for s in self.searchers]
+        tbl = pa.concat_tables(parts)
+        return tbl.take(pc.sort_indices(
+            tbl, sort_keys=[("doc_id", "ascending"), ("term", "ascending")]))
 
     def query_many(self, texts: list[str], k: int = 10, *,
                    prune: bool = False) -> list[list[tuple[int, float]]]:

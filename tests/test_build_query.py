@@ -274,3 +274,26 @@ def test_resume_skips_finished_partitions(ray_session, sf_small, tmp_path):
             t2 = pq.read_table(os.path.join(ckpt.partition_dir(idx2, s, b),
                                             "postings.parquet"))
             assert t1.equals(t2)
+
+
+@pytest.mark.parametrize("use_actors", [False, True])
+def test_explain_contributions_sum_to_scores(built_index, use_actors,
+                                             ray_session):
+    """Per doc, explain()'s term contributions sum exactly to the served
+    BM25 score; df/idf are global; empty queries explain to empty."""
+    import numpy as np
+    from search_engine_ray.pipelines.query import QueryEngine
+    idx, _ = built_index
+    qe = QueryEngine(idx, num_searchers=2, use_actors=use_actors)
+    for q in QUERIES:
+        want = dict(qe.query(q, k=10))
+        ex = qe.explain(q, k=10).to_pandas()
+        if not want:
+            assert len(ex) == 0
+            continue
+        sums = ex.groupby("doc_id")["contribution"].sum()
+        assert set(sums.index) == set(want)
+        for d, s in want.items():
+            assert sums[d] == pytest.approx(s, abs=1e-9), (q, d)
+    assert len(qe.explain("", k=10)) == 0
+    assert len(qe.explain("zzznoterm", k=10)) == 0
