@@ -443,6 +443,40 @@ FROM raw_scores ORDER BY score DESC, doc_id ASC LIMIT {k}
 """
 
 
+def q_bm25_explain(sf_dir: str):
+    """Score-explain over the flagship query's top-10: one row per
+    (doc, matched term) with tf / doc_len / global df / idf / BM25
+    contribution, served by ``QueryEngine.explain`` (contributions sum
+    exactly to the served scores — pinned in pytest; here every component
+    is SQL-checked value-for-value)."""
+    from .query import QueryEngine
+    idx = _ensure_index(sf_dir)
+    qe = QueryEngine(idx, num_searchers=4, use_actors=True)
+    tbl = qe.explain(FLAGSHIP_QUERY, k=10)
+    for col in ("idf", "contribution"):
+        i = tbl.schema.get_field_index(col)
+        tbl = tbl.set_column(i, col, pc.round(tbl[col], 6))
+    return tbl
+
+
+def _sql_bm25_explain(k: int = 10) -> str:
+    return _sql_bm25_core() + f""",
+topk AS (SELECT doc_id FROM raw_scores
+         ORDER BY score DESC, doc_id ASC LIMIT {k})
+SELECT q.doc_id, q.term, q.tf::BIGINT AS tf, d.doc_len::BIGINT AS doc_len,
+       f.df::BIGINT AS df,
+       round(ln((s.n - f.df + 0.5) / (f.df + 0.5) + 1.0), 6) AS idf,
+       round(ln((s.n - f.df + 0.5) / (f.df + 0.5) + 1.0)
+             * q.tf * ({BM25_K1} + 1.0)
+             / (q.tf + {BM25_K1} * (1.0 - {BM25_B}
+                                    + {BM25_B} * d.doc_len / s.avgdl)), 6)
+         AS contribution
+FROM qtf q
+JOIN topk USING (doc_id) JOIN df f USING (term) JOIN dl d USING (doc_id)
+CROSS JOIN stats s
+"""
+
+
 def q_cosine_scores(sf_dir: str):
     """Cosine similarity of every embedding vs the vec_id=0 vector
     (brute-force similarity baseline; float64, rounded)."""
@@ -4358,6 +4392,7 @@ QUERIES = {
     "customers_big_orders_semi": q_customers_big_orders_semi,
     "binary_payload_stats": q_binary_payload_stats,
     "bm25_topk": q_bm25_topk,
+    "bm25_explain": q_bm25_explain,
     "bm25f_topk": q_bm25f_topk,
     "mlt_topk": q_mlt_topk,
     "prf_topk": q_prf_topk,
@@ -4469,6 +4504,7 @@ ORACLE_SQL = {
     "event_user_reach": SQL_EVENT_USER_REACH,
     "top_users_per_type": SQL_TOP_USERS_PER_TYPE,
     "bm25_topk": _sql_bm25_topk(),
+    "bm25_explain": _sql_bm25_explain(),
     "bm25f_topk": _sql_bm25f_topk(),
     "mlt_topk": _sql_mlt_topk(),
     "prf_topk": _sql_prf_topk(),
