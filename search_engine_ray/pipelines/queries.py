@@ -1799,6 +1799,84 @@ GROUP BY doc_id
 """
 
 
+def q_decontaminated_corpus(sf_dir: str, *, n: int = 5,
+                            bench_mod: int = 97):
+    """The REMOVAL half of decontamination: corpus docs with ZERO benchmark
+    n-gram collisions (what actually ships to training).  Same broadcast
+    probe as :func:`q_contamination`; docs shorter than ``n`` tokens have
+    no grams and are conservatively kept."""
+    scored = q_contamination(sf_dir, n=n, bench_mod=bench_mod)
+    return (scored.filter(expr="n_contaminated == 0")
+            .select_columns(["doc_id", "n_grams"]))
+
+
+SQL_DECONTAMINATED_CORPUS = f"""
+WITH lists AS ({sql_token_list_cte()}),
+grams AS (
+    SELECT doc_id, array_to_string(list_slice(toks, i, i + 4), ' ') AS g
+    FROM (SELECT doc_id, toks,
+                 unnest(range(1, greatest(len(toks) - 3, 1))) AS i
+          FROM lists)
+),
+bench AS (SELECT DISTINCT g FROM grams WHERE doc_id % 97 = 0)
+SELECT doc_id, count(*) AS n_grams
+FROM grams
+WHERE doc_id % 97 <> 0
+GROUP BY doc_id
+HAVING sum(CASE WHEN g IN (SELECT g FROM bench) THEN 1 ELSE 0 END) = 0
+"""
+
+
+def q_event_type_transitions(sf_dir: str):
+    """Markov transition counts over per-user event-type sequences
+    (``prev_type → event_type`` ordered by time): the sequence pairing is
+    confined to ``groupby(user).map_groups`` (the sessionization
+    partitioning), pair counting is one tiny global groupby, and the
+    transition probability normalizes inside the |types|²-row result."""
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                               columns=["event_id", "ts", "user_id",
+                                        "event_type"])
+
+    def pairs(g: pa.Table) -> pa.Table:
+        order = pc.sort_indices(
+            g, sort_keys=[("ts", "ascending"), ("event_id", "ascending")])
+        et = g["event_type"].take(order)
+        if len(et) < 2:
+            return pa.table({"prev_type": pa.array([], type=pa.string()),
+                             "event_type": pa.array([], type=pa.string())})
+        return pa.table({"prev_type": et.slice(0, len(et) - 1),
+                         "event_type": et.slice(1)})
+
+    counts = (ds.groupby("user_id").map_groups(pairs,
+                                               batch_format="pyarrow")
+              .groupby(["prev_type", "event_type"])
+              .aggregate(Count())
+              .rename_columns({"count()": "n"}))
+    t = _collect_table(counts)   # |types|² rows — provably bounded
+
+    prev = t["prev_type"].to_pylist()
+    n = t["n"].to_numpy(zero_copy_only=False).astype(np.float64)
+    totals: dict[str, float] = {}
+    for p, c in zip(prev, n):
+        totals[p] = totals.get(p, 0.0) + c
+    probs = np.round(n / np.asarray([totals[p] for p in prev]), 6)
+    return t.append_column("p", pa.array(probs, type=pa.float64()))
+
+
+SQL_EVENT_TYPE_TRANSITIONS = """
+WITH seq AS (
+  SELECT user_id, event_type,
+         lag(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS prev_type
+  FROM events)
+SELECT prev_type, event_type, count(*) AS n,
+       round(count(*) * 1.0
+             / sum(count(*)) OVER (PARTITION BY prev_type), 6) AS p
+FROM seq WHERE prev_type IS NOT NULL
+GROUP BY prev_type, event_type
+"""
+
+
 BIG_ORDER_CUT = 300_000   # shared by the semi/anti join queries + oracles
 
 
@@ -4369,6 +4447,8 @@ QUERIES = {
     "dedup_incremental": q_dedup_incremental,
     "dedup_incremental_bloom": q_dedup_incremental_bloom,
     "contamination": q_contamination,
+    "decontaminated_corpus": q_decontaminated_corpus,
+    "event_type_transitions": q_event_type_transitions,
     "nation_order_stats": q_nation_order_stats,
     "order_revenue_topk": q_order_revenue_topk,
     "regional_trade_volume": q_regional_trade_volume,
@@ -4471,6 +4551,8 @@ ORACLE_SQL = {
     "dedup_incremental": SQL_DEDUP_INCREMENTAL,
     "dedup_incremental_bloom": SQL_DEDUP_INCREMENTAL,
     "contamination": SQL_CONTAMINATION,
+    "decontaminated_corpus": SQL_DECONTAMINATED_CORPUS,
+    "event_type_transitions": SQL_EVENT_TYPE_TRANSITIONS,
     "nation_order_stats": SQL_NATION_ORDER_STATS,
     "order_revenue_topk": SQL_ORDER_REVENUE_TOPK,
     "regional_trade_volume": SQL_REGIONAL_TRADE_VOLUME,
