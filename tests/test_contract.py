@@ -18,7 +18,9 @@ KEYS = ["term_df", "dedup_exact", "bm25_scores", "cosine_scores",
         "user_running_stats", "span_dedup", "user_type_pivot",
         "lineitem_rollup", "orders_monthly", "lineitem_corr_stats",
         "lineitem_cube", "user_mode_type", "user_moving_avg",
-        "source_temperature_mix", "order_ntile"]
+        "source_temperature_mix", "order_ntile", "customer_order_profile",
+        "event_value_median", "source_lang_profile", "span_dedup_cut",
+        "bm25_explain", "decontaminated_corpus", "event_type_transitions"]
 
 
 @pytest.fixture(scope="module")
