@@ -120,6 +120,15 @@ def fault_gbps() -> float:
     return round(size / dt / 1e9, 2)
 
 
+# partition grid for the benched builds: 16 buckets × 8 doc shards = 128
+# partitions.  Stage 2 (encode+commit) runs one task per partition, so the
+# grid sets its wave granularity: 64 partitions over 32 CPUs = 2 coarse
+# waves whose stragglers idle half the node (measured quiet-machine
+# 16×4 → 16×8: 31.0 → 25.7 s on 1.6M pages).  Overridable for experiments.
+BENCH_BUCKETS = int(os.environ.get("SERX_BENCH_BUCKETS", "16"))
+BENCH_SHARDS = int(os.environ.get("SERX_BENCH_SHARDS", "8"))
+
+
 def bench_index_build(pages_dir: str, idx_dir: str,
                       n_docs: int = BENCH_PAGES_N) -> dict:
     """Flagship: pages → extract → tokenize → postings segments (fresh)."""
@@ -130,7 +139,8 @@ def bench_index_build(pages_dir: str, idx_dir: str,
     s0 = _cpu_sample()
     t0 = time.time()
     build_index(_pages_factory(pages_dir), idx_dir,
-                IndexConfig(n_buckets=16, n_doc_shards=4), keep_cols=("url",),
+                IndexConfig(n_buckets=BENCH_BUCKETS,
+                            n_doc_shards=BENCH_SHARDS), keep_cols=("url",),
                 exchange=EXCHANGE)
     dt = time.time() - t0
     return {"sec": dt, "docs_per_sec": n_docs / dt,
@@ -363,9 +373,15 @@ def scaling_main() -> None:
                 [sys.executable, os.path.abspath(__file__),
                  "--scaling-child", str(n)],
                 capture_output=True, text=True, timeout=3600)
-            line = [l for l in proc.stdout.strip().splitlines()
-                    if l.startswith("{")][-1]
-            res = json.loads(line)
+            lines = [l for l in proc.stdout.strip().splitlines()
+                     if l.startswith("{")]
+            if not lines:
+                sys.stderr.write(
+                    f"scaling child (num_cpus={n}) produced no result; "
+                    f"stderr tail:\n" + "\n".join(
+                        proc.stderr.strip().splitlines()[-15:]) + "\n")
+                raise RuntimeError(f"scaling child {n} failed")
+            res = json.loads(lines[-1])
             if n not in results or res["sec"] < results[n]["sec"]:
                 results[n] = res
     t_lo, t_hi = results[lo]["sec"], results[hi]["sec"]
