@@ -1877,6 +1877,66 @@ GROUP BY prev_type, event_type
 """
 
 
+_PROFILE_COLS = ("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+
+
+def q_lineitem_profile(sf_dir: str):
+    """Data-profiling operator (the "describe" every ingestion pipeline
+    runs before training): per-column min / max / mean / null count /
+    exact distinct count, ONE corpus pass for the moments (per-batch
+    partial fold summed driver-side — a handful of scalars per batch) plus
+    one distinct-count aggregate per column over its value-hash (exact;
+    swap in the HLL sketch from ``event_user_reach_hll`` when cardinality
+    itself is web-scale)."""
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "lineitem.parquet"),
+                               columns=list(_PROFILE_COLS))
+
+    def fold(t: pa.Table) -> pa.Table:
+        cols: dict[str, list] = {}
+        for c in _PROFILE_COLS:
+            a = t[c]
+            cols[f"{c}_min"] = [pc.min(a).as_py()]
+            cols[f"{c}_max"] = [pc.max(a).as_py()]
+            cols[f"{c}_sum"] = [pc.sum(a).as_py() or 0.0]
+            cols[f"{c}_n"] = [pc.count(a).as_py()]
+            cols[f"{c}_nulls"] = [a.null_count]
+        return pa.table(cols)
+
+    parts = _collect_table(ds.map_batches(fold, batch_format="pyarrow"))
+    rows = []
+    for c in _PROFILE_COLS:
+        n = int(pc.sum(parts[f"{c}_n"]).as_py())
+        rows.append({
+            "column": c,
+            "n_values": n,
+            "n_nulls": int(pc.sum(parts[f"{c}_nulls"]).as_py()),
+            "min_v": round(float(pc.min(parts[f"{c}_min"]).as_py()), 6),
+            "max_v": round(float(pc.max(parts[f"{c}_max"]).as_py()), 6),
+            # half-AWAY rounding (DuckDB's round), not Python's half-even:
+            # integer-ish columns land means exactly on the .00005 boundary
+            "mean_v": float(np.floor(
+                pc.sum(parts[f"{c}_sum"]).as_py() / n * 1e4 + 0.5) / 1e4),
+        })
+    # exact distinct per column: one count-distinct aggregate each (the
+    # shuffle carries only the column's values)
+    for r in rows:
+        c = r["column"]
+        nd = (ds.select_columns([c]).groupby(c).aggregate(Count())).count()
+        r["n_distinct"] = int(nd)
+    return pa.table({k: [r[k] for r in rows] for k in
+                     ("column", "n_values", "n_nulls", "min_v", "max_v",
+                      "mean_v", "n_distinct")})
+
+
+SQL_LINEITEM_PROFILE = "\nUNION ALL\n".join(
+    f"""SELECT '{c}' AS column, count({c}) AS n_values,
+       (count(*) - count({c}))::BIGINT AS n_nulls,
+       round(min({c}), 6) AS min_v, round(max({c}), 6) AS max_v,
+       round(avg({c}), 4) AS mean_v,
+       count(DISTINCT {c}) AS n_distinct
+FROM lineitem""" for c in _PROFILE_COLS)
+
+
 BIG_ORDER_CUT = 300_000   # shared by the semi/anti join queries + oracles
 
 
@@ -4461,6 +4521,7 @@ QUERIES = {
     "lineitem_corr_stats": q_lineitem_corr_stats,
     "span_dedup_cut": q_span_dedup_cut,
     "lineitem_cube": q_lineitem_cube,
+    "lineitem_profile": q_lineitem_profile,
     "user_mode_type": q_user_mode_type,
     "user_moving_avg": q_user_moving_avg,
     "source_temperature_mix": q_source_temperature_mix,
@@ -4564,6 +4625,7 @@ ORACLE_SQL = {
     "lineitem_corr_stats": SQL_LINEITEM_CORR_STATS,
     "span_dedup_cut": SQL_SPAN_DEDUP_CUT,
     "lineitem_cube": SQL_LINEITEM_CUBE,
+    "lineitem_profile": SQL_LINEITEM_PROFILE,
     "user_mode_type": SQL_USER_MODE_TYPE,
     "user_moving_avg": SQL_USER_MOVING_AVG,
     "source_temperature_mix": SQL_SOURCE_TEMPERATURE_MIX,
