@@ -239,7 +239,8 @@ def cmd_ui(args) -> int:
     from .pipelines.query import QueryEngine
     qe = QueryEngine(args.index, num_searchers=args.searchers)
     last: list[int] = []
-    print("commands: query <text> | see <n> | parse <source> | exit")
+    print("commands: query <text> | explain <text> | see <n> | "
+          "parse <source> | exit")
     for line in sys.stdin:
         line = line.strip()
         if not line:
@@ -263,6 +264,12 @@ def cmd_ui(args) -> int:
                 row = docstore_lookup(args.index, doc_id) or {}
                 label = row.get("url", row.get("lang", ""))
                 print(f"{rank:2d}  doc={doc_id}  bm25={score:.4f}  {label}")
+        elif cmd == "explain":
+            tbl = qe.explain(rest, k=10)
+            for r in tbl.to_pylist():
+                print(f"doc={r['doc_id']}  {r['term']:<14} tf={r['tf']:<3} "
+                      f"df={r['df']:<6} idf={r['idf']:.4f} "
+                      f"contrib={r['contribution']:.6f}")
         elif cmd == "see":
             try:
                 doc = last[int(rest)]
