@@ -76,7 +76,10 @@ def _image_lib():
         from PIL import Image
         return Image
     except ImportError:
-        return None
+        # stdlib PNG codec (zlib + numpy, functions/png.py) — a real
+        # container format, always on; mirrors the wave fallback for audio
+        from ..functions import png
+        return png
 
 
 def _audio_lib():
@@ -132,8 +135,12 @@ class DecodeImageStats:
         self.id_col = id_col
 
     def _decode(self, blob: bytes) -> np.ndarray:
-        if self.backend == "fake":
+        # synthetic FIMG payloads route to the fake codec even under
+        # `auto`→real (same rule as the FAUD audio path)
+        if self.backend == "fake" or blob[:4] == b"FIMG":
             return _decode_fake_image(blob)
+        if hasattr(self._pil, "decode_png"):       # stdlib PNG fallback
+            return self._pil.decode_png(blob)
         import io
         px = np.asarray(self._pil.open(io.BytesIO(blob)))
         return px[:, :, None] if px.ndim == 2 else px
