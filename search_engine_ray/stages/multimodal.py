@@ -97,7 +97,10 @@ def _video_lib():
         import av
         return av
     except ImportError:
-        return None
+        # stdlib AVI codec (RIFF, uncompressed RGB24 DIB frames,
+        # functions/avi.py) — a real container format, always on
+        from ..functions import avi
+        return avi
 
 
 def _resolve_backend(backend: str, lib, lib_name: str) -> str:
@@ -275,9 +278,11 @@ class SampleVideoFrames:
         self.id_col = id_col
 
     def _frames(self, blob: bytes):
-        """Yield (frame_idx, frame_bytes) for every stride-th frame."""
-        if self.backend == "fake":
-            assert blob[:4] == b"FVID"
+        """Yield (frame_idx, frame_bytes) for every stride-th frame.
+        Sampled frames are emitted as PNG bytes on the real paths, so the
+        downstream image stages decode them with the same stdlib codec."""
+        if self.backend == "fake" or blob[:4] == b"FVID":
+            assert blob[:4] == b"FVID", "fake backend needs FVID payloads"
             (n_frames,) = struct.unpack("<H", blob[4:6])
             off = 6
             for i in range(n_frames):
@@ -286,6 +291,12 @@ class SampleVideoFrames:
                 if i % self.stride == 0:
                     yield i, blob[off:off + flen]
                 off += flen
+            return
+        if hasattr(self._av, "decode_avi"):        # stdlib AVI fallback
+            from ..functions.png import encode_png
+            for i, arr in enumerate(self._av.decode_avi(blob)):
+                if i % self.stride == 0:
+                    yield i, encode_png(arr)
             return
         import io
         with self._av.open(io.BytesIO(blob)) as container:
