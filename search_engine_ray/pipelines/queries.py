@@ -1937,6 +1937,83 @@ SQL_LINEITEM_PROFILE = "\nUNION ALL\n".join(
 FROM lineitem""" for c in _PROFILE_COLS)
 
 
+_FUNNEL_STEPS = ("view", "click", "purchase")
+
+
+def q_user_funnel(sf_dir: str, *, steps: tuple = _FUNNEL_STEPS):
+    """Ordered funnel analysis: how many users completed step k — where
+    completing means each step's FIRST occurrence happens strictly after
+    the previous step's first occurrence (the standard product-analytics
+    definition).  Per-user first-occurrence timestamps fold vectorized in
+    ONE pass (map-side min per batch + one grouped Min per step); the
+    strict-order check runs on the |users|×|steps| grouped result."""
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                               columns=["user_id", "event_type", "ts"])
+
+    def firsts(t: pa.Table) -> pa.Table:
+        sub = t.filter(pc.is_in(t["event_type"],
+                                value_set=pa.array(steps)))
+        if sub.num_rows == 0:
+            return pa.table({"user_id": pa.array([], type=pa.int64()),
+                             "event_type": pa.array([], type=pa.string()),
+                             "ts": pa.array([], type=pa.int64())})
+        g = (pa.table({"user_id": sub["user_id"],
+                       "event_type": sub["event_type"],
+                       "ts": sub["ts"].cast(pa.int64())})
+             .group_by(["user_id", "event_type"])
+             .aggregate([("ts", "min")]))
+        return g.rename_columns(["user_id", "event_type", "ts"])
+
+    t = _collect_table(
+        ds.map_batches(firsts, batch_format="pyarrow")
+        .groupby(["user_id", "event_type"]).aggregate(Min("ts")))
+    # strict-order completion over the small (user × step) table
+    uid = t["user_id"].to_numpy(zero_copy_only=False)
+    et = t["event_type"].to_pylist()
+    ts = t["min(ts)"].to_numpy(zero_copy_only=False)
+    first: dict[tuple[int, str], int] = {
+        (int(u), e): int(v) for u, e, v in zip(uid, et, ts)}
+    users = np.unique(uid)
+    counts = []
+    for k in range(len(steps)):
+        n = 0
+        for u in users:
+            prev = -(1 << 62)
+            ok = True
+            for s in steps[:k + 1]:
+                v = first.get((int(u), s))
+                if v is None or v <= prev:
+                    ok = False
+                    break
+                prev = v
+            n += ok
+        counts.append(n)
+    return pa.table({
+        "step": pa.array(list(steps)),
+        "step_idx": pa.array(range(1, len(steps) + 1), type=pa.int64()),
+        "n_users": pa.array(counts, type=pa.int64()),
+    })
+
+
+SQL_USER_FUNNEL = """
+WITH f AS (
+  SELECT user_id,
+         min(ts) FILTER (WHERE event_type = 'view') AS t1,
+         min(ts) FILTER (WHERE event_type = 'click') AS t2,
+         min(ts) FILTER (WHERE event_type = 'purchase') AS t3
+  FROM events GROUP BY user_id)
+SELECT 'view' AS step, 1::BIGINT AS step_idx,
+       count(*) FILTER (WHERE t1 IS NOT NULL) AS n_users FROM f
+UNION ALL
+SELECT 'click', 2, count(*) FILTER (WHERE t1 IS NOT NULL AND t2 > t1)
+FROM f
+UNION ALL
+SELECT 'purchase', 3,
+       count(*) FILTER (WHERE t1 IS NOT NULL AND t2 > t1 AND t3 > t2)
+FROM f
+"""
+
+
 BIG_ORDER_CUT = 300_000   # shared by the semi/anti join queries + oracles
 
 
@@ -3277,6 +3354,43 @@ def q_media_frame_stats(sf_dir: str | None = None, *, n_videos: int = 64):
                          batch_format="pyarrow"))
 
 
+def q_media_real_stats(sf_dir: str | None = None, *, n_docs: int = 48):
+    """REAL-container media pipeline: deterministic AVI videos (stdlib
+    RIFF/RGB24 codec) → actor-pool frame sampling (frames re-encoded as
+    PNG) → PNG image decode stats → per-video aggregate — every byte
+    passes through genuine container formats, no fake codecs and no
+    third-party media libraries.  (``sf_dir`` unused — payloads are
+    synthesized; golden-pinned like ``media_frame_stats``.)"""
+    from ..functions.avi import encode_avi
+    from ..stages.multimodal import DecodeImageStats, SampleVideoFrames
+
+    def synth(batch: pa.Table) -> pa.Table:
+        ids = batch["id"].to_numpy(zero_copy_only=False)
+        blobs = []
+        for i in ids:
+            rng = np.random.default_rng(int(i))
+            n_frames = 3 + int(i) % 4
+            blobs.append(encode_avi(
+                [rng.integers(0, 256, size=(6, 8, 3), dtype=np.uint8)
+                 for _ in range(n_frames)], fps=5))
+        return pa.table({"doc_id": pa.array(ids, type=pa.int64()),
+                         "video": pa.array(blobs, type=pa.binary())})
+
+    ds = (ray.data.range(n_docs)
+          .map_batches(synth, batch_format="pyarrow", batch_size=16)
+          .map_batches(SampleVideoFrames(stride=2, backend="auto"),
+                       batch_format="pyarrow", batch_size=16)
+          .map_batches(DecodeImageStats(image_col="frame", backend="auto"),
+                       batch_format="pyarrow", batch_size=64))
+    return (ds.groupby("doc_id")
+            .aggregate(Count(), Mean("mean_pixel"))
+            .rename_columns({"count()": "n_frames",
+                             "mean(mean_pixel)": "avg_frame_mean"})
+            .map_batches(functools.partial(_round_col,
+                                           col="avg_frame_mean"),
+                         batch_format="pyarrow"))
+
+
 # ---------------------------------------------------------------------------
 # Catalog
 # ---------------------------------------------------------------------------
@@ -4509,6 +4623,7 @@ QUERIES = {
     "contamination": q_contamination,
     "decontaminated_corpus": q_decontaminated_corpus,
     "event_type_transitions": q_event_type_transitions,
+    "user_funnel": q_user_funnel,
     "nation_order_stats": q_nation_order_stats,
     "order_revenue_topk": q_order_revenue_topk,
     "regional_trade_volume": q_regional_trade_volume,
@@ -4574,6 +4689,7 @@ QUERIES = {
     "nation_trade_pagerank": q_nation_trade_pagerank,
     "boilerplate_removal": q_boilerplate_removal,
     "media_frame_stats": q_media_frame_stats,
+    "media_real_stats": q_media_real_stats,
     "classifier_scores": q_classifier_scores,
     "doc_chunks": q_doc_chunks,
     "bpe_token_counts": q_bpe_token_counts,
@@ -4614,6 +4730,7 @@ ORACLE_SQL = {
     "contamination": SQL_CONTAMINATION,
     "decontaminated_corpus": SQL_DECONTAMINATED_CORPUS,
     "event_type_transitions": SQL_EVENT_TYPE_TRANSITIONS,
+    "user_funnel": SQL_USER_FUNNEL,
     "nation_order_stats": SQL_NATION_ORDER_STATS,
     "order_revenue_topk": SQL_ORDER_REVENUE_TOPK,
     "regional_trade_volume": SQL_REGIONAL_TRADE_VOLUME,

@@ -47,6 +47,9 @@ GOLDEN = {
     # synthesized fake media payloads are Philox-seeded → deterministic
     "media_frame_stats":
         "441d8dbe72de432a8e638be5661d3c432a4fc3e39693fe7399ac3fdbca7e52fb",
+    # REAL containers end-to-end (seeded AVI → PNG frames → decode stats)
+    "media_real_stats":
+        "3c294ae2f217060c7d450008c2332dc9befc0e8712a4907a9b2398f5b3a7ca33",
     # fixed block/batch sizing → deterministic partial digests + an
     # order-independent merge (stages/sketch.py merge_all)
     "event_value_quantiles_tdigest":
