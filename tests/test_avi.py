@@ -61,3 +61,21 @@ def test_video_stage_real_path_samples_avi_frames(ray_session):
                           batch_format="pyarrow", concurrency=1)
              .to_pandas())
     assert set(stats["width"]) == {6} and set(stats["height"]) == {8}
+
+
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+    import hypothesis.extra.numpy as hnp
+
+    @settings(max_examples=25, deadline=None)
+    @given(st.lists(
+        hnp.arrays(np.uint8, st.just((5, 7, 3))), min_size=1, max_size=6))
+    def test_avi_roundtrip_fuzz(frames):
+        from search_engine_ray.functions.avi import decode_avi, encode_avi
+        back = list(decode_avi(encode_avi(frames)))
+        assert len(back) == len(frames)
+        for a, b in zip(frames, back):
+            assert np.array_equal(a, b)
+except ImportError:      # pragma: no cover
+    pass

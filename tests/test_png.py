@@ -59,3 +59,22 @@ def test_image_stage_real_path_decodes_png(ray_session):
         px = decode_png(blob)
         assert out["mean_pixel"].iloc[i] == pytest.approx(
             round(float(px.mean()), 6))
+
+
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+    import hypothesis.extra.numpy as hnp
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        arr=hnp.arrays(np.uint8,
+                       st.tuples(st.integers(1, 12), st.integers(1, 12),
+                                 st.sampled_from([1, 2, 3, 4]))),
+        ft=st.sampled_from([0, 1, 2, 3, 4, "mixed"]))
+    def test_png_roundtrip_fuzz(arr, ft):
+        from search_engine_ray.functions.png import decode_png, encode_png
+        assert np.array_equal(decode_png(encode_png(arr, filter_type=ft)),
+                              arr)
+except ImportError:      # pragma: no cover - hypothesis is baked in here
+    pass
