@@ -612,6 +612,38 @@ class SegmentSearcher:
                 out[t] = df
         return out
 
+    def search_with_stats(self, terms: list[str], k: int,
+                          df_map: dict, n_docs: int, avgdl: float
+                          ) -> tuple[np.ndarray, np.ndarray]:
+        """BM25 top-k with CALLER-SUPPLIED corpus statistics (summed df,
+        total n_docs, pooled avgdl) — the scoring half of federated
+        multi-index search, where statistics span indexes this searcher
+        has never seen.  Bypasses the per-term score cache (its entries
+        bake in this index's own stats)."""
+        parts = []
+        for t in sorted(set(terms)):
+            df = int(df_map.get(t, 0))
+            if df <= 0:
+                continue
+            slots = self._slots_of(self.field, t)
+            if not slots.size:
+                continue
+            idf = bm25_idf(n_docs, float(df))
+            ids_parts, sc_parts = [], []
+            for slot in slots:
+                local_ids, tf, dl = self._decode_slot(slot)
+                denom = tf + self.k1 * (1.0 - self.b
+                                        + self.b * dl / avgdl)
+                ids_parts.append(local_ids)
+                sc_parts.append(idf * tf * (self.k1 + 1.0) / denom)
+            parts.append((np.concatenate(ids_parts),
+                          np.concatenate(sc_parts)))
+        if not parts:
+            return (np.zeros(0, dtype=np.int64),
+                    np.zeros(0, dtype=np.float64))
+        hits, scores = self._union_scores(parts)
+        return top_k(self._docs[hits], scores, k)
+
     def explain(self, terms: list[str], doc_ids) -> pa.Table:
         """Per-(doc, term) BM25 breakdown for the given GLOBAL docIDs this
         searcher owns → (doc_id, term, tf, doc_len, df, idf, contribution);
@@ -1511,3 +1543,66 @@ class QueryEngine:
             -merged["location_flag"], -merged["country_flag"],
             -merged["site_flag"], -merged["language_flag"]))[:k]
         return [int(d) for d in merged["doc_id"][order]]
+
+
+class FederatedEngine:
+    """Query-time federation over MULTIPLE independent indexes (delta
+    builds that haven't been merged yet, or per-tenant/per-crawl indexes):
+    corpus statistics are pooled up front (Σ n_docs, Σ total_tokens →
+    pooled avgdl), per-query term df is gathered from every index (round 1)
+    and SUMMED, then every searcher of every index scores its own docs
+    with the federated statistics (round 2, ``search_with_stats``) — the
+    same two-round protocol the phrase path uses for global df.
+
+    With DISJOINT doc sets (the normal delta situation) results are
+    rank/score-IDENTICAL to querying one physically merged index — pinned
+    in ``tests/test_merge.py``.  Overlapping doc sets double-count df and
+    return the doc once per index holding it; merging (doc-level
+    last-input-wins) is the tool for that case, not federation."""
+
+    def __init__(self, index_dirs: list[str], *, num_searchers: int = 2,
+                 use_actors: bool = True):
+        assert index_dirs, "need at least one index"
+        self.engines = [QueryEngine(d, num_searchers=num_searchers,
+                                    use_actors=use_actors)
+                        for d in index_dirs]
+        e0 = self.engines[0]
+        for e in self.engines[1:]:
+            assert (e.stopwords == e0.stopwords and e.stem == e0.stem), \
+                "federated indexes must share the analyzer config"
+        stats = [ckpt.read_docstats(d) for d in index_dirs]
+        self.n_docs = sum(s["n_docs"] for s in stats)
+        total_tokens = sum(s["total_tokens"] for s in stats)
+        self.avgdl = (total_tokens / self.n_docs) if self.n_docs else 1.0
+        self.stopwords = e0.stopwords
+        self.stem = e0.stem
+        self.use_actors = use_actors
+
+    def query(self, text: str, k: int = 10) -> list[tuple[int, float]]:
+        terms = tokenize(text, stopwords=self.stopwords, stem=self.stem)
+        if not terms or self.n_docs == 0:
+            return []
+        # round 1: summed df across indexes (each engine's df_of is its
+        # own global df — max across its searchers)
+        df: dict[str, int] = {}
+        for e in self.engines:
+            for t, v in e.df_of(terms).items():
+                df[t] = df.get(t, 0) + v
+        # round 2: every searcher scores its disjoint docs with the pooled
+        # statistics; all RPCs in flight before the merge
+        searchers = [s for e in self.engines for s in e.searchers]
+        if self.use_actors:
+            partials = ray.get([
+                s.search_with_stats.remote(terms, k, df, self.n_docs,
+                                           self.avgdl)
+                for s in searchers])
+        else:
+            partials = [s.search_with_stats(terms, k, df, self.n_docs,
+                                            self.avgdl)
+                        for s in searchers]
+        ids = np.concatenate([p[0] for p in partials])
+        sc = np.concatenate([p[1] for p in partials])
+        if ids.size == 0:
+            return []
+        ids, sc = top_k(ids, sc, k)
+        return [(int(d), float(s)) for d, s in zip(ids, sc)]

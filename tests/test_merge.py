@@ -415,3 +415,23 @@ def test_ingest_heals_crash_in_swap_window(ray_session, tmp_path):
     assert not os.path.exists(idx + ".pre-ingest")
     qe = QueryEngine(idx, num_searchers=2, use_actors=False)
     assert len(qe.query("table row", k=10)) == 10
+
+
+def test_federated_equals_merged_index(two_indexes, ray_session):
+    """Query-time federation over the two delta indexes is rank/score-
+    identical to the physically merged index (and to the full-build
+    oracle) — summed df, pooled avgdl, two-round protocol."""
+    from search_engine_ray.pipelines.merge import merge_indexes
+    from search_engine_ray.pipelines.query import (FederatedEngine,
+                                                   QueryEngine)
+    i1, i2, full, out, t = two_indexes
+    merge_indexes([i1, i2], out)   # module fixture may already have run it
+    fed = FederatedEngine([i1, i2], num_searchers=2, use_actors=False)
+    qm = QueryEngine(out, num_searchers=2, use_actors=False)
+    for q in ["table row merge", "spark dup", "the a window",
+              "nosuchterm", ""]:
+        got = fed.query(q, k=10)
+        want = qm.query(q, k=10)
+        assert [d for d, _ in got] == [d for d, _ in want], q
+        for (_, gs), (_, ws) in zip(got, want):
+            assert gs == pytest.approx(ws, abs=1e-9), q
