@@ -2014,6 +2014,89 @@ FROM f
 """
 
 
+def q_priority_revenue_share(sf_dir: str):
+    """Window-over-aggregate (share of total): revenue per order priority
+    and its fraction of the whole.  One corpus-scale grouped sum; the
+    share normalizes over the |priorities|-row result."""
+    agg = (ray.data.read_parquet(os.path.join(sf_dir, "orders.parquet"),
+                                 columns=["o_orderpriority",
+                                          "o_totalprice"])
+           .groupby("o_orderpriority").aggregate(Sum("o_totalprice")))
+    t = _collect_table(agg)   # |priorities| rows — provably bounded
+    rev = t["sum(o_totalprice)"].to_numpy(zero_copy_only=False)
+    return pa.table({
+        "o_orderpriority": t["o_orderpriority"],
+        "revenue": pa.array(np.round(rev, 2)),
+        "share": pa.array(np.round(rev / rev.sum(), 6)),
+    })
+
+
+SQL_PRIORITY_REVENUE_SHARE = """
+SELECT o_orderpriority, round(sum(o_totalprice), 2) AS revenue,
+       round(sum(o_totalprice) / sum(sum(o_totalprice)) OVER (), 6)
+         AS share
+FROM orders GROUP BY o_orderpriority
+"""
+
+
+def q_customer_rfm(sf_dir: str):
+    """RFM segmentation (recency / frequency / monetary quartiles — the
+    standard marketing-analytics cut): the corpus-scale work is ONE
+    grouped aggregate over orders; the three NTILE(4) assignments run on
+    the bounded per-customer result (customers are a dimension, orders are
+    the fact stream).  Deterministic tie-breaks on (metric, custkey)."""
+    agg = (ray.data.read_parquet(os.path.join(sf_dir, "orders.parquet"),
+                                 columns=["o_custkey", "o_orderdate",
+                                          "o_totalprice"])
+           .groupby("o_custkey")
+           .aggregate(Max("o_orderdate"), Count(), Sum("o_totalprice")))
+    t = _collect_table(agg)   # |customers with orders| — dimension-bounded
+    cust = t["o_custkey"].to_numpy(zero_copy_only=False)
+    last = t["max(o_orderdate)"].cast(pa.int64()) \
+        .to_numpy(zero_copy_only=False)
+    freq = t["count()"].to_numpy(zero_copy_only=False)
+    mon = t["sum(o_totalprice)"].to_numpy(zero_copy_only=False)
+
+    def ntile4(metric: np.ndarray, desc: bool) -> np.ndarray:
+        order = np.lexsort((cust, -metric if desc else metric))
+        n = metric.size
+        q, rem = divmod(n, 4)
+        sizes = np.full(4, q, dtype=np.int64)
+        sizes[:rem] += 1
+        tiles = np.repeat(np.arange(1, 5, dtype=np.int64), sizes)[:n]
+        out = np.empty(n, dtype=np.int64)
+        out[order] = tiles
+        return out
+
+    r = ntile4(last, desc=True)      # most recent buyers = tile 1
+    f = ntile4(freq, desc=True)
+    m = ntile4(mon, desc=True)
+    return pa.table({
+        "o_custkey": pa.array(cust, type=pa.int64()),
+        "n_orders": pa.array(freq.astype(np.int64)),
+        "spend": pa.array(np.round(mon, 2)),
+        "r": pa.array(r), "f": pa.array(f), "m": pa.array(m),
+        "segment": pa.array([f"{a}{b}{c}" for a, b, c in zip(r, f, m)]),
+    })
+
+
+SQL_CUSTOMER_RFM = """
+WITH base AS (
+  SELECT o_custkey, max(o_orderdate) AS last_order,
+         count(*) AS n_orders, sum(o_totalprice) AS spend
+  FROM orders GROUP BY o_custkey),
+tiles AS (
+  SELECT o_custkey, n_orders, spend,
+         ntile(4) OVER (ORDER BY last_order DESC, o_custkey) AS r,
+         ntile(4) OVER (ORDER BY n_orders DESC, o_custkey) AS f,
+         ntile(4) OVER (ORDER BY spend DESC, o_custkey) AS m
+  FROM base)
+SELECT o_custkey, n_orders, round(spend, 2) AS spend, r, f, m,
+       r::VARCHAR || f::VARCHAR || m::VARCHAR AS segment
+FROM tiles
+"""
+
+
 BIG_ORDER_CUT = 300_000   # shared by the semi/anti join queries + oracles
 
 
@@ -4624,6 +4707,8 @@ QUERIES = {
     "decontaminated_corpus": q_decontaminated_corpus,
     "event_type_transitions": q_event_type_transitions,
     "user_funnel": q_user_funnel,
+    "priority_revenue_share": q_priority_revenue_share,
+    "customer_rfm": q_customer_rfm,
     "nation_order_stats": q_nation_order_stats,
     "order_revenue_topk": q_order_revenue_topk,
     "regional_trade_volume": q_regional_trade_volume,
@@ -4731,6 +4816,8 @@ ORACLE_SQL = {
     "decontaminated_corpus": SQL_DECONTAMINATED_CORPUS,
     "event_type_transitions": SQL_EVENT_TYPE_TRANSITIONS,
     "user_funnel": SQL_USER_FUNNEL,
+    "priority_revenue_share": SQL_PRIORITY_REVENUE_SHARE,
+    "customer_rfm": SQL_CUSTOMER_RFM,
     "nation_order_stats": SQL_NATION_ORDER_STATS,
     "order_revenue_topk": SQL_ORDER_REVENUE_TOPK,
     "regional_trade_volume": SQL_REGIONAL_TRADE_VOLUME,
