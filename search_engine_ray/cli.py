@@ -197,6 +197,16 @@ def cmd_compact(args) -> int:
     return 0
 
 
+def cmd_curate(args) -> int:
+    _ensure_ray(args.num_cpus)
+    from .pipelines.curate import curate_corpus
+    ds = curate_corpus(args.sf_dir, args.out,
+                       min_tokens=args.min_tokens,
+                       max_digit_ratio=args.max_digit_ratio)
+    print(f"curated corpus: {ds.count()} docs -> {args.out}")
+    return 0
+
+
 def cmd_explain(args) -> int:
     _ensure_ray(args.num_cpus)
     from .pipelines.query import QueryEngine
@@ -348,6 +358,15 @@ def make_parser() -> argparse.ArgumentParser:
     co.add_argument("--index", required=True)
     co.add_argument("--into", required=True)
     co.set_defaults(fn=cmd_compact)
+
+    cu = sub.add_parser("curate",
+                        help="quality gate + exact dedup + decontamination"
+                             " -> partitioned parquet")
+    cu.add_argument("--sf-dir", required=True)
+    cu.add_argument("--out", required=True)
+    cu.add_argument("--min-tokens", type=int, default=60)
+    cu.add_argument("--max-digit-ratio", type=float, default=0.05)
+    cu.set_defaults(fn=cmd_curate)
 
     ex = sub.add_parser("explain",
                         help="per-term BM25 breakdown for a query's top-k")

@@ -1,0 +1,99 @@
+"""End-to-end training-data curation: one composed, streaming pipeline.
+
+``curate_corpus`` chains the catalog's individually-oracle-checked pieces
+in the order a real data-curation run applies them:
+
+1. **quality gate** — length + digit-ratio thresholds (``QualityStats``
+   semantics), applied batch-locally with the text kept;
+2. **exact dedup** — keeper = min docID per distinct text AMONG the quality
+   survivors (the 16-byte content-hash shuffle; text never enters the
+   exchange), realized as keeper-ID selection + a bucketed LEFT SEMI
+   ``hash_join`` back onto the survivor stream;
+3. **decontamination** — drop docs sharing any word n-gram with the
+   benchmark set (bench grams collected once, ``ray.put`` broadcast);
+4. **write** — parquet partitioned by ``source`` (a failed run reruns one
+   partition, not the corpus).
+
+Every stage is a streaming ``map_batches`` / bucketed exchange — no
+driver-side doc sets, no whole-corpus materialization.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+import ray.data
+
+from ..stages.contamination import (ContaminationScore,
+                                    collect_benchmark_grams)
+from ..stages.join import hash_join
+from ..stages.textstats import QualityStats
+
+
+def curate_corpus(sf_dir: str, out_dir: str | None = None, *,
+                  min_tokens: int = 60, max_digit_ratio: float = 0.05,
+                  ngram: int = 5, bench_mod: int = 97,
+                  n_buckets: int = 32) -> "ray.data.Dataset":
+    """documents.parquet → curated corpus Dataset (and parquet when
+    ``out_dir`` is given).  Columns: doc_id, text, lang, source."""
+    from .queries import _content_hash_stage, _mod_filter
+    import functools
+
+    path = os.path.join(sf_dir, "documents.parquet")
+
+    def read():
+        return ray.data.read_parquet(
+            path, columns=["doc_id", "text", "lang", "source"])
+
+    # benchmark docs are held out of the corpus entirely
+    corpus = read().map_batches(
+        functools.partial(_mod_filter, mod=bench_mod, keep_equal=False),
+        batch_format="pyarrow")
+    bench = read().map_batches(
+        functools.partial(_mod_filter, mod=bench_mod, keep_equal=True),
+        batch_format="pyarrow")
+    gram_ref = ray.put(collect_benchmark_grams(bench, n=ngram))
+
+    quality = QualityStats()
+
+    def quality_gate(t: pa.Table) -> pa.Table:
+        stats = quality(t)     # (doc_id, n_tokens, ..., digit_ratio)
+        ok = stats.filter(pc.and_(
+            pc.greater_equal(stats["n_tokens"], min_tokens),
+            pc.less_equal(stats["digit_ratio"], max_digit_ratio)))
+        keep_ids = ok["doc_id"].to_numpy(zero_copy_only=False)
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        return t.filter(pa.array(np.isin(ids, keep_ids)))
+
+    survivors = corpus.map_batches(quality_gate, batch_format="pyarrow")
+
+    # keeper per distinct text among SURVIVORS: 16-byte hash shuffle only
+    keepers = (survivors
+               .map_batches(_content_hash_stage, batch_format="pyarrow")
+               .groupby(["h1", "h2"])
+               .aggregate(ray.data.aggregate.Min("doc_id"))
+               .map_batches(lambda t: pa.table(
+                   {"doc_id": t["min(doc_id)"]}), batch_format="pyarrow"))
+    deduped = hash_join(survivors, keepers, left_key="doc_id",
+                        right_key="doc_id", n_buckets=n_buckets,
+                        join_type="left semi")
+
+    scorer = ContaminationScore(gram_ref, n=ngram)
+
+    def decontaminate(t: pa.Table) -> pa.Table:
+        sc = scorer(t)
+        clean = sc.filter(pc.equal(sc["n_contaminated"], 0))
+        keep_ids = clean["doc_id"].to_numpy(zero_copy_only=False)
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        return t.filter(pa.array(np.isin(ids, keep_ids)))
+
+    curated = deduped.map_batches(decontaminate, batch_format="pyarrow")
+    if out_dir is not None:
+        curated.write_parquet(out_dir, partition_cols=["source"])
+        return ray.data.read_parquet(out_dir)
+    return curated

@@ -1804,7 +1804,8 @@ def q_decontaminated_corpus(sf_dir: str, *, n: int = 5,
     """The REMOVAL half of decontamination: corpus docs with ZERO benchmark
     n-gram collisions (what actually ships to training).  Same broadcast
     probe as :func:`q_contamination`; docs shorter than ``n`` tokens have
-    no grams and are conservatively kept."""
+    no grams, emit no score row, and are therefore NOT in the output
+    (matching the SQL oracle's ``GROUP BY`` over grams)."""
     scored = q_contamination(sf_dir, n=n, bench_mod=bench_mod)
     return (scored.filter(expr="n_contaminated == 0")
             .select_columns(["doc_id", "n_grams"]))

@@ -1,0 +1,59 @@
+"""End-to-end curation pipeline vs a brute-force pandas composition."""
+
+import os
+
+import numpy as np
+import pyarrow.parquet as pq
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+def _brute(min_tokens=60, max_digit_ratio=0.05, ngram=5, bench_mod=97):
+    from search_engine_ray.functions.analyze import tokenize
+    t = pq.read_table(os.path.join(SF, "documents.parquet"),
+                      columns=["doc_id", "text"]).to_pylist()
+    corpus = [r for r in t if r["doc_id"] % bench_mod != 0]
+    bench = [r for r in t if r["doc_id"] % bench_mod == 0]
+
+    def grams(text):
+        toks = tokenize(text)
+        return {" ".join(toks[i:i + ngram])
+                for i in range(len(toks) - ngram + 1)}
+
+    bench_grams = set().union(*(grams(r["text"]) for r in bench)) \
+        if bench else set()
+
+    def quality_ok(text):
+        toks = tokenize(text)
+        if len(toks) < min_tokens:
+            return False
+        digits = sum(c.isdigit() for c in text)
+        return digits / max(len(text), 1) <= max_digit_ratio
+
+    survivors = [r for r in corpus if quality_ok(r["text"])]
+    keeper: dict[str, int] = {}
+    for r in survivors:
+        keeper[r["text"]] = min(keeper.get(r["text"], 1 << 62), r["doc_id"])
+    deduped = [r for r in survivors if keeper[r["text"]] == r["doc_id"]]
+    return sorted(r["doc_id"] for r in deduped
+                  if not (grams(r["text"]) & bench_grams))
+
+
+def test_curate_matches_brute_force(ray_session, tmp_path):
+    from search_engine_ray.pipelines.curate import curate_corpus
+    out = str(tmp_path / "curated")
+    ds = curate_corpus(SF, out)
+    got = sorted(r["doc_id"] for r in ds.select_columns(["doc_id"])
+                 .take_all())
+    want = _brute()
+    assert got == want and len(want) > 50
+    # partitioned layout on disk
+    import glob
+    assert glob.glob(os.path.join(out, "source=*"))
+    # texts survive byte-identical
+    src = {r["doc_id"]: r["text"] for r in pq.read_table(
+        os.path.join(SF, "documents.parquet"),
+        columns=["doc_id", "text"]).to_pylist()}
+    for r in ds.select_columns(["doc_id", "text"]).take_all()[:20]:
+        assert r["text"] == src[r["doc_id"]]
