@@ -342,10 +342,18 @@ def scaling_child(num_cpus: int) -> None:
     trials = int(os.environ.get("SCALING_TRIALS", "1"))
     idx_dir = os.path.join(IDX_BASE, f"serx_scaling_idx_{num_cpus}")
     best = None
-    for _trial in range(trials):
+    extra_budget = 2   # re-run contaminated trials (hypervisor steal storms
+    #                    can hit mid-leg; a stolen trial measures the
+    #                    co-tenant, not the engine)
+    trial = 0
+    while trial < trials:
         res = bench_index_build(pages_dir, idx_dir, n_docs=SCALING_PAGES_N)
+        if res["steal_pct"] > 4.0 and extra_budget > 0:
+            extra_budget -= 1      # discard and retry this trial slot
+            continue
         if best is None or res["sec"] < best["sec"]:
             best = res
+        trial += 1
     shutil.rmtree(idx_dir, ignore_errors=True)
     print(json.dumps(best))
     ray.shutdown()
