@@ -320,6 +320,10 @@ class SegmentSearcher:
         # df·12 B (int32 ids + float64 scores) — at web scale a count cap
         # alone would not bound the heap
         self._cache_max_bytes = 1 << 31
+        # block-max summaries for the pruned path: per term, docID-sorted
+        # scores plus per-block (first_docid, max_score) — ~1/BLOCK the
+        # score vector, count-capped LRU
+        self._block_cache: OrderedDict[str, tuple] = OrderedDict()
         self._cache_bytes = 0
         # per-metadata-field doc→group multimaps for collapsed search,
         # built lazily on first use (see _group_map)
@@ -977,6 +981,32 @@ class SegmentSearcher:
 
     # ---- dynamic pruning (MaxScore family; north-rule top-k path) ----
 
+    _BLOCK = 128   # postings per block-max block
+
+    def _term_sorted_blocks(self, term: str
+                            ) -> tuple[np.ndarray, np.ndarray,
+                                       np.ndarray, np.ndarray]:
+        """``(ids_sorted, scores_sorted, block_first_ids, block_max)`` for
+        one term — the block-max WAND structure: per ``_BLOCK`` postings,
+        the first (local) docID and the maximum BM25 contribution, so a
+        candidate's potential gain from this term is bounded by ITS block's
+        maximum instead of the term's global bound."""
+        entry = self._block_cache.get(term)
+        if entry is not None:
+            self._block_cache.move_to_end(term)
+            return entry
+        ids, sc = self._term_scores(term)
+        srt = np.argsort(ids, kind="stable")
+        ids_s, sc_s = ids[srt], sc[srt]
+        starts = np.arange(0, ids_s.size, self._BLOCK)
+        entry = (ids_s, sc_s, ids_s[starts],
+                 np.maximum.reduceat(sc_s, starts)
+                 if ids_s.size else np.zeros(0, dtype=np.float64))
+        self._block_cache[term] = entry
+        while len(self._block_cache) > 256:
+            self._block_cache.popitem(last=False)
+        return entry
+
     def _term_upper_bound(self, term: str) -> float:
         """Score upper bound from segment metadata alone (no decode):
         BM25 is monotone in tf and anti-monotone in doc_len, so
@@ -1032,20 +1062,24 @@ class SegmentSearcher:
         if cand.size == 0:
             return (np.zeros(0, dtype=np.int64), np.zeros(0, dtype=np.float64))
 
-        # phase 2: gather non-essential terms for candidates only
+        # phase 2: gather non-essential terms for candidates only, with
+        # BLOCK-MAX pruning (the block-max WAND refinement): a candidate's
+        # potential gain from term t is bounded by the max score of ITS
+        # block of t's docID-sorted postings — strictly tighter than t's
+        # global bound, and exactly 0 outside t's docID range — so
+        # candidates drop earlier and later gathers touch fewer docs.
         rest = ordered[split:]
         for j, t in enumerate(rest):
-            remaining_ub = float(suffix_ub[split + j])
-            keep = scores + remaining_ub >= theta
+            if bounds[t] <= 0.0:
+                continue
+            suffix_after = float(suffix_ub[split + j]) - bounds[t]
+            ids_s, sc_s, bfirst, bmax = self._term_sorted_blocks(t)
+            bi = np.searchsorted(bfirst, cand, side="right") - 1
+            ub_t = np.where(bi >= 0, bmax[np.maximum(bi, 0)], 0.0)
+            keep = scores + ub_t + suffix_after >= theta
             cand, scores = cand[keep], scores[keep]
             if cand.size == 0:
                 break
-            if bounds[t] <= 0.0:
-                continue
-            ids, sc = self._term_scores(t)
-            # per-term lists may be multi-run (salting); sort once for gather
-            srt = np.argsort(ids, kind="stable")
-            ids_s, sc_s = ids[srt], sc[srt]
             pos = np.searchsorted(ids_s, cand)
             pos_ok = pos < ids_s.size
             match = np.zeros(cand.size, dtype=bool)

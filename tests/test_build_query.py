@@ -297,3 +297,19 @@ def test_explain_contributions_sum_to_scores(built_index, use_actors,
             assert sums[d] == pytest.approx(s, abs=1e-9), (q, d)
     assert len(qe.explain("", k=10)) == 0
     assert len(qe.explain("zzznoterm", k=10)) == 0
+
+
+@pytest.mark.parametrize("k", [1, 3, 25, 500])
+def test_blockmax_pruning_exact_at_all_k(built_index, oracle, k,
+                                         ray_session):
+    """Block-max pruning stays exact under tight and loose thresholds
+    (k=1 maximizes pruning pressure; k=500 disables it)."""
+    from search_engine_ray.pipelines.query import QueryEngine
+    idx, _ = built_index
+    qe = QueryEngine(idx, num_searchers=2, use_actors=False)
+    for q in QUERIES + ["the scan sort merge window agg value key line big"]:
+        got = qe.query(q, k=k, prune=True)
+        want = oracle.bm25(q, k=k)
+        assert [d for d, _ in got] == [d for d, _ in want], (q, k)
+        for (_, gs), (_, ws) in zip(got, want):
+            assert gs == pytest.approx(ws, abs=1e-9), (q, k)
