@@ -2098,6 +2098,75 @@ FROM tiles
 """
 
 
+_ROLLING_DAYS = 7
+
+
+def q_rolling_active_users(sf_dir: str, *, window: int = _ROLLING_DAYS):
+    """Rolling 7-day distinct active users per day (the DAU/WAU family):
+    each event expands to the ≤``window`` day-buckets whose trailing window
+    it falls into (BOUNDED expansion, the hopping-window idiom), distinct
+    (day, user) pairs collapse in a first groupby with map-side combine,
+    and the per-day count is a second, day-sized aggregate.  Days outside
+    the data's [min, max] date range are clipped so the oracle's day
+    domain matches."""
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                               columns=["ts", "user_id"])
+    stats = _collect_table(ds.map_batches(
+        lambda t: pa.table({
+            "mn": pa.array([pc.min(t["ts"]).as_py()]),
+            "mx": pa.array([pc.max(t["ts"]).as_py()])}),
+        batch_format="pyarrow"))
+    day_us = 86_400_000_000
+    d_min = min(v for v in stats["mn"].to_pylist()).date()
+    d_max = max(v for v in stats["mx"].to_pylist()).date()
+    import datetime as _dt
+    epoch = _dt.date(1970, 1, 1)
+    day_lo, day_hi = (d_min - epoch).days, (d_max - epoch).days
+
+    def expand(t: pa.Table) -> pa.Table:
+        days = (t["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+                // day_us)
+        users = t["user_id"].to_numpy(zero_copy_only=False)
+        offs = np.arange(window, dtype=np.int64)
+        tgt = (days[:, None] + offs[None, :]).reshape(-1)
+        usr = np.repeat(users, window)
+        keep = tgt <= day_hi
+        sub = pa.table({"day_num": pa.array(tgt[keep]),
+                        "user_id": pa.array(usr[keep])})
+        # map-side distinct: one (day, user) row per batch
+        return sub.group_by(["day_num", "user_id"]).aggregate([])
+
+    out = (ds.map_batches(expand, batch_format="pyarrow")
+           .groupby(["day_num", "user_id"]).aggregate(Count())
+           .groupby("day_num").aggregate(Count())
+           .rename_columns({"count()": "active_users"}))
+
+    def finalize(t: pa.Table) -> pa.Table:
+        d = t["day_num"].to_numpy(zero_copy_only=False)
+        keep = d >= day_lo
+        t = t.filter(pa.array(keep))
+        d = d[keep]
+        days = pa.array(d * 86_400_000_000,
+                        type=pa.int64()).cast(pa.timestamp("us"))
+        return pa.table({"day": days, "active_users": t["active_users"]})
+
+    return out.map_batches(finalize, batch_format="pyarrow")
+
+
+SQL_ROLLING_ACTIVE_USERS = f"""
+WITH days AS (
+  SELECT unnest(range(
+           (SELECT min(ts::DATE) FROM events),
+           (SELECT max(ts::DATE) FROM events) + INTERVAL 1 DAY,
+           INTERVAL 1 DAY))::DATE AS day)
+SELECT d.day::TIMESTAMP AS day,
+       (SELECT count(DISTINCT e.user_id) FROM events e
+        WHERE e.ts::DATE BETWEEN d.day - {_ROLLING_DAYS - 1} AND d.day)
+         AS active_users
+FROM days d
+"""
+
+
 BIG_ORDER_CUT = 300_000   # shared by the semi/anti join queries + oracles
 
 
@@ -4708,6 +4777,7 @@ QUERIES = {
     "decontaminated_corpus": q_decontaminated_corpus,
     "event_type_transitions": q_event_type_transitions,
     "user_funnel": q_user_funnel,
+    "rolling_active_users": q_rolling_active_users,
     "priority_revenue_share": q_priority_revenue_share,
     "customer_rfm": q_customer_rfm,
     "nation_order_stats": q_nation_order_stats,
@@ -4817,6 +4887,7 @@ ORACLE_SQL = {
     "decontaminated_corpus": SQL_DECONTAMINATED_CORPUS,
     "event_type_transitions": SQL_EVENT_TYPE_TRANSITIONS,
     "user_funnel": SQL_USER_FUNNEL,
+    "rolling_active_users": SQL_ROLLING_ACTIVE_USERS,
     "priority_revenue_share": SQL_PRIORITY_REVENUE_SHARE,
     "customer_rfm": SQL_CUSTOMER_RFM,
     "nation_order_stats": SQL_NATION_ORDER_STATS,
