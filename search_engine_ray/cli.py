@@ -197,6 +197,37 @@ def cmd_compact(args) -> int:
     return 0
 
 
+def cmd_stats(args) -> int:
+    """Index introspection without starting Ray: manifest config,
+    per-partition byte/posting totals, docstats, tombstone counts."""
+    import glob as _glob
+    from .state import checkpoint as ckpt
+    man = ckpt.read_manifest(args.index)
+    cfg = man["config"]
+    parts = man.get("partitions", [])
+    seg_bytes = sum(p.get("bytes", 0) for p in parts)
+    n_terms = sum(p.get("n_terms", 0) for p in parts)
+    n_post = sum(p.get("n_postings", 0) for p in parts)
+    ds = ckpt.read_docstats(args.index)
+    tombs = 0
+    for d in _glob.glob(os.path.join(args.index, "tombstones", "shard=*",
+                                     "del-*.parquet")):
+        import pyarrow.parquet as pq
+        tombs += pq.read_metadata(d).num_rows
+    print(json.dumps({
+        "config": cfg,
+        "partitions": len(parts),
+        "segment_bytes": seg_bytes,
+        "terms_with_postings": n_terms,
+        "postings": n_post,
+        "docstats": ds,
+        "tombstoned_docs_recorded": tombs,
+        "positions": bool(cfg.get("positions")),
+        "fielded": bool(cfg.get("extra", {}).get("text_fields")),
+    }, indent=1, default=str))
+    return 0
+
+
 def cmd_curate(args) -> int:
     _ensure_ray(args.num_cpus)
     from .pipelines.curate import curate_corpus
@@ -358,6 +389,10 @@ def make_parser() -> argparse.ArgumentParser:
     co.add_argument("--index", required=True)
     co.add_argument("--into", required=True)
     co.set_defaults(fn=cmd_compact)
+
+    st = sub.add_parser("stats", help="index layout + size + doc stats")
+    st.add_argument("--index", required=True)
+    st.set_defaults(fn=cmd_stats)
 
     cu = sub.add_parser("curate",
                         help="quality gate + exact dedup + decontamination"
