@@ -20,6 +20,13 @@ import os
 # before numpy loads so at least driver-side kernels are unaffected.
 os.environ.setdefault("NUMPY_MADVISE_HUGEPAGE", "0")
 
+# allocator page-retention (glibc mallopt runs at package import; the
+# jemalloc env var only helps workers spawned after this point — see
+# search_engine_ray/state/memtune.py for the 32-way fault-storm measurements)
+from search_engine_ray.state.memtune import set_allocator_env
+
+set_allocator_env()
+
 from collections.abc import Callable
 from typing import Any
 

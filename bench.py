@@ -27,6 +27,15 @@ import time
 # fix for every numpy-heavy stage and removes most run-to-run variance.
 os.environ.setdefault("NUMPY_MADVISE_HUGEPAGE", "0")
 
+# Allocator page-retention (MUST precede ray.init so workers inherit the
+# jemalloc env; glibc mallopt happens at package import in every process).
+# Kernel page-fault throughput on this host collapses under 32-way
+# concurrency — see search_engine_ray/state/memtune.py.
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+from search_engine_ray.state.memtune import set_allocator_env  # noqa: E402
+
+set_allocator_env()
+
 SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 # partition exchange for the benched build: "fs" (single-node default) or
@@ -234,6 +243,12 @@ def _warm_worker_pool(num_cpus: int) -> None:
 
     def _imp(batch):
         import search_engine_ray.stages.tokenize  # noqa: F401  pyarrow+numpy
+        from search_engine_ray.state.memtune import prewarm_allocators
+
+        # pre-fault each worker's allocator working set outside the timed
+        # region: with page retention on, the first batches otherwise pay
+        # the whole fault warmup under zone-lock contention (memtune.py)
+        prewarm_allocators()
         return batch
 
     ray.data.range(num_cpus * 4, override_num_blocks=num_cpus * 4) \

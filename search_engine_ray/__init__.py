@@ -18,3 +18,13 @@ Nothing in this package calls ``ray.init()``; callers own the Ray session.
 """
 
 __version__ = "0.1.0"
+
+# Runs once per process (driver AND every Ray worker that deserializes one of
+# this package's UDFs): raise glibc's mmap/trim thresholds so per-batch
+# buffer churn reuses pages instead of re-faulting them — kernel page-fault
+# throughput collapses under 32-way concurrency on this class of host (see
+# state/memtune.py for the measurements).  No-op when SERX_MEMTUNE=0.
+from .state.memtune import tune_malloc as _tune_malloc
+
+_tune_malloc()
+del _tune_malloc

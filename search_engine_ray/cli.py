@@ -18,6 +18,10 @@ import sys
 
 
 def _ensure_ray(num_cpus: int | None = None) -> None:
+    # allocator page-retention env before workers spawn (see state/memtune.py)
+    from search_engine_ray.state.memtune import set_allocator_env
+
+    set_allocator_env()
     import ray
     if not ray.is_initialized():
         # under `ray job submit` the job runtime exports RAY_ADDRESS to the

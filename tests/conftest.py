@@ -9,6 +9,12 @@ import pytest
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+# allocator page-retention before the Ray session starts (workers inherit
+# the jemalloc env var) — see search_engine_ray/state/memtune.py
+from search_engine_ray.state.memtune import set_allocator_env  # noqa: E402
+
+set_allocator_env()
+
 
 @pytest.fixture(scope="session")
 def ray_session():
