@@ -34,6 +34,7 @@ from __future__ import annotations
 
 import os
 import shutil
+from contextlib import contextmanager
 from typing import Callable, Iterable
 
 import pyarrow as pa
@@ -67,6 +68,34 @@ def _phase_timer():
               file=sys.stderr, flush=True)
         state["t"] = now
     return mark
+
+
+@contextmanager
+def _full_width_execution():
+    """Run one Dataset execution with Ray Data's per-op resource reservation
+    disabled, restoring the previous setting after.
+
+    The build's executions are map-dominated: a fused read→tokenize→spill map
+    followed by a trivial metric fold (stage 1), or a flat encode map over
+    partition stubs (stage 2).  The streaming executor's reservation policy
+    (``op_resource_reservation_ratio`` = 0.5) holds back half the CPU slots
+    as a shared pool split across ALL ops, so the one op doing real work is
+    capped at 0.75 × cluster CPUs concurrent tasks (measured: 24 of 32, a
+    constant 25% idle floor through stage 1).  That policy exists to keep
+    expensive downstream ops from starving in deep pipelines — the build has
+    no such op, so width is strictly better here.  Scoped + restored so
+    concurrently-running query pipelines in the same driver keep the default
+    policy; ``SERX_FULL_WIDTH=0`` opts out entirely."""
+    ctx = ray.data.DataContext.get_current()
+    prev = getattr(ctx, "op_resource_reservation_enabled", None)
+    if prev is None or os.environ.get("SERX_FULL_WIDTH", "1") == "0":
+        yield
+        return
+    ctx.op_resource_reservation_enabled = False
+    try:
+        yield
+    finally:
+        ctx.op_resource_reservation_enabled = prev
 
 
 def _auto_num_blocks() -> int:
@@ -264,10 +293,12 @@ def _exchange_fs(ds, index_dir: str, cfg: IndexConfig, stage, batch_size,
             # the reduce side's file count at blocks × partitions minimum.
             # The consuming aggregate folds the docstats (n_docs, Σ doc_len)
             # out of the spillers' metric rows — no docstore re-read pass.
-            sums = ds.map_batches(_TokenizeAndSpill(stage, spiller),
-                                  batch_format="pyarrow", batch_size=None,
-                                  concurrency=concurrency) \
-                .sum(["n_docs", "total_tokens"]) or {}
+            with _full_width_execution():
+                sums = ds.map_batches(_TokenizeAndSpill(stage, spiller),
+                                      batch_format="pyarrow",
+                                      batch_size=None,
+                                      concurrency=concurrency) \
+                    .sum(["n_docs", "total_tokens"]) or {}
             stage1_stats = {
                 "tag": cfg_tag,
                 "n_docs": int(sums.get("sum(n_docs)") or 0),
@@ -345,8 +376,9 @@ def _exchange_fs(ds, index_dir: str, cfg: IndexConfig, stage, batch_size,
         enc = FragmentEncoder(frag_dir, ckpt.segments_dir(index_dir),
                               cfg.n_buckets,
                               docstore_dir=os.path.join(index_dir, "docstore"))
-        parts.map_batches(enc, batch_format="pyarrow",
-                          batch_size=1).materialize()
+        with _full_width_execution():
+            parts.map_batches(enc, batch_format="pyarrow",
+                              batch_size=1).materialize()
         mark("stage2 encode+commit")
     # all partitions committed → exchange fragments are garbage
     if not ckpt.pending_partitions(index_dir, cfg):
@@ -359,9 +391,10 @@ def _exchange_groupby(ds, index_dir: str, cfg: IndexConfig, stage, batch_size,
                       docstore_path) -> None:
     """Idiomatic ``groupby('part')`` sort-shuffle exchange, materializing the
     tokenized stream once in the object store (spills under pressure)."""
-    tokenized = ds.map_batches(
-        stage, batch_format="pyarrow", batch_size=batch_size,
-        concurrency=concurrency).materialize()
+    with _full_width_execution():
+        tokenized = ds.map_batches(
+            stage, batch_format="pyarrow", batch_size=batch_size,
+            concurrency=concurrency).materialize()
     if need_docstore:
         # tmp + swap (mirrors the fs path): a build killed mid-docstore-write
         # and resumed must not leave BOTH runs' uniquely-named parquet files
@@ -402,8 +435,9 @@ def _exchange_groupby(ds, index_dir: str, cfg: IndexConfig, stage, batch_size,
         def encode_partition(group: pa.Table) -> pa.Table:
             return writer(group)
 
-        postings.groupby("part").map_groups(
-            encode_partition, batch_format="pyarrow").materialize()
+        with _full_width_execution():
+            postings.groupby("part").map_groups(
+                encode_partition, batch_format="pyarrow").materialize()
         # groupby produces no group (and thus no _DONE) for partitions with
         # zero posting rows — commit those as empty segments so the manifest
         # completes and resume doesn't rebuild from scratch
