@@ -2262,6 +2262,79 @@ GROUP BY r_name, n_name
 """
 
 
+def q_promo_revenue_share(sf_dir: str):
+    """TPC-H-Q14-shaped promo revenue share per ship month (the one driver
+    table no other query touched: ``part``).  Scale shape: lineitem streams;
+    ``part`` is the small side (0.2k rows per GB of lineitem) so it attaches
+    via the broadcast-dim idiom (``ray.put`` once, sorted-probe per batch)
+    — no shuffle.  Money is accumulated as EXACT int64 ten-thousandths
+    (price×(1−discount) of two 2-decimal inputs has an exact 4-decimal
+    value): double sums in the two engines differ by an ulp at .xx5
+    rounding boundaries, but integer sums are order-independent, so both
+    sides derive the output doubles from identical integers."""
+    from ..stages.join import broadcast_lookup
+    import pyarrow.parquet as pq
+    li = ray.data.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_partkey", "l_extendedprice", "l_discount", "l_shipdate"])
+    part = pq.read_table(os.path.join(sf_dir, "part.parquet"),
+                         columns=["p_partkey", "p_type"])
+
+    def revenue_cols(t: pa.Table) -> pa.Table:
+        rev = pc.multiply(t["l_extendedprice"],
+                          pc.subtract(pa.scalar(1.0), t["l_discount"]))
+        rev4 = pc.cast(pc.round(pc.multiply(rev, pa.scalar(10000.0)), 0),
+                       pa.int64())
+        promo4 = pc.if_else(pc.equal(t["p_type"], "PROMO"),
+                            rev4, pa.scalar(0, pa.int64()))
+        return pa.table({
+            "ship_month": pc.strftime(t["l_shipdate"], format="%Y-%m"),
+            "rev4": rev4, "promo4": promo4})
+
+    monthly = (broadcast_lookup(li, part, key="l_partkey",
+                                dim_key="p_partkey")
+               .map_batches(revenue_cols, batch_format="pyarrow")
+               .groupby("ship_month")
+               .aggregate(Sum("rev4"), Sum("promo4")))
+
+    def finish(t: pa.Table) -> pa.Table:
+        total4 = t["sum(rev4)"].combine_chunks()
+        promo4 = t["sum(promo4)"].combine_chunks()
+        scale = pa.scalar(10000.0)
+        share = pc.round(
+            pc.divide(pc.multiply(pc.cast(promo4, pa.float64()),
+                                  pa.scalar(100.0)),
+                      pc.cast(total4, pa.float64())), 4)
+        return pa.table({"ship_month": t["ship_month"],
+                         "total_revenue": pc.divide(
+                             pc.cast(total4, pa.float64()), scale),
+                         "promo_revenue": pc.divide(
+                             pc.cast(promo4, pa.float64()), scale),
+                         "promo_share": share})
+    return monthly.map_batches(finish, batch_format="pyarrow")
+
+
+SQL_PROMO_REVENUE_SHARE = """
+WITH monthly AS (
+  SELECT strftime(l_shipdate, '%Y-%m') AS ship_month,
+         sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000, 0)
+                  AS BIGINT)) AS total4,
+         sum(CASE WHEN p_type = 'PROMO'
+                  THEN CAST(round(l_extendedprice * (1 - l_discount) * 10000,
+                                  0) AS BIGINT)
+                  ELSE 0 END) AS promo4
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  GROUP BY 1
+)
+SELECT ship_month,
+       CAST(total4 AS DOUBLE) / 10000.0 AS total_revenue,
+       CAST(promo4 AS DOUBLE) / 10000.0 AS promo_revenue,
+       round(CAST(promo4 AS DOUBLE) * 100.0 / CAST(total4 AS DOUBLE), 4)
+         AS promo_share
+FROM monthly
+"""
+
+
 def q_binary_payload_stats(sf_dir: str):
     """Opaque-binary plumbing check (multimodal column pattern): byte length
     of each doc's payload treated as a binary column."""
@@ -4781,6 +4854,7 @@ QUERIES = {
     "priority_revenue_share": q_priority_revenue_share,
     "customer_rfm": q_customer_rfm,
     "nation_order_stats": q_nation_order_stats,
+    "promo_revenue_share": q_promo_revenue_share,
     "order_revenue_topk": q_order_revenue_topk,
     "regional_trade_volume": q_regional_trade_volume,
     "user_running_stats": q_user_running_stats,
@@ -4891,6 +4965,7 @@ ORACLE_SQL = {
     "priority_revenue_share": SQL_PRIORITY_REVENUE_SHARE,
     "customer_rfm": SQL_CUSTOMER_RFM,
     "nation_order_stats": SQL_NATION_ORDER_STATS,
+    "promo_revenue_share": SQL_PROMO_REVENUE_SHARE,
     "order_revenue_topk": SQL_ORDER_REVENUE_TOPK,
     "regional_trade_volume": SQL_REGIONAL_TRADE_VOLUME,
     "user_running_stats": SQL_USER_RUNNING_STATS,

@@ -8,7 +8,7 @@ import pytest
 
 SF = "/root/testdata/sf0.001"
 TABLES = ["documents", "embeddings", "events", "lineitem", "customer",
-          "orders", "supplier", "nation", "region"]
+          "orders", "supplier", "nation", "region", "part"]
 KEYS = ["term_df", "dedup_exact", "bm25_scores", "cosine_scores",
         "lineitem_pricing", "doc_keywords", "unigram_nll",
         "embedding_pairs_exact", "term_suggest", "hybrid_rrf",
@@ -20,7 +20,8 @@ KEYS = ["term_df", "dedup_exact", "bm25_scores", "cosine_scores",
         "lineitem_cube", "user_mode_type", "user_moving_avg",
         "source_temperature_mix", "order_ntile", "customer_order_profile",
         "event_value_median", "source_lang_profile", "span_dedup_cut",
-        "bm25_explain", "decontaminated_corpus", "event_type_transitions"]
+        "bm25_explain", "decontaminated_corpus", "event_type_transitions",
+        "promo_revenue_share"]
 
 
 @pytest.fixture(scope="module")
