@@ -284,7 +284,8 @@ def cmd_ui(args) -> int:
     from .pipelines.query import QueryEngine
     qe = QueryEngine(args.index, num_searchers=args.searchers)
     last: list[int] = []
-    print("commands: query <text> | explain <text> | see <n> | "
+    last_query = ""
+    print("commands: query <text> | explain <text> | see <n> | snip <n> | "
           "parse <source> | exit")
     for line in sys.stdin:
         line = line.strip()
@@ -305,6 +306,7 @@ def cmd_ui(args) -> int:
             else:
                 results = qe.query(rest, k=10)
             last = [d for d, _ in results]
+            last_query = rest
             for rank, (doc_id, score) in enumerate(results):
                 row = docstore_lookup(args.index, doc_id) or {}
                 label = row.get("url", row.get("lang", ""))
@@ -323,6 +325,26 @@ def cmd_ui(args) -> int:
                 continue
             print(json.dumps(docstore_lookup(args.index, doc), default=str,
                              indent=1))
+        elif cmd == "snip":
+            # query-biased highlighted excerpt (functions/snippet.py) —
+            # needs the doc text: the corpus via --corpus, or a docstore
+            # that kept a text column (keep_cols=("text",...))
+            try:
+                doc = last[int(rest)]
+            except (ValueError, IndexError):
+                print("usage: snip <rank from last query>")
+                continue
+            if getattr(args, "corpus", None):
+                from .pipelines.query import fetch_texts
+                texts = fetch_texts(args.corpus, [doc])
+            else:
+                row = docstore_lookup(args.index, doc) or {}
+                texts = {doc: row["text"]} if "text" in row else {}
+            res = qe.query_with_snippets(last_query, texts, k=10)
+            snip = next((s for d, _, s in res if d == doc), None)
+            print(snip if snip is not None
+                  else "(no text available: pass --corpus or build with "
+                       "keep_cols=('text',))")
         elif cmd == "parse":
             from .pipelines.build import build_index
             from .state import checkpoint as ckpt
@@ -432,6 +454,8 @@ def make_parser() -> argparse.ArgumentParser:
     u = sub.add_parser("ui", help="interactive REPL (reference --ui)")
     u.add_argument("--index", required=True)
     u.add_argument("--searchers", type=int, default=4)
+    u.add_argument("--corpus", default=None,
+                   help="corpus parquet for `snip <n>` text fetches")
     u.set_defaults(fn=cmd_ui)
     return p
 

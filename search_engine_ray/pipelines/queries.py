@@ -2389,6 +2389,30 @@ def q_bm25_topk(sf_dir: str):
                      "score": pa.array([round(s, 6) for _, s in res])})
 
 
+def q_doc_snippets(sf_dir: str):
+    """Serving-tier snippet rendering: flagship BM25 top-10 plus a
+    query-biased highlighted excerpt per hit (``functions.snippet`` —
+    best ``window``-token window by distinct query terms, the web-scale
+    counterpart of the reference REPL's whole-document ``DisplaySource``,
+    KaggleFinanceSourceEngine.cpp:99-116).  Texts for the k hits come from
+    ONE filtered corpus read (row-group push-down, 2 columns).  Fully
+    deterministic (pure function of text × terms) — golden-pinned in
+    ``tests/test_snippet.py``; ranking correctness rides ``bm25_topk``'s
+    SQL oracle."""
+    from .query import QueryEngine, fetch_texts
+    idx = _ensure_index(sf_dir)
+    qe = QueryEngine(idx, num_searchers=4, use_actors=True)
+    hits = qe.query(FLAGSHIP_QUERY, k=10)
+    texts = fetch_texts(os.path.join(sf_dir, "documents.parquet"),
+                        [d for d, _ in hits])
+    res = qe.query_with_snippets(FLAGSHIP_QUERY, texts, k=10)
+    return pa.table({
+        "rank": pa.array(range(len(res)), type=pa.int32()),
+        "doc_id": pa.array([d for d, _, _ in res], type=pa.int64()),
+        "score": pa.array([round(s, 6) for _, s, _ in res]),
+        "snippet": pa.array([s for _, _, s in res], type=pa.string())})
+
+
 TITLE_TOKENS = 8     # derived title field := first N kept tokens of text
 TITLE_WEIGHT = 2.0   # BM25F title boost (w_text = 1 implicitly)
 
@@ -4855,6 +4879,7 @@ QUERIES = {
     "customer_rfm": q_customer_rfm,
     "nation_order_stats": q_nation_order_stats,
     "promo_revenue_share": q_promo_revenue_share,
+    "doc_snippets": q_doc_snippets,
     "order_revenue_topk": q_order_revenue_topk,
     "regional_trade_volume": q_regional_trade_volume,
     "user_running_stats": q_user_running_stats,

@@ -1218,6 +1218,22 @@ def top_k(doc_ids: np.ndarray, scores: np.ndarray,
     return doc_ids[order], scores[order]
 
 
+def fetch_texts(corpus_path: str, doc_ids, *, id_col: str = "doc_id",
+                text_col: str = "text") -> dict[int, str]:
+    """One filtered parquet read covering every requested doc (row-group
+    predicate push-down; two columns only) → ``{doc_id: text}``.  The
+    serving-tier point-get for snippet rendering: k≈10 ids per query, never
+    a corpus scan.  At cluster scale the docstore keeps source paths and
+    this becomes a path-addressed fetch (reference ``DisplaySource``
+    re-opens the source file the same way)."""
+    ids = [int(d) for d in doc_ids]
+    if not ids:
+        return {}
+    t = pq.read_table(corpus_path, columns=[id_col, text_col],
+                      filters=[(id_col, "in", ids)])
+    return dict(zip(t[id_col].to_pylist(), t[text_col].to_pylist()))
+
+
 class QueryEngine:
     """Driver-side facade: query parsing, shard fan-out, top-k merge.
 
@@ -1275,6 +1291,31 @@ class QueryEngine:
             return []
         ids, sc = top_k(ids, sc, k)
         return [(int(d), float(s)) for d, s in zip(ids, sc)]
+
+    def query_with_snippets(self, text: str, texts, k: int = 10, *,
+                            window: int = 30,
+                            mark: tuple[str, str] = ("**", "**"),
+                            prune: bool = False
+                            ) -> list[tuple[int, float, str | None]]:
+        """BM25 top-k plus a query-biased highlighted excerpt per hit
+        (``functions.snippet`` — the web-scale counterpart of the reference
+        REPL's whole-document ``DisplaySource``).  ``texts`` maps doc_id →
+        document text: a dict (use :func:`fetch_texts` for one filtered
+        corpus read covering all k hits) or any callable.  Snippet term
+        matching uses the SAME analyzer chain as the index (stopwords +
+        stem from the manifest), so a term highlights iff it scored."""
+        from ..functions.snippet import make_snippet
+        terms = tokenize(text, stopwords=self.stopwords, stem=self.stem)
+        hits = self.query(text, k=k, prune=prune)
+        get = texts.get if hasattr(texts, "get") else texts
+        out = []
+        for doc_id, score in hits:
+            doc_text = get(doc_id)
+            snip = (make_snippet(doc_text, terms, window=window, mark=mark,
+                                 stem=self.stem)
+                    if doc_text is not None else None)
+            out.append((doc_id, score, snip))
+        return out
 
     def fielded_query(self, text: str, k: int = 10, *,
                       title_weight: float = 2.0,
