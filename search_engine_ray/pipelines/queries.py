@@ -2394,11 +2394,14 @@ def q_doc_snippets(sf_dir: str):
     query-biased highlighted excerpt per hit (``functions.snippet`` —
     best ``window``-token window by distinct query terms, the web-scale
     counterpart of the reference REPL's whole-document ``DisplaySource``,
-    KaggleFinanceSourceEngine.cpp:99-116).  Texts for the k hits come from
-    ONE filtered corpus read (row-group push-down, 2 columns).  Fully
-    deterministic (pure function of text × terms) — golden-pinned in
-    ``tests/test_snippet.py``; ranking correctness rides ``bm25_topk``'s
-    SQL oracle."""
+    KaggleFinanceSourceEngine.cpp:99-116).  Complements ``search_snippets``
+    (first-hit keyword-in-context over normalized tokens, fully
+    SQL-checked): this variant selects the BEST window and renders the RAW
+    text span with highlight marks — window optimization + original-text
+    reconstruction aren't SQL-expressible, so correctness is golden-pinned
+    in ``tests/test_snippet.py`` and ranking rides ``bm25_topk``'s SQL
+    oracle.  Texts for the k hits come from ONE filtered corpus read
+    (row-group push-down, 2 columns)."""
     from .query import QueryEngine, fetch_texts
     idx = _ensure_index(sf_dir)
     qe = QueryEngine(idx, num_searchers=4, use_actors=True)
