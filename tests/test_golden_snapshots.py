@@ -70,6 +70,10 @@ GOLDEN = {
     # deterministic regardless of batching (dedup sorts inside the cell)
     "semantic_dedup":
         "b4fda3df83662bb91e712fbeaf5864ae95fd808ecfab90c05e28a6eaad6cc740",
+    # ranking rides bm25_topk's SQL oracle; the best-window excerpt is a
+    # pure function of (text, analyzed terms) — see tests/test_snippet.py
+    "doc_snippets":
+        "d24d4e15644e4c75487781e257be55cd2c4dc33e654b54b9258f055592816648",
 }
 
 
