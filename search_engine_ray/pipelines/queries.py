@@ -2389,6 +2389,54 @@ def q_bm25_topk(sf_dir: str):
                      "score": pa.array([round(s, 6) for _, s in res])})
 
 
+SOURCE_CAP = 10   # max docs kept per source (domain-cap analogue)
+
+
+def q_source_capped_sample(sf_dir: str):
+    """Per-source document cap (the C4/Dolma/RefinedWeb "at most K pages
+    per registered domain" curation step, with ``source`` as the domain
+    analogue): keep the ``SOURCE_CAP`` lowest-docID docs of every source.
+
+    Scale shape — two stages, neither moves text:
+    1. a SKINNY shuffle: only ``(doc_id, source)`` (16 bytes/doc) reaches
+       the ``groupby(source)`` that ranks within each group;
+    2. the keeper set semi-joins back against the corpus via the bucketed
+       ``hash_join(join_type='left semi')`` — the same keys-only keeper
+       idiom as ``dedup_keep``, because at web scale the keeper set is a
+       corpus-scale fraction and must NOT be broadcast or collected.
+    Skewed sources (one host = half the crawl) bound each group at the
+    rank stage's input, not the corpus: a group is ``(doc_id, source)``
+    pairs only, and the hot-key salting story of ``stages/join.py``
+    applies to the semi-join."""
+    from ..stages.join import hash_join
+    docs = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "source", "n_chars"])
+    pairs = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "source"])
+
+    def head_k(g: pa.Table) -> pa.Table:
+        order = pc.sort_indices(g["doc_id"])
+        return g.take(order[:SOURCE_CAP]).select(["doc_id"])
+
+    keepers = pairs.groupby("source").map_groups(
+        head_k, batch_format="pyarrow")
+    kept = hash_join(docs, keepers, left_key="doc_id",
+                     right_key="doc_id", n_buckets=16,
+                     join_type="left semi")
+    return kept.select_columns(["doc_id", "source", "n_chars"])
+
+
+SQL_SOURCE_CAPPED_SAMPLE = f"""
+SELECT doc_id, source, n_chars FROM (
+  SELECT doc_id, source, n_chars,
+         row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+  FROM documents)
+WHERE rn <= {SOURCE_CAP}
+"""
+
+
 def q_doc_snippets(sf_dir: str):
     """Serving-tier snippet rendering: flagship BM25 top-10 plus a
     query-biased highlighted excerpt per hit (``functions.snippet`` —
@@ -4883,6 +4931,7 @@ QUERIES = {
     "nation_order_stats": q_nation_order_stats,
     "promo_revenue_share": q_promo_revenue_share,
     "doc_snippets": q_doc_snippets,
+    "source_capped_sample": q_source_capped_sample,
     "order_revenue_topk": q_order_revenue_topk,
     "regional_trade_volume": q_regional_trade_volume,
     "user_running_stats": q_user_running_stats,
@@ -4994,6 +5043,7 @@ ORACLE_SQL = {
     "customer_rfm": SQL_CUSTOMER_RFM,
     "nation_order_stats": SQL_NATION_ORDER_STATS,
     "promo_revenue_share": SQL_PROMO_REVENUE_SHARE,
+    "source_capped_sample": SQL_SOURCE_CAPPED_SAMPLE,
     "order_revenue_topk": SQL_ORDER_REVENUE_TOPK,
     "regional_trade_volume": SQL_REGIONAL_TRADE_VOLUME,
     "user_running_stats": SQL_USER_RUNNING_STATS,
