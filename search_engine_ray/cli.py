@@ -237,7 +237,8 @@ def cmd_curate(args) -> int:
     from .pipelines.curate import curate_corpus
     ds = curate_corpus(args.sf_dir, args.out,
                        min_tokens=args.min_tokens,
-                       max_digit_ratio=args.max_digit_ratio)
+                       max_digit_ratio=args.max_digit_ratio,
+                       source_cap=args.source_cap)
     print(f"curated corpus: {ds.count()} docs -> {args.out}")
     return 0
 
@@ -427,6 +428,8 @@ def make_parser() -> argparse.ArgumentParser:
     cu.add_argument("--out", required=True)
     cu.add_argument("--min-tokens", type=int, default=60)
     cu.add_argument("--max-digit-ratio", type=float, default=0.05)
+    cu.add_argument("--source-cap", type=int, default=None,
+                    help="keep at most K docs per source (domain cap)")
     cu.set_defaults(fn=cmd_curate)
 
     ex = sub.add_parser("explain",

@@ -11,7 +11,11 @@ in the order a real data-curation run applies them:
    ``hash_join`` back onto the survivor stream;
 3. **decontamination** — drop docs sharing any word n-gram with the
    benchmark set (bench grams collected once, ``ray.put`` broadcast);
-4. **write** — parquet partitioned by ``source`` (a failed run reruns one
+4. **per-source cap** (optional ``source_cap=K``) — the C4/Dolma "≤K pages
+   per domain" step, applied LAST so the cap counts final docs: skinny
+   ``(doc_id, source)`` rank shuffle + bucketed left-semi keeper join
+   (same shape as ``queries.q_source_capped_sample``);
+5. **write** — parquet partitioned by ``source`` (a failed run reruns one
    partition, not the corpus).
 
 Every stage is a streaming ``map_batches`` / bucketed exchange — no
@@ -38,7 +42,8 @@ from ..stages.textstats import QualityStats
 def curate_corpus(sf_dir: str, out_dir: str | None = None, *,
                   min_tokens: int = 60, max_digit_ratio: float = 0.05,
                   ngram: int = 5, bench_mod: int = 97,
-                  n_buckets: int = 32) -> "ray.data.Dataset":
+                  n_buckets: int = 32,
+                  source_cap: int | None = None) -> "ray.data.Dataset":
     """documents.parquet → curated corpus Dataset (and parquet when
     ``out_dir`` is given).  Columns: doc_id, text, lang, source."""
     from .queries import _content_hash_stage, _mod_filter
@@ -93,6 +98,24 @@ def curate_corpus(sf_dir: str, out_dir: str | None = None, *,
         return t.filter(pa.array(np.isin(ids, keep_ids)))
 
     curated = deduped.map_batches(decontaminate, batch_format="pyarrow")
+
+    if source_cap is not None:
+        # domain-cap last, so the cap counts FINAL docs (C4/Dolma order).
+        # The curated stream feeds both the rank pass and the semi-join —
+        # pin it once instead of re-executing the whole upstream twice.
+        curated = curated.materialize()
+        pairs = curated.select_columns(["doc_id", "source"])
+
+        def head_k(g: pa.Table) -> pa.Table:
+            order = pc.sort_indices(g["doc_id"])
+            return g.take(order[:source_cap]).select(["doc_id"])
+
+        cap_keepers = pairs.groupby("source").map_groups(
+            head_k, batch_format="pyarrow")
+        curated = hash_join(curated, cap_keepers, left_key="doc_id",
+                            right_key="doc_id", n_buckets=n_buckets,
+                            join_type="left semi")
+
     if out_dir is not None:
         curated.write_parquet(out_dir, partition_cols=["source"])
         return ray.data.read_parquet(out_dir)

@@ -57,3 +57,28 @@ def test_curate_matches_brute_force(ray_session, tmp_path):
         columns=["doc_id", "text"]).to_pylist()}
     for r in ds.select_columns(["doc_id", "text"]).take_all()[:20]:
         assert r["text"] == src[r["doc_id"]]
+
+
+def test_curate_source_cap(ray_session):
+    from search_engine_ray.pipelines.curate import curate_corpus
+    cap = 3
+    uncapped = _brute()
+    rows = curate_corpus(SF, source_cap=cap) \
+        .select_columns(["doc_id", "source"]).take_all()
+    # the cap keeps the LOWEST-docID docs per source among the FINAL
+    # (quality+dedup+decontamination) survivors — derive that from the
+    # uncapped brute-force result
+    src_of = {r["doc_id"]: r["source"] for r in pq.read_table(
+        os.path.join(SF, "documents.parquet"),
+        columns=["doc_id", "source"]).to_pylist()}
+    want: dict[str, list[int]] = {}
+    for d in uncapped:                      # already sorted ascending
+        want.setdefault(src_of[d], [])
+        if len(want[src_of[d]]) < cap:
+            want[src_of[d]].append(d)
+    got: dict[str, list[int]] = {}
+    for r in sorted(rows, key=lambda r: r["doc_id"]):
+        got.setdefault(r["source"], []).append(r["doc_id"])
+    assert got == want
+    assert all(len(v) <= cap for v in got.values())
+    assert sum(len(v) for v in got.values()) < len(uncapped)
