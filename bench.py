@@ -221,6 +221,17 @@ def main() -> None:
     timed("quality_scores", Q.q_quality_scores)
 
     total = round(time.time() - t0, 3)
+    # host-phase telemetry: this VM's kernel memory path swings >2x between
+    # hypervisor phases invisible to loadavg/steal (BASELINE.md; tools/
+    # host_health.py) — recording the phase lets a round-over-round BENCH
+    # comparison separate engine changes from host luck
+    try:
+        sys.path.insert(0, os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "tools"))
+        from host_health import first_touch_gbps
+        health = round(first_touch_gbps(8, 1.0), 1)
+    except Exception:
+        health = None
     print(json.dumps({
         "metric": "headline pipelines wall time (index build on 100k-page synthetic corpus + BM25 latency + testdata queries)",
         "value": total,
@@ -229,6 +240,9 @@ def main() -> None:
         "docs_per_sec_index_build": round(build["docs_per_sec"], 1),
         "sf": SF_DIR,
         "num_cpus": NUM_CPUS,
+        "host": {"steal_pct": build["steal_pct"],
+                 "load1_at_end": build["load1"],
+                 "first_touch_gbps": health},
     }))
     import ray
     ray.shutdown()
