@@ -1,5 +1,5 @@
 """Spot-check of the driver contract: Ray queries vs DuckDB oracles at
-sf0.001 (full 20-query sweep lives in tools/check_contract.py)."""
+sf0.001 (the full-catalog sweep lives in tools/check_contract.py)."""
 
 import duckdb
 import numpy as np
