@@ -49,6 +49,7 @@ def best_window(norm_terms: list[str | None], qterms: frozenset[str],
     """Token-index span ``[lo, hi]`` (inclusive) of the best ``window``-token
     window: max distinct query terms, then max total hits, then earliest.
     ``None`` when no token matches."""
+    window = max(1, window)
     hit_pos = np.array([i for i, t in enumerate(norm_terms)
                         if t is not None and t in qterms], dtype=np.int64)
     if hit_pos.size == 0:
@@ -84,6 +85,7 @@ def make_snippet(text: str, qterms, *, window: int = 30,
     """Best-window excerpt of ``text`` with query-term hits wrapped in
     ``mark``.  The match span is centered inside a ``window``-token excerpt
     (clamped to the document).  Returns ``None`` when no term matches."""
+    window = max(1, window)
     qset = frozenset(qterms)
     toks = tokenize_with_offsets(text, stem=stem)
     if not toks:

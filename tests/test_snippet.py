@@ -50,6 +50,11 @@ def test_make_snippet_golden():
     assert make_snippet("", ["scan"]) is None
 
 
+def test_window_clamps_to_one():
+    snip = make_snippet("alpha scan beta", ["scan"], window=0)
+    assert snip == "…**scan**…"
+
+
 def test_make_snippet_marks_only_query_terms():
     text = "scan the line then scan the key again and scan once more"
     snip = make_snippet(text, ["scan"], window=5)
