@@ -2404,10 +2404,12 @@ def q_source_capped_sample(sf_dir: str):
        ``hash_join(join_type='left semi')`` — the same keys-only keeper
        idiom as ``dedup_keep``, because at web scale the keeper set is a
        corpus-scale fraction and must NOT be broadcast or collected.
-    Skewed sources (one host = half the crawl) bound each group at the
-    rank stage's input, not the corpus: a group is ``(doc_id, source)``
-    pairs only, and the hot-key salting story of ``stages/join.py``
-    applies to the semi-join."""
+    Skewed sources (one host = half the crawl) cannot blow up a group: a
+    MAP-SIDE COMBINE keeps each batch's local lowest-K per source before
+    the shuffle (global lowest-K ⊆ union of per-batch lowest-K), so a
+    group at the rank stage holds ≤ K × n_upstream_blocks skinny rows no
+    matter how hot the source; the hot-key salting story of
+    ``stages/join.py`` applies to the semi-join."""
     from ..stages.join import hash_join
     docs = ray.data.read_parquet(
         os.path.join(sf_dir, "documents.parquet"),
@@ -2416,12 +2418,25 @@ def q_source_capped_sample(sf_dir: str):
         os.path.join(sf_dir, "documents.parquet"),
         columns=["doc_id", "source"])
 
+    def local_head_k(t: pa.Table) -> pa.Table:
+        # per-batch combiner: lowest K doc_ids per source in this batch
+        order = pc.sort_indices(
+            t, sort_keys=[("source", "ascending"), ("doc_id", "ascending")])
+        t = t.take(order)
+        src = t["source"].to_numpy(zero_copy_only=False)
+        starts = np.flatnonzero(np.r_[True, src[1:] != src[:-1]])
+        ends = np.append(starts[1:], len(src))
+        rank = np.arange(len(src)) - np.repeat(starts, ends - starts)
+        return t.filter(pa.array(rank < SOURCE_CAP))
+
     def head_k(g: pa.Table) -> pa.Table:
         order = pc.sort_indices(g["doc_id"])
         return g.take(order[:SOURCE_CAP]).select(["doc_id"])
 
-    keepers = pairs.groupby("source").map_groups(
-        head_k, batch_format="pyarrow")
+    keepers = (pairs
+               .map_batches(local_head_k, batch_format="pyarrow")
+               .groupby("source")
+               .map_groups(head_k, batch_format="pyarrow"))
     kept = hash_join(docs, keepers, left_key="doc_id",
                      right_key="doc_id", n_buckets=16,
                      join_type="left semi")
