@@ -2479,6 +2479,72 @@ def q_doc_snippets(sf_dir: str):
         "snippet": pa.array([s for _, _, s in res], type=pa.string())})
 
 
+SNIPPET_WINDOW = 30   # best-window width, in kept tokens
+
+
+def q_snippet_windows(sf_dir: str):
+    """SQL-verified companion of ``doc_snippets``: the best-window SELECTION
+    (``functions.snippet.best_window`` — max distinct query terms, then max
+    total hits, then earliest) over the KEPT-token stream, the same stream
+    the positional index stores and ``sql_ordinal_tokenize_cte`` numbers.
+    Output per flagship top-10 hit: the chosen window's first/last hit
+    ordinal (1-based) and its distinct/total query-term hit counts.  The
+    raw-text excerpt rendering (original spans, highlight marks, centering)
+    stays golden-pinned in ``tests/test_snippet.py`` — strings aren't
+    SQL-reconstructible, the selection logic is."""
+    from ..functions.snippet import best_window
+    from .query import fetch_texts
+    topk = q_bm25_topk(sf_dir)   # (rank, doc_id, score) — 10 rows
+    ids = topk["doc_id"].to_pylist()
+    qterms = frozenset(tokenize(FLAGSHIP_QUERY))
+    texts = fetch_texts(os.path.join(sf_dir, "documents.parquet"), ids)
+    lo_c, hi_c, nd_c, nh_c = [], [], [], []
+    for d in ids:
+        toks = tokenize(texts[d])             # kept-token stream
+        lo, hi = best_window(toks, qterms, SNIPPET_WINDOW)
+        win = toks[lo:hi + 1]
+        lo_c.append(lo + 1)                   # 1-based, matching SQL ord
+        hi_c.append(hi + 1)
+        nd_c.append(len({t for t in win if t in qterms}))
+        nh_c.append(sum(t in qterms for t in win))
+    return topk.append_column(
+        "win_lo", pa.array(lo_c, type=pa.int64())).append_column(
+        "win_hi", pa.array(hi_c, type=pa.int64())).append_column(
+        "n_distinct", pa.array(nd_c, type=pa.int64())).append_column(
+        "n_hits", pa.array(nh_c, type=pa.int64()))
+
+
+def _sql_snippet_windows() -> str:
+    from ..functions.analyze import sql_ordinal_tokenize_cte
+    qterms = sorted(set(tokenize(FLAGSHIP_QUERY)))
+    terms_sql = ", ".join(f"'{t}'" for t in qterms)
+    w = SNIPPET_WINDOW
+    return _sql_bm25_core() + f""",
+topk AS (
+  SELECT (row_number() OVER (ORDER BY score DESC, doc_id ASC))::INTEGER - 1
+           AS rank,
+         doc_id, round(score, 6) AS score
+  FROM raw_scores ORDER BY score DESC, doc_id ASC LIMIT 10),
+o AS ({sql_ordinal_tokenize_cte()}),
+hits AS (SELECT o.doc_id, o.ord, o.term
+         FROM o JOIN topk USING (doc_id)
+         WHERE o.term IN ({terms_sql})),
+win AS (SELECT a.doc_id, a.ord AS lo, max(b.ord) AS hi,
+               count(DISTINCT b.term) AS n_distinct,
+               count(*) AS n_hits
+        FROM hits a JOIN hits b
+          ON b.doc_id = a.doc_id AND b.ord BETWEEN a.ord AND a.ord + {w} - 1
+        GROUP BY a.doc_id, a.ord),
+best AS (SELECT *, row_number() OVER (
+           PARTITION BY doc_id
+           ORDER BY n_distinct DESC, n_hits DESC, lo ASC) AS rn
+         FROM win)
+SELECT t.rank, t.doc_id, t.score, b.lo AS win_lo, b.hi AS win_hi,
+       b.n_distinct, b.n_hits
+FROM topk t JOIN best b USING (doc_id) WHERE b.rn = 1
+"""
+
+
 TITLE_TOKENS = 8     # derived title field := first N kept tokens of text
 TITLE_WEIGHT = 2.0   # BM25F title boost (w_text = 1 implicitly)
 
@@ -4946,6 +5012,7 @@ QUERIES = {
     "nation_order_stats": q_nation_order_stats,
     "promo_revenue_share": q_promo_revenue_share,
     "doc_snippets": q_doc_snippets,
+    "snippet_windows": q_snippet_windows,
     "source_capped_sample": q_source_capped_sample,
     "order_revenue_topk": q_order_revenue_topk,
     "regional_trade_volume": q_regional_trade_volume,
@@ -5059,6 +5126,7 @@ ORACLE_SQL = {
     "nation_order_stats": SQL_NATION_ORDER_STATS,
     "promo_revenue_share": SQL_PROMO_REVENUE_SHARE,
     "source_capped_sample": SQL_SOURCE_CAPPED_SAMPLE,
+    "snippet_windows": _sql_snippet_windows(),
     "order_revenue_topk": SQL_ORDER_REVENUE_TOPK,
     "regional_trade_volume": SQL_REGIONAL_TRADE_VOLUME,
     "user_running_stats": SQL_USER_RUNNING_STATS,

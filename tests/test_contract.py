@@ -21,7 +21,7 @@ KEYS = ["term_df", "dedup_exact", "bm25_scores", "cosine_scores",
         "source_temperature_mix", "order_ntile", "customer_order_profile",
         "event_value_median", "source_lang_profile", "span_dedup_cut",
         "bm25_explain", "decontaminated_corpus", "event_type_transitions",
-        "promo_revenue_share", "source_capped_sample"]
+        "promo_revenue_share", "source_capped_sample", "snippet_windows"]
 
 
 @pytest.fixture(scope="module")
