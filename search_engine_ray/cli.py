@@ -201,6 +201,18 @@ def cmd_compact(args) -> int:
     return 0
 
 
+def cmd_scratch_gc(args) -> int:
+    """Ray-free janitor for orphaned fs-exchange scratch (see
+    ``build.cleanup_orphan_scratch``)."""
+    from .pipelines.build import cleanup_orphan_scratch
+    removed = cleanup_orphan_scratch(args.base or None,
+                                     min_age_s=args.min_age)
+    for d in removed:
+        print(f"removed {d}")
+    print(f"{len(removed)} orphaned scratch dir(s) removed")
+    return 0
+
+
 def cmd_stats(args) -> int:
     """Index introspection without starting Ray: manifest config,
     per-partition byte/posting totals, docstats, tombstone counts."""
@@ -420,6 +432,15 @@ def make_parser() -> argparse.ArgumentParser:
     st = sub.add_parser("stats", help="index layout + size + doc stats")
     st.add_argument("--index", required=True)
     st.set_defaults(fn=cmd_stats)
+
+    gc = sub.add_parser("scratch-gc",
+                        help="remove orphaned fs-exchange scratch dirs")
+    gc.add_argument("--base", default=None,
+                    help="scratch base (default: SERX_SCRATCH_DIR or "
+                         "/dev/shm/serx_exchange)")
+    gc.add_argument("--min-age", type=float, default=3600.0,
+                    help="only touch dirs idle for at least this many secs")
+    gc.set_defaults(fn=cmd_scratch_gc)
 
     cu = sub.add_parser("curate",
                         help="quality gate + exact dedup + decontamination"

@@ -249,7 +249,76 @@ def _scratch_dir(index_dir: str) -> str:
         finally:
             os.unlink(tmp)
     tag = fnv1a64(f"{os.path.abspath(index_dir)}\x00{token}".encode("utf-8"))
-    return os.path.join(base, f"{tag:016x}")
+    d = os.path.join(base, f"{tag:016x}")
+    # OWNER marker: the dirname is a one-way hash, so without this a scratch
+    # dir orphaned by `rm -rf index_dir` (or a killed benchmark) could never
+    # be traced back and garbage-collected — see cleanup_orphan_scratch()
+    try:
+        os.makedirs(d, exist_ok=True)
+        owner = os.path.join(d, "OWNER.json")
+        if not os.path.exists(owner):
+            import json as _json
+            with open(owner + f".{os.getpid()}.tmp", "w") as f:
+                _json.dump({"index_dir": os.path.abspath(index_dir),
+                            "token": token}, f)
+            os.replace(owner + f".{os.getpid()}.tmp", owner)
+    except OSError:
+        pass
+    return d
+
+
+def cleanup_orphan_scratch(base: str | None = None, *,
+                           min_age_s: float = 3600.0) -> list[str]:
+    """Garbage-collect exchange-scratch dirs whose owning index is gone.
+
+    An interrupted build's scratch is KEPT on purpose (resume reuses it),
+    but when the index dir itself is later deleted — a temp benchmark
+    index, an aborted experiment — the scratch orphans on the shared
+    scratch device with no owner to clean it.  This janitor removes any
+    scratch dir whose ``OWNER.json`` points at a no-longer-existing index
+    dir or a stale build token, provided nothing has touched it for
+    ``min_age_s`` (never races a live build).  Dirs without a marker
+    (pre-marker builds) are removed on the same age rule.  Returns the
+    removed paths; CLI: ``scratch-gc``."""
+    import json as _json
+    import time as _time
+    if base is None:
+        env = os.environ.get("SERX_SCRATCH_DIR", "").strip()
+        if env and env.lower() != "none":
+            base = env
+        elif os.path.isdir("/dev/shm"):
+            base = "/dev/shm/serx_exchange"
+        else:
+            return []
+    if not os.path.isdir(base):
+        return []
+    removed = []
+    now = _time.time()
+    for name in os.listdir(base):
+        d = os.path.join(base, name)
+        if not os.path.isdir(d):
+            continue
+        try:
+            newest = max((os.path.getmtime(os.path.join(dp, f))
+                          for dp, _, fs in os.walk(d) for f in fs),
+                         default=os.path.getmtime(d))
+        except OSError:
+            continue
+        if now - newest < min_age_s:
+            continue                      # possibly live — leave it
+        orphan = True
+        try:
+            with open(os.path.join(d, "OWNER.json")) as f:
+                meta = _json.load(f)
+            tok_path = os.path.join(meta["index_dir"], "_build_token")
+            with open(tok_path) as f:
+                orphan = f.read().strip() != meta.get("token")
+        except (OSError, ValueError, KeyError):
+            pass                          # unreadable owner → age rule wins
+        if orphan:
+            shutil.rmtree(d, ignore_errors=True)
+            removed.append(d)
+    return removed
 
 
 class _TokenizeAndSpill:
