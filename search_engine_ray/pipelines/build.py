@@ -318,6 +318,24 @@ def cleanup_orphan_scratch(base: str | None = None, *,
         if orphan:
             shutil.rmtree(d, ignore_errors=True)
             removed.append(d)
+    # join scratch (stages/join._join_scratch) is per-run and cleaned by a
+    # try/finally — only a hard kill orphans it, and it is NEVER resumed, so
+    # the pure age rule applies
+    join_base = os.path.join(os.path.dirname(base), "serx_join")
+    if os.path.isdir(join_base):
+        for name in os.listdir(join_base):
+            d = os.path.join(join_base, name)
+            if not os.path.isdir(d):
+                continue
+            try:
+                newest = max((os.path.getmtime(os.path.join(dp, f))
+                              for dp, _, fs in os.walk(d) for f in fs),
+                             default=os.path.getmtime(d))
+            except OSError:
+                continue
+            if now - newest >= min_age_s:
+                shutil.rmtree(d, ignore_errors=True)
+                removed.append(d)
     return removed
 
 

@@ -77,6 +77,22 @@ def test_markerless_dir_falls_back_to_age(tmp_path):
     assert d in cleanup_orphan_scratch(base, min_age_s=3600)
 
 
+def test_join_scratch_swept_by_age(tmp_path):
+    base = str(tmp_path / "scratch")
+    os.makedirs(base, exist_ok=True)
+    jbase = str(tmp_path / "serx_join")
+    old = os.path.join(jbase, "aaaa1111")
+    new = os.path.join(jbase, "bbbb2222")
+    for d in (old, new):
+        os.makedirs(os.path.join(d, "side0"))
+        with open(os.path.join(d, "side0", "frag"), "wb") as f:
+            f.write(b"x")
+    _backdate(old)
+    removed = cleanup_orphan_scratch(base, min_age_s=3600)
+    assert old in removed and not os.path.exists(old)
+    assert os.path.exists(new)           # fresh join possibly live
+
+
 def test_owner_marker_written(tmp_path):
     idx, d = _mk_scratch(tmp_path, "marked_idx")
     with open(os.path.join(d, "OWNER.json")) as f:
