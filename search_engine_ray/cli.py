@@ -353,11 +353,22 @@ def cmd_ui(args) -> int:
             else:
                 row = docstore_lookup(args.index, doc) or {}
                 texts = {doc: row["text"]} if "text" in row else {}
-            res = qe.query_with_snippets(last_query, texts, k=10)
-            snip = next((s for d, _, s in res if d == doc), None)
-            print(snip if snip is not None
-                  else "(no text available: pass --corpus or build with "
-                       "keep_cols=('text',))")
+            # render directly from the fetched text — `last` may have come
+            # from a phrase/wildcard/fuzzy/boolean branch whose raw query
+            # string a plain re-query wouldn't reproduce, so the doc could
+            # be absent from a fresh top-10 even though its text is here
+            doc_text = texts.get(doc)
+            if doc_text is None:
+                print("(no text available: pass --corpus or build with "
+                      "keep_cols=('text',))")
+            else:
+                from .functions.analyze import tokenize
+                from .functions.snippet import make_snippet
+                terms = tokenize(last_query, stopwords=qe.stopwords,
+                                 stem=qe.stem)
+                snip = make_snippet(doc_text, terms, stem=qe.stem)
+                print(snip if snip is not None
+                      else "(no query term occurs in this document's text)")
         elif cmd == "parse":
             from .pipelines.build import build_index
             from .state import checkpoint as ckpt

@@ -84,23 +84,34 @@ def make_snippet(text: str, qterms, *, window: int = 30,
                  stem: bool = False, ellipsis: str = "…") -> str | None:
     """Best-window excerpt of ``text`` with query-term hits wrapped in
     ``mark``.  The match span is centered inside a ``window``-token excerpt
-    (clamped to the document).  Returns ``None`` when no term matches."""
+    (clamped to the document).  Returns ``None`` when no term matches.
+
+    Window width is measured in KEPT tokens (analyzer-rejected tokens —
+    non-ASCII, apostrophe-only — occupy no width), so the selected window
+    is exactly the one ``best_window`` picks over the kept-token stream
+    that the positional index stores and the ``snippet_windows`` SQL
+    oracle verifies.  Rejected tokens inside the chosen raw-text span
+    still render (unhighlighted) — they are part of the original text."""
     window = max(1, window)
     qset = frozenset(qterms)
     toks = tokenize_with_offsets(text, stem=stem)
     if not toks:
         return None
     norm = [t for _, _, t in toks]
-    span = best_window(norm, qset, window)
+    kept_idx = [i for i, t in enumerate(norm) if t is not None]
+    if not kept_idx:
+        return None
+    span = best_window([norm[i] for i in kept_idx], qset, window)
     if span is None:
         return None
-    lo, hi = span
-    # center: pad the match span out to `window` tokens, clamped
-    pad = max(0, window - (hi - lo + 1))
+    lo_k, hi_k = span
+    # center: pad the match span out to `window` KEPT tokens, clamped
+    pad = max(0, window - (hi_k - lo_k + 1))
     lead = pad // 2
-    start = max(0, lo - lead)
-    end = min(len(toks) - 1, start + window - 1)
-    start = max(0, end - window + 1)
+    start_k = max(0, lo_k - lead)
+    end_k = min(len(kept_idx) - 1, start_k + window - 1)
+    start_k = max(0, end_k - window + 1)
+    start, end = kept_idx[start_k], kept_idx[end_k]
     pieces = []
     if start > 0:
         pieces.append(ellipsis)

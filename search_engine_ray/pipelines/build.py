@@ -320,12 +320,19 @@ def cleanup_orphan_scratch(base: str | None = None, *,
             removed.append(d)
     # join scratch (stages/join._join_scratch) is per-run and cleaned by a
     # try/finally — only a hard kill orphans it, and it is NEVER resumed, so
-    # the pure age rule applies
-    join_base = os.path.join(os.path.dirname(base), "serx_join")
+    # the pure age rule applies.  The sweep root is resolved by the SAME
+    # logic joins use to pick it (env override → env base itself; else
+    # /dev/shm/serx_join; else $TMPDIR/serx_join) so the janitor never
+    # rmtree's a sibling directory this project didn't write, and the
+    # tempfile fallback is actually collected.  Only 32-hex uuid4 names
+    # (the _join_scratch nonce format) are eligible.
+    from ..stages.join import join_scratch_base
+    join_base = join_scratch_base()
     if os.path.isdir(join_base):
         for name in os.listdir(join_base):
             d = os.path.join(join_base, name)
-            if not os.path.isdir(d):
+            if not (os.path.isdir(d) and len(name) == 32
+                    and all(c in "0123456789abcdef" for c in name)):
                 continue
             try:
                 newest = max((os.path.getmtime(os.path.join(dp, f))

@@ -2281,6 +2281,13 @@ def q_promo_revenue_share(sf_dir: str):
                          columns=["p_partkey", "p_type"])
 
     def revenue_cols(t: pa.Table) -> pa.Table:
+        # broadcast_lookup has LEFT-join semantics (unmatched l_partkey →
+        # null p_type); the oracle's INNER JOIN drops such rows, so drop
+        # them here too instead of relying on the testdata's FK integrity.
+        # (`p_type = 'PROMO'` is an equality, not TPC-H Q14's
+        # `LIKE 'PROMO%'`, because this corpus's p_type domain is the bare
+        # category token, not the real three-word TPC-H type strings.)
+        t = t.filter(pc.is_valid(t["p_type"]))
         rev = pc.multiply(t["l_extendedprice"],
                           pc.subtract(pa.scalar(1.0), t["l_discount"]))
         rev4 = pc.cast(pc.round(pc.multiply(rev, pa.scalar(10000.0)), 0),
@@ -2453,30 +2460,45 @@ WHERE rn <= {SOURCE_CAP}
 
 
 def q_doc_snippets(sf_dir: str):
-    """Serving-tier snippet rendering: flagship BM25 top-10 plus a
-    query-biased highlighted excerpt per hit (``functions.snippet`` —
-    best ``window``-token window by distinct query terms, the web-scale
-    counterpart of the reference REPL's whole-document ``DisplaySource``,
-    KaggleFinanceSourceEngine.cpp:99-116).  Complements ``search_snippets``
-    (first-hit keyword-in-context over normalized tokens, fully
-    SQL-checked): this variant selects the BEST window and renders the RAW
-    text span with highlight marks — window optimization + original-text
-    reconstruction aren't SQL-expressible, so correctness is golden-pinned
-    in ``tests/test_snippet.py`` and ranking rides ``bm25_topk``'s SQL
-    oracle.  Texts for the k hits come from ONE filtered corpus read
-    (row-group push-down, 2 columns)."""
-    from .query import QueryEngine, fetch_texts
-    idx = _ensure_index(sf_dir)
-    qe = QueryEngine(idx, num_searchers=4, use_actors=True)
-    hits = qe.query(FLAGSHIP_QUERY, k=10)
-    texts = fetch_texts(os.path.join(sf_dir, "documents.parquet"),
-                        [d for d, _ in hits])
-    res = qe.query_with_snippets(FLAGSHIP_QUERY, texts, k=10)
-    return pa.table({
-        "rank": pa.array(range(len(res)), type=pa.int32()),
-        "doc_id": pa.array([d for d, _, _ in res], type=pa.int64()),
-        "score": pa.array([round(s, 6) for _, s, _ in res]),
-        "snippet": pa.array([s for _, _, s in res], type=pa.string())})
+    """Serving-tier snippet rendering, fully SQL-oracle-checked: flagship
+    BM25 top-10 plus a query-biased highlighted excerpt per hit
+    (``functions.snippet`` — best ``window``-token window by distinct query
+    terms, the web-scale counterpart of the reference REPL's whole-document
+    ``DisplaySource``, KaggleFinanceSourceEngine.cpp:99-116).  The excerpt
+    is rendered over the KEPT-token stream (analyzer output — exactly the
+    stream ``sql_ordinal_tokenize_cte`` numbers): the centered best window's
+    tokens, single-space joined, hits wrapped in ``**`` — so DuckDB rebuilds
+    the identical string and the driver value-checks selection, centering
+    AND marking.  The RAW-text rendering the serving tier actually returns
+    (original spans/punctuation, ``make_snippet``) uses the SAME selection
+    and centering — parity pinned in ``tests/test_snippet.py::
+    test_doc_snippets_matches_raw_render``; only the original-text
+    reconstruction itself is outside SQL.  Texts for the k hits come from
+    ONE filtered corpus read (row-group push-down, 2 columns)."""
+    from ..functions.snippet import best_window
+    from .query import fetch_texts
+    topk = q_bm25_topk(sf_dir)   # (rank, doc_id, score) — 10 rows
+    ids = topk["doc_id"].to_pylist()
+    qset = frozenset(tokenize(FLAGSHIP_QUERY))
+    texts = fetch_texts(os.path.join(sf_dir, "documents.parquet"), ids)
+    w = SNIPPET_WINDOW
+    keep_rows, snips = [], []
+    for i, d in enumerate(ids):
+        toks = tokenize(texts[d])             # kept-token stream
+        span = best_window(toks, qset, w)
+        if span is None:
+            continue                          # SQL join drops the row too
+        lo, hi = span
+        # centering: identical arithmetic to make_snippet (kept-token width)
+        pad = max(0, w - (hi - lo + 1))
+        start = max(0, lo - pad // 2)
+        end = min(len(toks) - 1, start + w - 1)
+        start = max(0, end - w + 1)
+        keep_rows.append(i)
+        snips.append(" ".join(f"**{t}**" if t in qset else t
+                              for t in toks[start:end + 1]))
+    return topk.take(pa.array(keep_rows, type=pa.int64())).append_column(
+        "snippet", pa.array(snips, type=pa.string()))
 
 
 SNIPPET_WINDOW = 30   # best-window width, in kept tokens
@@ -2498,16 +2520,24 @@ def q_snippet_windows(sf_dir: str):
     ids = topk["doc_id"].to_pylist()
     qterms = frozenset(tokenize(FLAGSHIP_QUERY))
     texts = fetch_texts(os.path.join(sf_dir, "documents.parquet"), ids)
-    lo_c, hi_c, nd_c, nh_c = [], [], [], []
-    for d in ids:
+    keep_rows, lo_c, hi_c, nd_c, nh_c = [], [], [], [], []
+    for i, d in enumerate(ids):
         toks = tokenize(texts[d])             # kept-token stream
-        lo, hi = best_window(toks, qterms, SNIPPET_WINDOW)
+        span = best_window(toks, qterms, SNIPPET_WINDOW)
+        if span is None:
+            # a top-10 doc whose KEPT tokens contain no query term (e.g.
+            # analyzer-config drift between index and this bare tokenize):
+            # the SQL oracle's JOIN simply drops the row — mirror that
+            # instead of crashing on the unpack
+            continue
+        lo, hi = span
         win = toks[lo:hi + 1]
+        keep_rows.append(i)
         lo_c.append(lo + 1)                   # 1-based, matching SQL ord
         hi_c.append(hi + 1)
         nd_c.append(len({t for t in win if t in qterms}))
         nh_c.append(sum(t in qterms for t in win))
-    return topk.append_column(
+    return topk.take(pa.array(keep_rows, type=pa.int64())).append_column(
         "win_lo", pa.array(lo_c, type=pa.int64())).append_column(
         "win_hi", pa.array(hi_c, type=pa.int64())).append_column(
         "n_distinct", pa.array(nd_c, type=pa.int64())).append_column(
@@ -2542,6 +2572,58 @@ best AS (SELECT *, row_number() OVER (
 SELECT t.rank, t.doc_id, t.score, b.lo AS win_lo, b.hi AS win_hi,
        b.n_distinct, b.n_hits
 FROM topk t JOIN best b USING (doc_id) WHERE b.rn = 1
+"""
+
+
+def _sql_doc_snippets() -> str:
+    """Oracle for ``doc_snippets``: the same best-window selection as
+    ``snippet_windows``, then ``make_snippet``'s centering arithmetic in
+    1-based ordinals and the rendered string itself via ``string_agg`` over
+    the ordinal-tokenize CTE (hits wrapped in ``**``, space-joined)."""
+    from ..functions.analyze import sql_ordinal_tokenize_cte
+    qterms = sorted(set(tokenize(FLAGSHIP_QUERY)))
+    terms_sql = ", ".join(f"'{t}'" for t in qterms)
+    w = SNIPPET_WINDOW
+    return _sql_bm25_core() + f""",
+topk AS (
+  SELECT (row_number() OVER (ORDER BY score DESC, doc_id ASC))::INTEGER - 1
+           AS rank,
+         doc_id, round(score, 6) AS score
+  FROM raw_scores ORDER BY score DESC, doc_id ASC LIMIT 10),
+o AS ({sql_ordinal_tokenize_cte()}),
+n AS (SELECT doc_id, max(ord) AS n_kept FROM o GROUP BY doc_id),
+hits AS (SELECT o.doc_id, o.ord, o.term
+         FROM o JOIN topk USING (doc_id)
+         WHERE o.term IN ({terms_sql})),
+win AS (SELECT a.doc_id, a.ord AS lo, max(b.ord) AS hi,
+               count(DISTINCT b.term) AS n_distinct,
+               count(*) AS n_hits
+        FROM hits a JOIN hits b
+          ON b.doc_id = a.doc_id AND b.ord BETWEEN a.ord AND a.ord + {w} - 1
+        GROUP BY a.doc_id, a.ord),
+best AS (SELECT *, row_number() OVER (
+           PARTITION BY doc_id
+           ORDER BY n_distinct DESC, n_hits DESC, lo ASC) AS rn
+         FROM win),
+-- make_snippet centering in 1-based ordinals: pad the match span out to
+-- {w} kept tokens, clamp to [1, n_kept]
+bounds AS (
+  SELECT b.doc_id,
+         LEAST(n.n_kept,
+               GREATEST(1, b.lo - GREATEST(0, {w} - (b.hi - b.lo + 1)) // 2)
+                 + {w} - 1) AS e
+  FROM best b JOIN n USING (doc_id) WHERE b.rn = 1),
+rendered AS (
+  SELECT o.doc_id,
+         string_agg(CASE WHEN o.term IN ({terms_sql})
+                         THEN '**' || o.term || '**' ELSE o.term END,
+                    ' ' ORDER BY o.ord) AS snippet
+  FROM o JOIN bounds bo
+    ON o.doc_id = bo.doc_id
+   AND o.ord BETWEEN GREATEST(1, bo.e - {w} + 1) AND bo.e
+  GROUP BY o.doc_id)
+SELECT t.rank, t.doc_id, t.score, r.snippet
+FROM topk t JOIN rendered r USING (doc_id)
 """
 
 
@@ -5127,6 +5209,7 @@ ORACLE_SQL = {
     "promo_revenue_share": SQL_PROMO_REVENUE_SHARE,
     "source_capped_sample": SQL_SOURCE_CAPPED_SAMPLE,
     "snippet_windows": _sql_snippet_windows(),
+    "doc_snippets": _sql_doc_snippets(),
     "order_revenue_topk": SQL_ORDER_REVENUE_TOPK,
     "regional_trade_volume": SQL_REGIONAL_TRADE_VOLUME,
     "user_running_stats": SQL_USER_RUNNING_STATS,

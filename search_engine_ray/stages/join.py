@@ -129,19 +129,25 @@ def _with_bucket(ds: "ray.data.Dataset", key: str, n_buckets: int,
     return ds.map_batches(add, batch_format="pyarrow")
 
 
+def join_scratch_base() -> str:
+    """Base directory holding per-join scratch dirs.  Shared with the
+    orphan janitor (``pipelines.build.cleanup_orphan_scratch``) so the
+    sweep root always matches where joins actually write — including the
+    ``SERX_SCRATCH_DIR`` override and the tempfile fallback."""
+    env = os.environ.get("SERX_SCRATCH_DIR", "").strip()
+    if env and env.lower() != "none":
+        return env
+    if os.path.isdir("/dev/shm") and os.access("/dev/shm", os.W_OK):
+        return "/dev/shm/serx_join"
+    import tempfile
+    return os.path.join(tempfile.gettempdir(), "serx_join")
+
+
 def _join_scratch() -> str:
     """Per-join scratch root: node-local fast storage (``/dev/shm`` here,
     NVMe on a real node; ``SERX_SCRATCH_DIR`` overrides), keyed by a fresh
     nonce so concurrent joins never collide."""
-    env = os.environ.get("SERX_SCRATCH_DIR", "").strip()
-    if env and env.lower() != "none":
-        base = env
-    elif os.path.isdir("/dev/shm") and os.access("/dev/shm", os.W_OK):
-        base = "/dev/shm/serx_join"
-    else:
-        import tempfile
-        base = os.path.join(tempfile.gettempdir(), "serx_join")
-    return os.path.join(base, uuid.uuid4().hex)
+    return os.path.join(join_scratch_base(), uuid.uuid4().hex)
 
 
 class _SideSpiller:

@@ -70,10 +70,10 @@ GOLDEN = {
     # deterministic regardless of batching (dedup sorts inside the cell)
     "semantic_dedup":
         "b4fda3df83662bb91e712fbeaf5864ae95fd808ecfab90c05e28a6eaad6cc740",
-    # ranking rides bm25_topk's SQL oracle; the best-window excerpt is a
-    # pure function of (text, analyzed terms) — see tests/test_snippet.py
-    "doc_snippets":
-        "d24d4e15644e4c75487781e257be55cd2c4dc33e654b54b9258f055592816648",
+    # doc_snippets graduated to a real SQL oracle (round 4): the excerpt is
+    # rendered over the kept-token stream, which DuckDB rebuilds verbatim
+    # (_sql_doc_snippets); raw-text render parity is pinned in
+    # tests/test_snippet.py::test_doc_snippets_matches_raw_render
 }
 
 

@@ -78,19 +78,38 @@ def test_markerless_dir_falls_back_to_age(tmp_path):
 
 
 def test_join_scratch_swept_by_age(tmp_path):
+    # with SERX_SCRATCH_DIR set, joins live at $SERX_SCRATCH_DIR/<uuid-hex>
+    # (stages/join.join_scratch_base) — the janitor must sweep THAT root,
+    # and only dirs matching the 32-hex uuid4 nonce naming
     base = str(tmp_path / "scratch")
     os.makedirs(base, exist_ok=True)
-    jbase = str(tmp_path / "serx_join")
-    old = os.path.join(jbase, "aaaa1111")
-    new = os.path.join(jbase, "bbbb2222")
-    for d in (old, new):
+    old = os.path.join(base, "a" * 32)
+    new = os.path.join(base, "b" * 32)
+    unrelated = os.path.join(base, "not-a-join-dir")
+    for d in (old, new, unrelated):
         os.makedirs(os.path.join(d, "side0"))
         with open(os.path.join(d, "side0", "frag"), "wb") as f:
             f.write(b"x")
     _backdate(old)
-    removed = cleanup_orphan_scratch(base, min_age_s=3600)
+    _backdate(unrelated)
+    os.environ["SERX_SCRATCH_DIR"] = base
+    try:
+        removed = cleanup_orphan_scratch(base, min_age_s=3600)
+    finally:
+        del os.environ["SERX_SCRATCH_DIR"]
     assert old in removed and not os.path.exists(old)
     assert os.path.exists(new)           # fresh join possibly live
+
+
+def test_join_sweep_root_matches_join_writer(tmp_path, monkeypatch):
+    # janitor and _join_scratch must agree on the base in every config
+    from search_engine_ray.stages.join import (_join_scratch,
+                                               join_scratch_base)
+    monkeypatch.setenv("SERX_SCRATCH_DIR", str(tmp_path / "s"))
+    assert join_scratch_base() == str(tmp_path / "s")
+    assert os.path.dirname(_join_scratch()) == str(tmp_path / "s")
+    monkeypatch.delenv("SERX_SCRATCH_DIR")
+    assert os.path.dirname(_join_scratch()) == join_scratch_base()
 
 
 def test_owner_marker_written(tmp_path):

@@ -99,3 +99,37 @@ def test_engine_snippets_match_ranking(ray_session, tmp_path):
         qterms = set(tokenize(q))
         for m in re.finditer(r"\*\*([^*]+)\*\*", snip):
             assert tokenize(m.group(1))[0] in qterms
+
+
+def test_kept_token_window_spans_rejected_tokens():
+    # window width is measured in KEPT tokens: analyzer-rejected tokens
+    # (non-ASCII) occupy no width, matching the snippet_windows SQL oracle
+    text = "aaa é é é scan é é merge bbb"
+    assert make_snippet(text, ["scan", "merge"], window=2) \
+        == "…**scan** é é **merge**…"
+
+
+def test_doc_snippets_matches_raw_render(ray_session):
+    """The SQL-verified kept-token rendering (`doc_snippets`) and the
+    serving tier's raw-text rendering (`make_snippet`) select and center
+    the SAME window: de-marking + re-analyzing the raw excerpt yields
+    exactly the de-marked kept-token excerpt."""
+    from search_engine_ray.pipelines.queries import (FLAGSHIP_QUERY,
+                                                     SNIPPET_WINDOW,
+                                                     q_doc_snippets)
+    from search_engine_ray.pipelines.query import fetch_texts
+
+    tbl = q_doc_snippets(SF)
+    assert tbl.num_rows > 0
+    texts = fetch_texts(f"{SF}/documents.parquet",
+                        tbl["doc_id"].to_pylist())
+    qterms = tokenize(FLAGSHIP_QUERY)
+    for doc_id, rendered in zip(tbl["doc_id"].to_pylist(),
+                                tbl["snippet"].to_pylist()):
+        raw = make_snippet(texts[doc_id], qterms, window=SNIPPET_WINDOW)
+        assert raw is not None
+        kept_from_raw = tokenize(raw.replace("**", "").strip("…"))
+        assert kept_from_raw == [t.replace("**", "")
+                                 for t in rendered.split(" ")]
+        # every mark the raw render makes, the kept render makes too
+        assert raw.count("**") == rendered.count("**")
