@@ -1666,16 +1666,20 @@ def q_dedup_incremental_bloom(sf_dir: str, *, m_bits: int = 1 << 20,
        groups by content hash — a small-side-only shuffle — and probes
        the filter: bloom-negative groups are definitely new → kept;
     3. only bloom-positive groups (true dups + the ~(nk/m)^k
-       false-positive tail) are verified EXACTLY against a second corpus
-       streaming pass with the candidate hashes broadcast (vectorized
-       ``np.isin`` prefilter per batch, tuple check on the tiny
-       survivor set) — so false positives cannot drop a genuinely new
-       document and the output equals the exact variant's.
+       false-positive tail) are verified EXACTLY, fully distributed: a
+       second fixed-size bloom over the candidate h1s is broadcast to one
+       more corpus streaming pass, which emits only the pairs that hit
+       it; candidates are then confirmed/cleared by exact (h1, h2)
+       equality through two candidate-bounded bucketed ``hash_join``s —
+       so false positives cannot drop a genuinely new document and the
+       output equals the exact variant's.
 
-    Both driver collections (tree-combined bitmap rows; bloom-positive
-    candidate groups) are bounded — by the fixed filter size and by the
-    new batch's duplicate count respectively."""
+    The ONLY driver collections are tree-combined fixed-size bitmap rows
+    (both filters); no candidate group row or matched pair ever
+    materializes driver-side, so the path stays safe even when the "new
+    batch" is itself corpus-scale."""
     from ..stages.bloom import Bloom, build_bloom
+    from ..stages.join import hash_join
     docs = _docs(sf_dir, ["doc_id", "text"])
 
     def corpus_hashes():
@@ -1710,39 +1714,63 @@ def q_dedup_incremental_bloom(sf_dir: str, *, m_bits: int = 1 << 20,
                      pc.invert(t["maybe_dup"].combine_chunks())),
                      batch_format="pyarrow")
                  .select_columns(["doc_id", "n_batch_copies"]))
-    pos = [r for r in probed.take_all() if r["maybe_dup"]]
-    if not pos:
+    positives = (probed
+                 .map_batches(lambda t: t.filter(
+                     t["maybe_dup"].combine_chunks()),
+                     batch_format="pyarrow")
+                 .select_columns(["h1", "h2", "doc_id", "n_batch_copies"])
+                 .materialize())
+    if positives.count() == 0:
         return negatives
 
-    cand_h1 = np.unique(np.array([r["h1"] for r in pos], dtype=np.int64))
-    cand_pairs = {(r["h1"], r["h2"]) for r in pos}
+    # Exact verification of the bloom-positive groups, fully DISTRIBUTED
+    # (no group row ever reaches the driver — the round-3 tail collected
+    # both the positive groups and the matched-pair set driver-side):
+    #   a. broadcast a SECOND fixed-size bloom built over just the
+    #      candidate h1s (same tree-combined partial machinery — driver
+    #      sees only bitmap rows);
+    #   b. one corpus streaming pass emits the (h1, h2) pairs that hit it
+    #      — output bounded by true dups + the candidate filter's FP tail,
+    #      never corpus-sized, and the corpus side still never shuffles;
+    #   c. candidates that match an emitted corpus pair EXACTLY (h1 AND
+    #      h2) are confirmed dups; the rest survive.  Both joins run over
+    #      candidate-bounded datasets through the bucketed exchange.
+    cand_bloom = build_bloom(positives, hash_col="h1", m_bits=m_bits, k=k)
+    cand_bits_ref = ray.put(cand_bloom.bits)
 
     def scan(t: pa.Table) -> pa.Table:
+        b = Bloom(m_bits, k, bits=ray.get(cand_bits_ref))
         h1 = t["h1"].to_numpy(zero_copy_only=False)
-        m = np.isin(h1, cand_h1)
+        m = b.contains(h1)
         if not m.any():
-            return pa.table({"h1": pa.array([], type=pa.int64()),
-                             "h2": pa.array([], type=pa.int64())})
+            return pa.table({"ch1": pa.array([], type=pa.int64()),
+                             "ch2": pa.array([], type=pa.int64())})
         h2 = t["h2"].to_numpy(zero_copy_only=False)
-        hits = {(int(a), int(b)) for a, b in zip(h1[m], h2[m])
-                if (int(a), int(b)) in cand_pairs}
-        return pa.table({
-            "h1": pa.array([a for a, _ in hits], type=pa.int64()),
-            "h2": pa.array([b for _, b in hits], type=pa.int64())})
+        pairs = np.unique(                      # per-batch pair dedup
+            np.rec.fromarrays([h1[m], h2[m]], names=["a", "b"]))
+        return pa.table({"ch1": pa.array(pairs["a"], type=pa.int64()),
+                         "ch2": pa.array(pairs["b"], type=pa.int64())})
 
-    matched = {(r["h1"], r["h2"])
-               for r in corpus_hashes().map_batches(
-                   scan, batch_format="pyarrow").take_all()}
-    survivors = [r for r in pos if (r["h1"], r["h2"]) not in matched]
-    if not survivors:
-        return negatives
-    extra = ray.data.from_arrow(pa.table({
-        "doc_id": pa.array([r["doc_id"] for r in survivors],
-                           type=pa.int64()),
-        "n_batch_copies": pa.array([r["n_batch_copies"]
-                                    for r in survivors],
-                                   type=pa.int64())}))
-    return negatives.union(extra)
+    corpus_hits = corpus_hashes().map_batches(scan, batch_format="pyarrow")
+    confirmed = (hash_join(positives, corpus_hits,
+                           left_key="h1", right_key="ch1",
+                           n_buckets=16, join_type="inner")
+                 .map_batches(lambda t: t.filter(
+                     pc.equal(t["h2"], t["ch2"])), batch_format="pyarrow")
+                 .select_columns(["doc_id"])
+                 .rename_columns({"doc_id": "dup_doc_id"})
+                 .materialize())       # candidate-bounded, tiny
+    if confirmed.count() == 0:
+        # every bloom positive was a false positive (no exact corpus
+        # match): all survive; skip the anti join — an all-empty-block
+        # dataset has no fetchable schema to join against anyway
+        survivors = positives.select_columns(["doc_id", "n_batch_copies"])
+    else:
+        survivors = (hash_join(positives, confirmed,
+                               left_key="doc_id", right_key="dup_doc_id",
+                               n_buckets=16, join_type="left anti")
+                     .select_columns(["doc_id", "n_batch_copies"]))
+    return negatives.union(survivors)
 
 
 def q_contamination(sf_dir: str, *, n: int = 5, bench_mod: int = 97):
@@ -4660,8 +4688,16 @@ FROM lineitem GROUP BY l_returnflag
 """
 
 
+# Hard bound ENFORCED on a SemDeDup cell: 128M float32 elements = 512 MB
+# of vectors materialized in one map_groups worker (the same 512 MB
+# budget as QUANTILE_MAX_GROUP_ROWS).  Violations raise with the
+# n_cells remedy instead of silently OOMing.
+SEMDEDUP_MAX_CELL_FLOATS = 128_000_000
+
+
 def q_semantic_dedup(sf_dir: str, *, n_cells: int = 8,
-                     threshold: float = 0.4, seed: int = 42):
+                     threshold: float = 0.4, seed: int = 42,
+                     max_cell_floats: int = SEMDEDUP_MAX_CELL_FLOATS):
     """SemDeDup (Abbas et al. 2023): semantic near-dup pruning by
     k-means-cluster-then-greedy-dedup.  Centroids train on a seeded
     UNBIASED sample (``ivf.sample_vectors`` — whole-file strided, not the
@@ -4670,9 +4706,10 @@ def q_semantic_dedup(sf_dir: str, *, n_cells: int = 8,
     greedy keep-lowest-id dedup runs INSIDE ``groupby(cell)`` — no
     all-pairs, no driver collection.  Cross-cluster near-dups are missed
     by construction (the SemDeDup tradeoff: candidate scope = cell).
-    PARTITIONING ASSUMPTION: one cell ≈ corpus/n_cells rows fits a worker;
-    size ``n_cells`` with the corpus exactly as IVF does.  Seeded
-    k-means → rows-only check; golden-pinned in
+    PARTITIONING ASSUMPTION: one cell ≈ corpus/n_cells rows fits a worker
+    — ENFORCED via ``max_cell_floats`` (raises with the n_cells remedy
+    instead of silently OOMing, same pattern as the quantile group cap).
+    Seeded k-means → rows-only check; golden-pinned in
     tests/test_golden_snapshots.py, semantics in test_training_ops.py."""
     from ..stages.ivf import AssignCells, sample_vectors, train_centroids
     from ..stages.similarity import _vectors_from_batch, greedy_semantic_keep
@@ -4684,6 +4721,15 @@ def q_semantic_dedup(sf_dir: str, *, n_cells: int = 8,
     def dedup_cell(g: pa.Table) -> pa.Table:
         g = g.take(pc.sort_indices(g["vec_id"]))
         v = _vectors_from_batch(g, "embedding")
+        if v.size > max_cell_floats:
+            raise ValueError(
+                f"SemDeDup cell {g['cell'][0].as_py()} holds {g.num_rows} "
+                f"vectors × {v.shape[1]} dims = {v.size} floats > "
+                f"max_cell_floats={max_cell_floats} (~512 MB): "
+                f"the greedy dedup materializes one cell per worker — "
+                f"raise n_cells so cells shrink (corpus/n_cells per cell), "
+                f"or pre-partition skewed cells with a coarser first-level "
+                f"clustering")
         vn = v / np.maximum(np.linalg.norm(v, axis=1, keepdims=True), 1e-30)
         return pa.table({"vec_id": g["vec_id"],
                          "cell": g["cell"],

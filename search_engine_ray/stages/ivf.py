@@ -28,6 +28,13 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
+# Hard bound ENFORCED on one CellSearcher actor's resident vectors:
+# 256M float32 elements = 1 GB.  Each actor owns corpus/n_searchers
+# vectors; violations raise in __init__ with the n_searchers/n_cells
+# remedy instead of OOMing mid-load (same pattern as the quantile and
+# SemDeDup group caps).
+MAX_ACTOR_FLOATS = 256_000_000
+
 
 def sample_vectors(source_path: str, vec_col: str, sample_rows: int,
                    seed: int = 42) -> np.ndarray:
@@ -107,10 +114,12 @@ class CellSearcher:
     mirroring ``SegmentSearcher``'s shard ownership.  Plain class, wrapped
     in ``ray.remote`` by :meth:`IVFIndex.search`."""
 
-    def __init__(self, index_dir: str, shard: int, n_searchers: int):
+    def __init__(self, index_dir: str, shard: int, n_searchers: int,
+                 max_actor_floats: int = MAX_ACTOR_FLOATS):
         from .similarity import _vectors_from_batch
         cells_dir = os.path.join(index_dir, "cells")
         self.cells: dict[int, tuple[np.ndarray, np.ndarray]] = {}
+        loaded = 0
         for name in os.listdir(cells_dir):
             if not name.startswith("cell="):
                 continue
@@ -120,6 +129,17 @@ class CellSearcher:
             t = pq.read_table(os.path.join(cells_dir, name),
                               columns=["vec_id", "embedding"])
             v = _vectors_from_batch(t, "embedding")
+            loaded += v.size
+            if loaded > max_actor_floats:
+                # the resident-actor counterpart of the SemDeDup cell cap:
+                # fail with the sizing remedy instead of OOMing the actor
+                raise ValueError(
+                    f"CellSearcher shard {shard}/{n_searchers} exceeds "
+                    f"max_actor_floats={max_actor_floats} (~1 GB of "
+                    f"resident vectors) while loading cell {c}: each "
+                    f"actor holds corpus/n_searchers vectors — raise "
+                    f"n_searchers (more actors, fewer cells each) and/or "
+                    f"n_cells at build time so cells spread thinner")
             vn = v / np.maximum(np.linalg.norm(v, axis=1, keepdims=True),
                                 1e-30)
             self.cells[c] = (t["vec_id"].to_numpy(zero_copy_only=False), vn)

@@ -72,3 +72,36 @@ def test_bloom_incremental_tiny_filter_still_exact(ray_session):
     got = (q_dedup_incremental_bloom(sf, m_bits=256, k=2).to_pandas()
            .sort_values("doc_id").reset_index(drop=True))
     assert got.equals(exact)
+
+
+def test_bloom_incremental_true_dups_dropped(ray_session, tmp_path):
+    """Fixture with REAL corpus∩new duplicate texts: the distributed
+    confirm path (candidate bloom → corpus pair scan → exact (h1,h2)
+    joins) must drop exactly the true dups and keep the near-miss whose
+    h1 bloom-collides but whose text is new."""
+    import pyarrow.parquet as pq
+    from search_engine_ray.pipelines.queries import (
+        q_dedup_incremental, q_dedup_incremental_bloom)
+    texts = {
+        0: "shared alpha text",        # corpus
+        2: "corpus only beta",         # corpus
+        4: "another corpus gamma",     # corpus
+        1: "shared alpha text",        # new, TRUE dup of 0 → dropped
+        3: "genuinely new delta",      # new, unique → kept
+        5: "shared alpha text",        # new, dup of 0 (and of 1) → dropped
+        7: "genuinely new delta",      # new, within-batch copy of 3
+        9: "corpus only beta",         # new, TRUE dup of 2 → dropped
+    }
+    t = pa.table({"doc_id": pa.array(list(texts), type=pa.int64()),
+                  "text": pa.array(list(texts.values()), type=pa.string())})
+    pq.write_table(t, tmp_path / "documents.parquet")
+    sf = str(tmp_path)
+    exact = (q_dedup_incremental(sf).to_pandas()
+             .sort_values("doc_id").reset_index(drop=True))
+    # undersized filter (every group bloom-positive) exercises the scan +
+    # join confirm path hard
+    got = (q_dedup_incremental_bloom(sf, m_bits=64, k=2).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    assert got.equals(exact)
+    assert got["doc_id"].tolist() == [3]
+    assert got["n_batch_copies"].tolist() == [2]

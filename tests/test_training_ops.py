@@ -276,6 +276,16 @@ class TestSemanticDedup:
         assert keep.tolist() == [True, False, True]
 
 
+    def test_cell_cap_enforced(self, ray_session):
+        # a cell bigger than max_cell_floats must raise with the n_cells
+        # remedy instead of OOMing the map_groups worker
+        import pytest
+        from search_engine_ray.pipelines.queries import q_semantic_dedup
+        with pytest.raises(Exception, match="max_cell_floats"):
+            q_semantic_dedup("/root/testdata/sf0.001",
+                             max_cell_floats=8).materialize()
+
+
 class TestSpanDedup:
     def test_duplicated_span_found_across_docs(self, ray_session, tmp_path):
         import pyarrow.parquet as pq
