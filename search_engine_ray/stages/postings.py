@@ -143,8 +143,7 @@ def encode_postings_table(group: pa.Table,
         return pa.table(empty_cols, schema=out_schema)
 
     has_field = "field" in group.column_names
-    field = (group["field"].combine_chunks() if has_field
-             else pa.array(["text"] * n, type=pa.string()))
+    field = group["field"].combine_chunks() if has_field else None
     term = group["term"].combine_chunks()
     doc_id = group["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
     if doc_dict is not None:
@@ -163,16 +162,36 @@ def encode_postings_table(group: pa.Table,
 
     # canonical order: (field, term, doc_id) ascending — true string order,
     # NOT dictionary-code order, so segment bytes are identical no matter
-    # how the exchange happened to order the input rows
-    sort_tbl = pa.table({"f": field, "t": term,
-                         "d": pa.array(doc_id.astype(np.int64))})
-    order = pa.compute.sort_indices(
-        sort_tbl, sort_keys=[("f", "ascending"), ("t", "ascending"),
-                             ("d", "ascending")]).to_numpy(zero_copy_only=False)
-    dic_f = field.take(pa.array(order)).dictionary_encode()
-    dic_t = term.take(pa.array(order)).dictionary_encode()
-    f_codes = dic_f.indices.to_numpy(zero_copy_only=False).astype(np.int64)
-    t_codes = dic_t.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    # how the exchange happened to order the input rows.  Sort RANKS, not
+    # strings: dictionary-encode once (distinct terms ≪ rows), rank the
+    # SMALL dictionary by string order, then one integer np.lexsort over
+    # the rows.  vs the previous 3-column string sort table: no n-row
+    # string copies (sort table + post-sort take), n·log(n) integer
+    # comparisons instead of string comparisons — stage-2 encode was the
+    # build's allocation-churn scaling drag (BASELINE.md round-3 ledger).
+    def _string_ranks(arr: pa.Array
+                      ) -> tuple[np.ndarray, np.ndarray, pa.Array]:
+        """(per-row string-order rank, rank → dictionary-index map,
+        dictionary)."""
+        dic = arr.dictionary_encode()
+        d = dic.dictionary
+        by_str = pa.compute.sort_indices(d).to_numpy(zero_copy_only=False)
+        rank_of_dic = np.empty(len(d), dtype=np.int64)
+        rank_of_dic[by_str] = np.arange(len(d), dtype=np.int64)
+        codes = dic.indices.to_numpy(zero_copy_only=False)
+        return rank_of_dic[codes], by_str, d
+
+    t_keys, t_rank_to_dic, t_dict = _string_ranks(term)
+    if has_field:
+        f_keys, f_rank_to_dic, f_dict = _string_ranks(field)
+        order = np.lexsort((doc_id.view(np.int64), t_keys, f_keys))
+        f_codes = f_keys[order]
+    else:
+        f_dict = pa.array(["text"], type=pa.string())
+        f_rank_to_dic = np.zeros(1, dtype=np.int64)
+        order = np.lexsort((doc_id.view(np.int64), t_keys))
+        f_codes = np.zeros(n, dtype=np.int64)
+    t_codes = t_keys[order]
     doc_id, tf = doc_id[order], tf[order]
 
     # term-run boundaries over the sorted rows
@@ -198,8 +217,8 @@ def encode_postings_table(group: pa.Table,
         np.cumsum(sizes, out=csum[1:])
         return np.append(csum[starts], csum[n])
 
-    out_term = dic_t.dictionary.take(pa.array(t_codes[starts]))
-    out_field = dic_f.dictionary.take(pa.array(f_codes[starts]))
+    out_term = t_dict.take(pa.array(t_rank_to_dic[t_codes[starts]]))
+    out_field = f_dict.take(pa.array(f_rank_to_dic[f_codes[starts]]))
     cols = {
         "term": out_term.cast(pa.string()),
         "field": out_field.cast(pa.string()),
@@ -456,17 +475,35 @@ class FragmentSpiller:
         return self._metrics(batch.num_rows, doc_rows.num_rows, total_tokens)
 
 
+# worker-local shard-dictionary cache: encode tasks land ~n_buckets times
+# per shard on far fewer workers, and each docstore shard is immutable once
+# published (the build writes it BEFORE stage 2; a re-published docstore
+# bumps the directory mtime, which keys the cache).  Tiny: one int64 array
+# of O(corpus / n_doc_shards) per entry, ≤4 entries per worker.
+_SHARD_DICT_CACHE: dict[tuple[str, int, int], np.ndarray] = {}
+_SHARD_DICT_CACHE_MAX = 4
+
+
 def load_shard_dict(docstore_dir: str, shard: int) -> np.ndarray | None:
     """Sorted unique global docIDs of ``docstore_dir/shard=K`` — the local
     docID dictionary.  ``None`` when the docstore isn't shard-partitioned
     (legacy layout or docstore-less build) → callers encode in global space.
-    One int64 column read of O(corpus / n_doc_shards) rows."""
+    One int64 column read of O(corpus / n_doc_shards) rows, cached per
+    worker process across tasks."""
     d = os.path.join(docstore_dir, f"shard={shard}")
     if not os.path.isdir(d):
         return None
+    key = (os.path.abspath(d), shard, os.stat(d).st_mtime_ns)
+    hit = _SHARD_DICT_CACHE.get(key)
+    if hit is not None:
+        return hit
     ids = pq.read_table(d, columns=["doc_id"])["doc_id"] \
         .to_numpy(zero_copy_only=False).astype(np.int64)
-    return np.unique(ids)
+    out = np.unique(ids)
+    if len(_SHARD_DICT_CACHE) >= _SHARD_DICT_CACHE_MAX:
+        _SHARD_DICT_CACHE.pop(next(iter(_SHARD_DICT_CACHE)))
+    _SHARD_DICT_CACHE[key] = out
+    return out
 
 
 class FragmentEncoder:
