@@ -463,14 +463,30 @@ class FragmentSpiller:
         # CPUs on 1.6M pages).  The durable artifacts (docstore above,
         # segments in FragmentEncoder) stay parquet.
         import pyarrow.feather as feather
+        str_cols = [i for i, c in enumerate(postings.column_names)
+                    if c in ("term", "field")]
         for s, e in zip(starts, ends):
             p = int(pvals[s])
             d = os.path.join(self.tmp_dir, f"part={p:05d}")
             os.makedirs(d, exist_ok=True)
             tmp = os.path.join(d, f".tmp-{tag}.feather")
-            feather.write_feather(
-                postings.slice(s, e - s).drop_columns(["part"]), tmp,
-                compression="lz4")
+            sl = postings.slice(s, e - s)
+            # dictionary-encode term/field PER PARTITION SLICE: a slice
+            # holds one term bucket, so its dict is ~vocab/n_buckets
+            # entries — fragments carry int32 codes + a small dict instead
+            # of n_rows strings, and the encode stage materializes codes
+            # (encode_postings_table's dictionary_encode() is a no-op on
+            # dict arrays).  Cuts exchange bytes AND stage-2 allocation
+            # churn — the 32-way page-allocator contention this VM's
+            # kernel profile blamed (BASELINE.md round-3 scaling ledger).
+            # Worst case (unbounded web vocab, dict ≈ rows) degrades to
+            # ~today's cost: one extra hash pass, no size regression.
+            for i in str_cols:
+                f_ = sl.field(i)
+                sl = sl.set_column(
+                    i, f_.name, sl.column(i).dictionary_encode())
+            feather.write_feather(sl.drop_columns(["part"]), tmp,
+                                  compression="lz4")
             os.replace(tmp, os.path.join(d, f"frag-{tag}.feather"))
         return self._metrics(batch.num_rows, doc_rows.num_rows, total_tokens)
 
@@ -539,6 +555,7 @@ class FragmentEncoder:
                 for f in frags]
             rows = (pa.concat_tables(parts_tables, promote_options="default")
                     if parts_tables else None)
+            t_read = time.time()
             shard, bucket = part // self.n_buckets, part % self.n_buckets
             doc_dict = (load_shard_dict(self.docstore_dir, shard)
                         if self.docstore_dir else None)
@@ -547,6 +564,7 @@ class FragmentEncoder:
                     {"term": pa.array([], type=pa.string()),
                      "doc_id": pa.array([], type=pa.int64()),
                      "tf": pa.array([], type=pa.int32())}), doc_dict)
+            t_enc = time.time()
             part_dir = os.path.join(self.out_dir, f"shard={shard:03d}",
                                     f"bucket={bucket:05d}")
             os.makedirs(part_dir, exist_ok=True)
@@ -554,6 +572,7 @@ class FragmentEncoder:
             pq.write_table(seg, tmp, compression="zstd")
             final = os.path.join(part_dir, "postings.parquet")
             os.replace(tmp, final)
+            t_write = time.time()
             metrics = {"part": part, "shard": shard, "bucket": bucket,
                        "n_terms": seg.num_rows,
                        "n_postings": int(pa.compute.sum(seg["df"]).as_py() or 0),
@@ -562,7 +581,12 @@ class FragmentEncoder:
                        "n_input_rows": rows.num_rows if rows is not None else 0,
                        "n_fragments": n_frags,
                        "exchange": "fs",
-                       "wall_ms": int((time.time() - t0) * 1000)}
+                       "wall_ms": int((time.time() - t0) * 1000),
+                       # per-phase split for scaling diagnosis: fragment
+                       # read / encode / segment write (ms)
+                       "read_ms": int((t_read - t0) * 1000),
+                       "encode_ms": int((t_enc - t_read) * 1000),
+                       "write_ms": int((t_write - t_enc) * 1000)}
             with open(os.path.join(part_dir, "_DONE"), "w") as f:
                 json.dump(metrics, f)
             out.append(metrics)

@@ -83,12 +83,14 @@ def main() -> int:
         if sql is None:
             print(f"ok   {name}: rows-only ({len(got)} rows, {dt:.1f}s)")
             continue
+        t1 = time.time()
         try:
             want = canon(con.execute(sql).fetchdf())
         except Exception as e:
             print(f"FAIL {name}: oracle SQL raised {type(e).__name__}: {e}")
             failures += 1
             continue
+        dt_sql = time.time() - t1
         if list(got.columns) != list(want.columns):
             print(f"FAIL {name}: columns {list(got.columns)} != {list(want.columns)}")
             failures += 1
@@ -111,7 +113,8 @@ def main() -> int:
             print(f"FAIL {name}: values differ: {str(e)[:400]}")
             failures += 1
             continue
-        print(f"ok   {name}: MATCH ({len(got)} rows, {dt:.1f}s)")
+        print(f"ok   {name}: MATCH ({len(got)} rows, ray {dt:.1f}s, "
+              f"sql {dt_sql:.1f}s)")
     print(f"\n{failures} failures")
     return 1 if failures else 0
 
