@@ -68,6 +68,7 @@ def main() -> int:
 
     qs, oracles = entrymod.queries(), entrymod.oracle_sql()
     failures = 0
+    t_sweep = time.time()
     for name, fn in qs.items():
         if only and name not in only:
             continue
@@ -115,7 +116,9 @@ def main() -> int:
             continue
         print(f"ok   {name}: MATCH ({len(got)} rows, ray {dt:.1f}s, "
               f"sql {dt_sql:.1f}s)")
-    print(f"\n{failures} failures")
+    n_run = len([n for n in qs if not only or n in only])
+    print(f"\n{failures} failures; {n_run} queries swept in "
+          f"{time.time() - t_sweep:.1f}s total")
     return 1 if failures else 0
 
 
