@@ -382,6 +382,11 @@ def _exchange_fs(ds, index_dir: str, cfg: IndexConfig, stage, batch_size,
         if stage1_stats is None:
             shutil.rmtree(tmp_base, ignore_errors=True)
             os.makedirs(frag_dir, exist_ok=True)
+            # stages that support it emit dict-encoded terms: the spiller
+            # then compacts per-slice dictionaries (int32 ops) instead of
+            # re-hashing term strings per partition slice
+            if getattr(stage, "dict_terms", None) is False:
+                stage.dict_terms = True
             spiller = FragmentSpiller(frag_dir, doc_tmp, cfg.n_doc_shards)
             # batch = whole block: one fragment per (task, partition) keeps
             # the reduce side's file count at blocks × partitions minimum.

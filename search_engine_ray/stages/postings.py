@@ -483,8 +483,23 @@ class FragmentSpiller:
             # ~today's cost: one extra hash pass, no size regression.
             for i in str_cols:
                 f_ = sl.field(i)
-                sl = sl.set_column(
-                    i, f_.name, sl.column(i).dictionary_encode())
+                col = sl.column(i)
+                if pa.types.is_dictionary(col.type):
+                    # already dict-encoded upstream (TokenizePostings
+                    # dict_terms): COMPACT the slice's dictionary to the
+                    # codes it actually uses — int32 ops only, no string
+                    # re-hash — so a fragment never ships the whole batch
+                    # vocab per partition slice
+                    arr = col.combine_chunks() \
+                        if isinstance(col, pa.ChunkedArray) else col
+                    codes = arr.indices.to_numpy(zero_copy_only=False)
+                    uniq, inv = np.unique(codes, return_inverse=True)
+                    compact = pa.DictionaryArray.from_arrays(
+                        pa.array(inv.astype(np.int32)),
+                        arr.dictionary.take(pa.array(uniq)))
+                    sl = sl.set_column(i, f_.name, compact)
+                else:
+                    sl = sl.set_column(i, f_.name, col.dictionary_encode())
             feather.write_feather(sl.drop_columns(["part"]), tmp,
                                   compression="lz4")
             os.replace(tmp, os.path.join(d, f"frag-{tag}.feather"))

@@ -141,6 +141,33 @@ def derive_title_column(texts: pa.Array | pa.ChunkedArray,
     return pc.binary_join(lst, " ")
 
 
+def _group_term_doc(row_idx: np.ndarray, terms: pa.Array
+                    ) -> tuple[np.ndarray, np.ndarray, pa.Array, np.ndarray]:
+    """(token rows) → per-(row, distinct-term) groups:
+    ``(group_rows, term_codes, vocab, tf)``.
+
+    One dictionary hash pass over the token strings, then a single int64
+    ``value_counts`` over the packed ``(row, code)`` key — replaces an Acero
+    ``group_by`` on (string, int64), which is ~1.7× slower and far more
+    allocation-hungry (hash-table churn per batch is exactly what this VM's
+    throttled page-fault path punishes at 32-way width).  Downstream hashing
+    (term → bucket) then needs only the *vocab*, not one hash per group row.
+    Packing bound: batch rows < 2³¹ and per-batch vocab < 2³² — both orders
+    of magnitude above any real block size."""
+    dic = pc.dictionary_encode(terms)
+    codes = dic.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    key = (row_idx << np.int64(32)) | codes
+    vc = pc.value_counts(pa.array(key))
+    k = vc.field("values").to_numpy(zero_copy_only=False)
+    tf = vc.field("counts").to_numpy(zero_copy_only=False).astype(np.int32)
+    rows = (k >> np.int64(32)).astype(np.int64)
+    gcodes = (k & np.int64(0xFFFFFFFF)).astype(np.int32)
+    vocab = dic.dictionary
+    if isinstance(vocab, pa.ChunkedArray):
+        vocab = vocab.combine_chunks()
+    return rows, gcodes, vocab, tf
+
+
 def count_tf(row_idx: np.ndarray, terms: pa.Array,
              doc_ids: np.ndarray) -> pa.Table:
     """Per-(doc, term) frequency within the batch → ``(term, doc_id, tf)``."""
@@ -148,12 +175,10 @@ def count_tf(row_idx: np.ndarray, terms: pa.Array,
         return pa.table({"term": pa.array([], type=pa.string()),
                          "doc_id": pa.array([], type=pa.int64()),
                          "tf": pa.array([], type=pa.int32())})
-    tok = pa.table({"term": terms,
-                    "doc_id": pa.array(doc_ids[row_idx], type=pa.int64())})
-    agg = tok.group_by(["term", "doc_id"]).aggregate([([], "count_all")])
-    return pa.table({"term": agg["term"],
-                     "doc_id": agg["doc_id"],
-                     "tf": agg["count_all"].cast(pa.int32())})
+    rows, gcodes, vocab, tf = _group_term_doc(row_idx, terms)
+    return pa.table({"term": vocab.take(pa.array(gcodes)),
+                     "doc_id": pa.array(doc_ids[rows], type=pa.int64()),
+                     "tf": pa.array(tf, type=pa.int32())})
 
 
 class TokenizePostings:
@@ -193,6 +218,14 @@ class TokenizePostings:
         # runs, so a term may legally live in several buckets.
         self.hot_terms = hot_terms
         self.salt = salt
+        # dict_terms: emit ``term`` (and the constant ``field``) dictionary-
+        # encoded instead of as flat strings.  Opt-in for the fs-exchange
+        # build path (pipelines/build sets it): the spiller then only
+        # COMPACTS per-partition-slice dictionaries (int32 ops) instead of
+        # re-hashing term strings per slice, and the batch never materializes
+        # a per-group string column at all.  Default off so direct callers
+        # and the groupby exchange keep plain-string blocks.
+        self.dict_terms = False
 
     def _bucket(self, term_col: pa.Array, doc_ids: np.ndarray) -> np.ndarray:
         bucket = (fnv1a64_array(term_col) % np.uint64(self.n_buckets)).astype(np.int64)
@@ -264,23 +297,37 @@ class TokenizePostings:
                 "pos": pos_col,
             })
         else:
-            tok = pa.table({"term": terms,
-                            "row": pa.array(row_idx, type=pa.int64())})
-            agg = tok.group_by(["term", "row"]).aggregate([([], "count_all")])
-            rows = agg["row"].to_numpy(zero_copy_only=False)
-            term_col = agg["term"].combine_chunks() \
-                if isinstance(agg["term"], pa.ChunkedArray) else agg["term"]
-            bucket = self._bucket(term_col, doc_ids[rows])
-            shard = doc_ids[rows] % self.n_doc_shards
+            rows, gcodes, vocab, tf = _group_term_doc(row_idx, terms)
+            # hash ONLY the unique vocab (≈2% of group rows), gather codes
+            vbucket = (fnv1a64_array(vocab)
+                       % np.uint64(self.n_buckets)).astype(np.int64)
+            bucket = vbucket[gcodes]
+            gdocs = doc_ids[rows]
+            if self.hot_terms:
+                vhot = pc.is_in(vocab, value_set=pa.array(
+                    sorted(self.hot_terms))).to_numpy(zero_copy_only=False)
+                hot = vhot[gcodes]
+                if hot.any():
+                    bucket[hot] = (bucket[hot] + gdocs[hot] % self.salt) \
+                        % self.n_buckets
+            shard = gdocs % self.n_doc_shards
             part = (shard * self.n_buckets + bucket).astype(np.int32)
+            term_col = (pa.DictionaryArray.from_arrays(pa.array(gcodes),
+                                                       vocab)
+                        if self.dict_terms else vocab.take(pa.array(gcodes)))
             out = pa.table({
                 "term": term_col,
-                "doc_id": pa.array(doc_ids[rows], type=pa.int64()),
-                "tf": agg["count_all"].cast(pa.int32()),
+                "doc_id": pa.array(gdocs, type=pa.int64()),
+                "tf": pa.array(tf, type=pa.int32()),
                 "doc_len": pa.array(doc_len[rows], type=pa.int32()),
                 "part": pa.array(part, type=pa.int32()),
             })
-        empty_cols = {"term": pa.array([], type=pa.string()),
+        # positional branch still emits flat strings — dict output applies
+        # only to the (far hotter) tf-only branch
+        term_t = (pa.dictionary(pa.int32(), pa.string())
+                  if self.dict_terms and not self.emit_positions
+                  else pa.string())
+        empty_cols = {"term": pa.array([], type=term_t),
                       "doc_id": pa.array([], type=pa.int64()),
                       "tf": pa.array([], type=pa.int32()),
                       "doc_len": pa.array([], type=pa.int32()),
@@ -295,7 +342,7 @@ class TokenizePostings:
         # read+extract pass (see pipelines/build.py)
         n = batch.num_rows
         doc_rows = {
-            "term": pa.nulls(n, type=pa.string()),
+            "term": pa.nulls(n, type=term_t),
             "doc_id": pa.array(doc_ids, type=pa.int64()),
             "tf": pa.array(np.zeros(n, dtype=np.int32), type=pa.int32()),
             "doc_len": pa.array(doc_len.astype(np.int32), type=pa.int32()),
@@ -365,6 +412,15 @@ class FieldedPostings:
         return pa.array((shard * self.n_buckets + bucket).astype(np.int32),
                         type=pa.int32())
 
+    def _part_coded(self, vocab: pa.Array, gcodes: np.ndarray,
+                    doc_ids: np.ndarray) -> pa.Array:
+        """``_part`` over dictionary codes: hash the vocab once, gather."""
+        vbucket = (fnv1a64_array(vocab)
+                   % np.uint64(self.n_buckets)).astype(np.int64)
+        shard = doc_ids % self.n_doc_shards
+        return pa.array((shard * self.n_buckets
+                         + vbucket[gcodes]).astype(np.int32), type=pa.int32())
+
     def __call__(self, batch: pa.Table) -> pa.Table:
         doc_ids = batch[self.id_col].to_numpy(zero_copy_only=False).astype(np.int64)
         n = batch.num_rows
@@ -378,19 +434,14 @@ class FieldedPostings:
             if len(terms) == 0:
                 continue
             doc_len = np.bincount(row_idx, minlength=n)
-            tok = pa.table({"term": terms,
-                            "row": pa.array(row_idx, type=pa.int64())})
-            agg = tok.group_by(["term", "row"]).aggregate([([], "count_all")])
-            rows = agg["row"].to_numpy(zero_copy_only=False)
-            term_col = agg["term"].combine_chunks() \
-                if isinstance(agg["term"], pa.ChunkedArray) else agg["term"]
+            rows, gcodes, vocab, tf = _group_term_doc(row_idx, terms)
             outs.append(pa.table({
                 "field": pa.array([field_name] * len(rows), type=pa.string()),
-                "term": term_col,
+                "term": vocab.take(pa.array(gcodes)),
                 "doc_id": pa.array(doc_ids[rows], type=pa.int64()),
-                "tf": agg["count_all"].cast(pa.int32()),
+                "tf": pa.array(tf, type=pa.int32()),
                 "doc_len": pa.array(doc_len[rows], type=pa.int32()),
-                "part": self._part(term_col, doc_ids[rows]),
+                "part": self._part_coded(vocab, gcodes, doc_ids[rows]),
             }))
         for field_name, col in self.metadata_fields.items():
             arr = batch[col]
@@ -405,23 +456,21 @@ class FieldedPostings:
                 row_idx = np.arange(n, dtype=np.int64)
                 flat = arr
             terms = clean_metadata_array(flat)
-            # set semantics: distinct (term, doc)
-            tok = pa.table({"term": terms,
-                            "row": pa.array(row_idx, type=pa.int64())})
-            agg = tok.group_by(["term", "row"]).aggregate([])
-            if agg.num_rows == 0:
+            if len(terms) == 0:
                 continue
-            rows = agg["row"].to_numpy(zero_copy_only=False)
-            term_col = agg["term"].combine_chunks() \
-                if isinstance(agg["term"], pa.ChunkedArray) else agg["term"]
+            # set semantics: distinct (term, doc) — tf from the grouped
+            # counts is deliberately discarded (duplicates collapse to 1)
+            rows, gcodes, vocab, _tf = _group_term_doc(row_idx, terms)
+            if len(rows) == 0:
+                continue
             outs.append(pa.table({
                 "field": pa.array([field_name] * len(rows), type=pa.string()),
-                "term": term_col,
+                "term": vocab.take(pa.array(gcodes)),
                 "doc_id": pa.array(doc_ids[rows], type=pa.int64()),
                 "tf": pa.array(np.ones(len(rows), dtype=np.int32), type=pa.int32()),
                 "doc_len": pa.array(np.zeros(len(rows), dtype=np.int32),
                                     type=pa.int32()),
-                "part": self._part(term_col, doc_ids[rows]),
+                "part": self._part_coded(vocab, gcodes, doc_ids[rows]),
             }))
         empty = pa.table({"field": pa.array([], type=pa.string()),
                           "term": pa.array([], type=pa.string()),
