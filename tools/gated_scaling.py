@@ -1,0 +1,94 @@
+"""Health-gated build-scaling attempt loop (round-4 evidence machinery).
+
+The scaling criterion needs a quiet host (see ``tools/host_health.py`` —
+this VM's first-touch fault path swings >100× between hypervisor phases).
+This wrapper polls the probe and fires one full ``bench.py --scaling`` run
+per healthy window, recording every attempt's telemetry whether or not the
+window held.  Stops after the first attempt that clears the efficiency bar,
+or after ``--max-attempts``.
+
+Usage::
+
+    python tools/gated_scaling.py [--gate 16] [--bar 0.8] \
+        [--max-attempts 4] [--out /tmp/scaling_attempts_r4]
+
+Writes ``attempt_<n>.json`` (the bench result + pre/post probe readings)
+into the out dir, plus a RUNNING flag the session can check before
+launching other heavy work.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import time
+
+TOOLS = os.path.dirname(os.path.abspath(__file__))
+REPO = os.path.dirname(TOOLS)
+sys.path.insert(0, TOOLS)
+from host_health import first_touch_gbps  # noqa: E402
+
+
+def load1() -> float:
+    return float(open("/proc/loadavg").read().split()[0])
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--gate", type=float, default=16.0,
+                    help="min first-touch GB/s to start an attempt")
+    ap.add_argument("--bar", type=float, default=0.8)
+    ap.add_argument("--max-attempts", type=int, default=4)
+    ap.add_argument("--poll-s", type=float, default=60.0)
+    ap.add_argument("--budget-s", type=float, default=14400.0,
+                    help="total wall budget for the loop")
+    ap.add_argument("--out", default="/tmp/scaling_attempts_r4")
+    args = ap.parse_args()
+    os.makedirs(args.out, exist_ok=True)
+    flag = os.path.join(args.out, "RUNNING")
+    deadline = time.time() + args.budget_s
+    attempt = 0
+    while attempt < args.max_attempts and time.time() < deadline:
+        g = first_touch_gbps(16, 1.5)
+        ld = load1()
+        if g < args.gate or ld > 2.0:
+            time.sleep(args.poll_s)
+            continue
+        attempt += 1
+        pre = {"first_touch_gbps": round(g, 1), "load1": ld,
+               "ts": time.strftime("%F %T")}
+        with open(flag, "w") as f:
+            f.write(f"attempt {attempt} started {pre['ts']}\n")
+        env = dict(os.environ,
+                   SCALING_HEALTH_GATE=str(args.gate),
+                   SCALING_HEALTH_WAIT="900",
+                   SCALING_TRIALS="2")
+        proc = subprocess.run(
+            [sys.executable, os.path.join(REPO, "bench.py"), "--scaling"],
+            capture_output=True, text=True, timeout=5400, env=env, cwd=REPO)
+        os.unlink(flag)
+        lines = [l for l in proc.stdout.strip().splitlines()
+                 if l.startswith("{")]
+        rec = {"attempt": attempt, "pre": pre,
+               "post_first_touch_gbps": round(first_touch_gbps(16, 1.5), 1)}
+        if lines:
+            rec["result"] = json.loads(lines[-1])
+        else:
+            rec["error"] = proc.stderr.strip().splitlines()[-8:]
+        path = os.path.join(args.out, f"attempt_{attempt}.json")
+        with open(path, "w") as f:
+            json.dump(rec, f, indent=1)
+        eff = rec.get("result", {}).get("scaling_efficiency", 0)
+        print(json.dumps(rec), flush=True)
+        if eff >= args.bar:
+            print(f"bar cleared at attempt {attempt}: {eff}", flush=True)
+            return 0
+    print(f"{attempt} gated attempts recorded in {args.out}", flush=True)
+    return 1
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
