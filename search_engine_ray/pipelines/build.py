@@ -71,7 +71,7 @@ def _phase_timer():
 
 
 @contextmanager
-def _full_width_execution():
+def _full_width_execution(*datasets):
     """Run one Dataset execution with Ray Data's per-op resource reservation
     disabled, restoring the previous setting after.
 
@@ -80,22 +80,37 @@ def _full_width_execution():
     partition stubs (stage 2).  The streaming executor's reservation policy
     (``op_resource_reservation_ratio`` = 0.5) holds back half the CPU slots
     as a shared pool split across ALL ops, so the one op doing real work is
-    capped at 0.75 × cluster CPUs concurrent tasks (measured: 24 of 32, a
-    constant 25% idle floor through stage 1).  That policy exists to keep
-    expensive downstream ops from starving in deep pipelines — the build has
-    no such op, so width is strictly better here.  Scoped + restored so
-    concurrently-running query pipelines in the same driver keep the default
-    policy; ``SERX_FULL_WIDTH=0`` opts out entirely."""
-    ctx = ray.data.DataContext.get_current()
-    prev = getattr(ctx, "op_resource_reservation_enabled", None)
-    if prev is None or os.environ.get("SERX_FULL_WIDTH", "1") == "0":
+    capped below cluster width — measured map-task caps of 1/2, 5/8 and
+    24/32 CPUs, i.e. the 4N leg of a scaling pair gets proportionally MORE
+    of its CPUs than the N leg, distorting the ratio both ways.  That policy
+    exists to keep expensive downstream ops from starving in deep pipelines —
+    the build has no such op, so width is strictly better here.
+
+    Every Dataset snapshots ``DataContext.get_current().copy()`` at CREATION
+    (``read_api.read_datasource``), so flipping the global context after the
+    dataset exists does nothing — the executor reads the plan's captured
+    copy.  Callers therefore pass the dataset(s) about to execute and the
+    flag is flipped on each captured context (plus the global one, covering
+    datasets created inside the block).  Scoped + restored so concurrently-
+    running query pipelines keep the default policy; ``SERX_FULL_WIDTH=0``
+    opts out entirely."""
+    ctxs = [ray.data.DataContext.get_current()]
+    for ds in datasets:
+        c = getattr(ds, "context", None)
+        if c is not None and all(c is not seen for seen in ctxs):
+            ctxs.append(c)
+    if (not hasattr(ctxs[0], "op_resource_reservation_enabled")
+            or os.environ.get("SERX_FULL_WIDTH", "1") == "0"):
         yield
         return
-    ctx.op_resource_reservation_enabled = False
+    prev = [c.op_resource_reservation_enabled for c in ctxs]
+    for c in ctxs:
+        c.op_resource_reservation_enabled = False
     try:
         yield
     finally:
-        ctx.op_resource_reservation_enabled = prev
+        for c, p in zip(ctxs, prev):
+            c.op_resource_reservation_enabled = p
 
 
 def _auto_num_blocks() -> int:
@@ -392,7 +407,7 @@ def _exchange_fs(ds, index_dir: str, cfg: IndexConfig, stage, batch_size,
             # the reduce side's file count at blocks × partitions minimum.
             # The consuming aggregate folds the docstats (n_docs, Σ doc_len)
             # out of the spillers' metric rows — no docstore re-read pass.
-            with _full_width_execution():
+            with _full_width_execution(ds):
                 sums = ds.map_batches(_TokenizeAndSpill(stage, spiller),
                                       batch_format="pyarrow",
                                       batch_size=None,
@@ -475,7 +490,7 @@ def _exchange_fs(ds, index_dir: str, cfg: IndexConfig, stage, batch_size,
         enc = FragmentEncoder(frag_dir, ckpt.segments_dir(index_dir),
                               cfg.n_buckets,
                               docstore_dir=os.path.join(index_dir, "docstore"))
-        with _full_width_execution():
+        with _full_width_execution(parts):
             parts.map_batches(enc, batch_format="pyarrow",
                               batch_size=1).materialize()
         mark("stage2 encode+commit")
@@ -490,7 +505,7 @@ def _exchange_groupby(ds, index_dir: str, cfg: IndexConfig, stage, batch_size,
                       docstore_path) -> None:
     """Idiomatic ``groupby('part')`` sort-shuffle exchange, materializing the
     tokenized stream once in the object store (spills under pressure)."""
-    with _full_width_execution():
+    with _full_width_execution(ds):
         tokenized = ds.map_batches(
             stage, batch_format="pyarrow", batch_size=batch_size,
             concurrency=concurrency).materialize()
@@ -534,7 +549,7 @@ def _exchange_groupby(ds, index_dir: str, cfg: IndexConfig, stage, batch_size,
         def encode_partition(group: pa.Table) -> pa.Table:
             return writer(group)
 
-        with _full_width_execution():
+        with _full_width_execution(postings):
             postings.groupby("part").map_groups(
                 encode_partition, batch_format="pyarrow").materialize()
         # groupby produces no group (and thus no _DONE) for partitions with
