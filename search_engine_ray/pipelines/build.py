@@ -129,8 +129,15 @@ def _auto_num_blocks() -> int:
     except Exception:
         cpus = 16
     # measured optimum on the bench harness: ~2 blocks/CPU, floor 32 (map
-    # parallelism + straggler slack), cap 128 (sort-shuffle object count)
-    return min(128, max(32, 2 * cpus))
+    # parallelism + straggler slack), cap 128 (sort-shuffle object count).
+    # SERX_BLOCKS_PER_CPU overrides the multiplier (wave-quantization
+    # experiments: more, smaller blocks shrink the last-wave straggler tail
+    # at full width but multiply exchange fragment counts).
+    try:
+        per_cpu = int(os.environ.get("SERX_BLOCKS_PER_CPU", "2"))
+    except ValueError:
+        per_cpu = 2
+    return min(max(128, 4 * cpus), max(32, per_cpu * cpus))
 
 
 def _resolve(source: str | DatasetFactory, columns: list[str],
@@ -363,14 +370,29 @@ def cleanup_orphan_scratch(base: str | None = None, *,
 
 class _TokenizeAndSpill:
     """Fuses the tokenize stage with the filesystem-exchange map side so the
-    posting stream never enters the object store."""
+    posting stream never enters the object store.
+
+    The returned metric row carries per-task component CPU milliseconds
+    (``t_tok_ms`` / ``t_spill_ms``): summed across tasks they attribute the
+    stage-1 wall between compute and exchange I/O WITHIN one run — the only
+    attribution robust to this host's minute-scale memory-phase swings
+    (BASELINE.md), which make cross-run A/Bs of ~2× effects unreadable."""
 
     def __init__(self, stage, spiller):
         self.stage = stage
         self.spiller = spiller
 
     def __call__(self, batch: "pa.Table") -> "pa.Table":
-        return self.spiller(self.stage(batch))
+        from time import perf_counter
+        t0 = perf_counter()
+        tok = self.stage(batch)
+        t1 = perf_counter()
+        metrics = self.spiller(tok)
+        t2 = perf_counter()
+        return metrics.append_column(
+            "t_tok_ms", pa.array([int((t1 - t0) * 1000)], type=pa.int64())
+        ).append_column(
+            "t_spill_ms", pa.array([int((t2 - t1) * 1000)], type=pa.int64()))
 
 
 def _exchange_fs(ds, index_dir: str, cfg: IndexConfig, stage, batch_size,
@@ -407,16 +429,25 @@ def _exchange_fs(ds, index_dir: str, cfg: IndexConfig, stage, batch_size,
             # the reduce side's file count at blocks × partitions minimum.
             # The consuming aggregate folds the docstats (n_docs, Σ doc_len)
             # out of the spillers' metric rows — no docstore re-read pass.
+            sum_cols = ["n_docs", "total_tokens"]
+            if os.environ.get("SERX_BUILD_TIMING"):
+                sum_cols += ["t_tok_ms", "t_spill_ms"]
             with _full_width_execution(ds):
                 sums = ds.map_batches(_TokenizeAndSpill(stage, spiller),
                                       batch_format="pyarrow",
                                       batch_size=None,
                                       concurrency=concurrency) \
-                    .sum(["n_docs", "total_tokens"]) or {}
+                    .sum(sum_cols) or {}
             stage1_stats = {
                 "tag": cfg_tag,
                 "n_docs": int(sums.get("sum(n_docs)") or 0),
                 "total_tokens": int(sums.get("sum(total_tokens)") or 0)}
+            if os.environ.get("SERX_BUILD_TIMING"):
+                import sys as _sys
+                print(f"[build-timing] stage1 component CPU: "
+                      f"tok={int(sums.get('sum(t_tok_ms)') or 0) / 1000:.1f}s "
+                      f"spill={int(sums.get('sum(t_spill_ms)') or 0) / 1000:.1f}s",
+                      file=_sys.stderr, flush=True)
             with open(marker, "w") as f:
                 _json.dump(stage1_stats, f)
             mark("stage1 tokenize+spill")

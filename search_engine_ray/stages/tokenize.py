@@ -141,6 +141,44 @@ def derive_title_column(texts: pa.Array | pa.ChunkedArray,
     return pc.binary_join(lst, " ")
 
 
+# Sub-chunk size (docs) for the tokenize map stages.  Ray Data blocks on
+# the build path are ~25k docs (block-per-task keeps the exchange's
+# fragment count minimal), but running the whole block through the kernel
+# chain as ONE batch makes every intermediate (normalized text copy, token
+# splits, group keys) a tens-of-MB allocation — jemalloc treats ≥8 MB
+# buffers as oversize and purges them on EVERY free, so each batch
+# re-faults its full working set; under ≥16-way concurrency those faults
+# serialize on this host's contended page path (BASELINE.md round-4
+# ladder: identical work costs 110 CPU·s at 2–4 way but 300 CPU·s at
+# 16-way).  Processing ~2k-doc sub-slices keeps intermediates under the
+# oversize threshold so the allocator reuses dirty pages batch-over-batch:
+# measured tok-stage wall 8.76 → 4.90 s at 32 CPUs and 56.8 → 40.6 s at
+# 4 CPUs on the 1.6M-page corpus (within-run A/B, healthy host).  The
+# chunk outputs are collected with zero-copy ``pa.concat_tables`` so the
+# downstream spiller still sees one table per block (fragment count
+# unchanged).  ``SERX_TOK_CHUNK=0`` disables; any int overrides.
+def _tok_chunk_docs() -> int:
+    import os
+    try:
+        return int(os.environ.get("SERX_TOK_CHUNK", "2048"))
+    except ValueError:
+        return 2048
+
+
+def _chunked_call(inner, batch: pa.Table) -> pa.Table:
+    """Apply ``inner`` to ≤chunk-doc slices of ``batch`` and concat
+    (zero-copy chunk collection).  Dictionary columns may carry per-chunk
+    dictionaries — Arrow ChunkedArrays allow that, and every consumer
+    (FragmentSpiller's per-slice compaction, encode's dictionary_encode)
+    unifies on use."""
+    chunk = _tok_chunk_docs()
+    if chunk <= 0 or batch.num_rows <= chunk:
+        return inner(batch)
+    outs = [inner(batch.slice(off, chunk))
+            for off in range(0, batch.num_rows, chunk)]
+    return pa.concat_tables(outs, promote_options="default")
+
+
 def _group_term_doc(row_idx: np.ndarray, terms: pa.Array
                     ) -> tuple[np.ndarray, np.ndarray, pa.Array, np.ndarray]:
     """(token rows) → per-(row, distinct-term) groups:
@@ -276,6 +314,9 @@ class TokenizePostings:
         return r[starts], term_col, pa.array(tf, type=pa.int32()), pos_col
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        return _chunked_call(self._call_one, batch)
+
+    def _call_one(self, batch: pa.Table) -> pa.Table:
         doc_ids = batch[self.id_col].to_numpy(zero_copy_only=False).astype(np.int64)
         row_idx, terms = split_and_normalize(
             batch[self.text_col], stopwords=self.stopwords, stem=self.stem)
@@ -422,6 +463,9 @@ class FieldedPostings:
                          + vbucket[gcodes]).astype(np.int32), type=pa.int32())
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        return _chunked_call(self._call_one, batch)
+
+    def _call_one(self, batch: pa.Table) -> pa.Table:
         doc_ids = batch[self.id_col].to_numpy(zero_copy_only=False).astype(np.int64)
         n = batch.num_rows
         outs = []

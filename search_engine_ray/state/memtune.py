@@ -44,19 +44,24 @@ from __future__ import annotations
 import os
 
 # jemalloc malloc_conf for Arrow's bundled (je_arrow_-prefixed) jemalloc.
-# Measured on this wheel: huge (>=8 MB) buffers are purged on EVERY free
-# regardless of decay settings (the oversize arena purges immediately, and
-# the opt is init-only — pa.jemalloc_set_decay_ms() cannot stop it at
-# runtime), so a 30 MB pyarrow.compute temporary re-faults ~7,680 pages per
-# batch forever.  dirty_decay_ms:-1 disables purging entirely: re-allocation
-# reuses pages with ZERO faults after a worker's first batches (measured:
-# per-iteration faults 119k → 0, per-batch wall 37 s under 32-way warmup
-# contention → 1.4 s steady state).  Cost: each worker's Arrow pool RSS
-# stays at its high-water mark (~0.5 GB for this engine's batch sizes) —
-# bounded, and the right trade on any node whose page-allocator is the
-# scaling bottleneck (virtualized hosts suffer lock-holder preemption on
-# the zone lock: measured 50–300 µs per minor fault at 32-way concurrency
-# vs ~1 µs uncontended).
+# NO LONGER APPLIED BY DEFAULT — opt in with SERX_JEMALLOC_RETAIN=1.
+#
+# History: round 3 measured that this wheel's jemalloc purges huge (>=8 MB)
+# buffers on EVERY free regardless of decay settings, so each 30 MB
+# pyarrow.compute temporary re-faulted ~7,680 pages per batch, and
+# dirty_decay_ms:-1 (never purge) removed those faults (per-iteration
+# faults 119k → 0 in a synthetic fresh-64MB loop).  Round 4 then shrank the
+# engine's per-batch Arrow churn itself (dictionary-encoded exchange
+# fragments, packed-key tf combine, rank-sorted encode) — and with the
+# churn gone, retention flipped from a win to a large LOSS on this host:
+# the same 1.6M-page 32-CPU build measured 75.6 s with retention vs 19.1 s
+# without, and 35.7 vs 32.1 s at 8 CPUs (2026-08-19, healthy host phase
+# 22–27 GB/s first-touch, back-to-back fresh processes).  With every
+# worker's Arrow pool pinned at its high-water mark, 32-way resident-set
+# growth drives the host's paravirtualized memory manager into exactly the
+# degraded mode the setting was meant to dodge.  The conf is kept for
+# archaeology and for bare-metal hosts where purge-churn, not residency,
+# is the bottleneck.
 ARROW_JEMALLOC_CONF = "dirty_decay_ms:-1,muzzy_decay_ms:-1"
 
 _tuned = False
@@ -69,7 +74,8 @@ def set_allocator_env() -> None:
     inherit the variables from process birth (a worker imports pyarrow long
     before user code runs, so setting this inside a UDF would be too late).
     """
-    if os.environ.get("SERX_MEMTUNE", "1") != "0":
+    if (os.environ.get("SERX_MEMTUNE", "1") != "0"
+            and os.environ.get("SERX_JEMALLOC_RETAIN", "0") == "1"):
         os.environ.setdefault("JE_ARROW_MALLOC_CONF", ARROW_JEMALLOC_CONF)
     # numpy madvise(MADV_HUGEPAGE) interacts with this VM's synchronous THP
     # defrag (~7 s stall per first-touch >=4 MB allocation) — see BASELINE.md.
@@ -92,11 +98,15 @@ def prewarm_allocators(arrow_mb: int = 384, numpy_mb: int = 128) -> None:
     tune_malloc()
     try:
         import numpy as np
-        import pyarrow as pa
 
-        buf = pa.allocate_buffer(arrow_mb << 20)
-        np.frombuffer(memoryview(buf), dtype=np.uint8)[::4096] = 1
-        del buf
+        # the Arrow-pool prewarm only pays off when jemalloc retention is
+        # on (opt-in) — without it the pool purges the buffer right back
+        if os.environ.get("JE_ARROW_MALLOC_CONF"):
+            import pyarrow as pa
+
+            buf = pa.allocate_buffer(arrow_mb << 20)
+            np.frombuffer(memoryview(buf), dtype=np.uint8)[::4096] = 1
+            del buf
         arr = np.empty(numpy_mb << 20, dtype=np.uint8)
         arr[::4096] = 1
         del arr

@@ -22,11 +22,22 @@ def test_tune_malloc_applies_and_is_idempotent():
     assert memtune.tune_malloc() is True  # cached
 
 
-def test_set_allocator_env_sets_jemalloc_conf(monkeypatch):
+def test_set_allocator_env_default_leaves_jemalloc_alone(monkeypatch):
+    """Round-4 reversal: jemalloc retention measured 75.6 s vs 19.1 s
+    without on the 32-CPU 1.6M-page build (see memtune.py) — the conf is
+    now opt-in via SERX_JEMALLOC_RETAIN=1."""
     monkeypatch.delenv("JE_ARROW_MALLOC_CONF", raising=False)
+    monkeypatch.delenv("SERX_JEMALLOC_RETAIN", raising=False)
+    memtune.set_allocator_env()
+    assert "JE_ARROW_MALLOC_CONF" not in os.environ
+    assert os.environ["NUMPY_MADVISE_HUGEPAGE"] == "0"
+
+
+def test_set_allocator_env_jemalloc_retain_opt_in(monkeypatch):
+    monkeypatch.delenv("JE_ARROW_MALLOC_CONF", raising=False)
+    monkeypatch.setenv("SERX_JEMALLOC_RETAIN", "1")
     memtune.set_allocator_env()
     assert os.environ["JE_ARROW_MALLOC_CONF"] == memtune.ARROW_JEMALLOC_CONF
-    assert os.environ["NUMPY_MADVISE_HUGEPAGE"] == "0"
 
 
 def test_memtune_disabled_by_env(monkeypatch):
@@ -58,17 +69,22 @@ def test_prewarm_allocators_runs():
     memtune.prewarm_allocators(arrow_mb=8, numpy_mb=8)
 
 
-def test_ray_workers_inherit_jemalloc_conf(ray_session):
+def test_ray_workers_inherit_allocator_env(ray_session):
     """conftest calls set_allocator_env() before ray.init, so local-mode
-    workers must see the conf from process birth (jemalloc reads it at
-    library init — setting it later inside a UDF would be too late)."""
+    workers must see the env from process birth (numpy/jemalloc read these
+    at library init — setting them later inside a UDF would be too late).
+    With retention now opt-in, the default contract is NUMPY_MADVISE_HUGEPAGE
+    propagation and NO jemalloc conf."""
     import ray
 
     @ray.remote
-    def probe() -> str:
-        return os.environ.get("JE_ARROW_MALLOC_CONF", "")
+    def probe() -> tuple[str, str]:
+        return (os.environ.get("NUMPY_MADVISE_HUGEPAGE", ""),
+                os.environ.get("JE_ARROW_MALLOC_CONF", ""))
 
-    assert ray.get(probe.remote()) == memtune.ARROW_JEMALLOC_CONF
+    hugepage, je = ray.get(probe.remote())
+    assert hugepage == "0"
+    assert je in ("", memtune.ARROW_JEMALLOC_CONF)
 
 
 def test_ray_workers_tune_malloc_via_package_import(ray_session):
