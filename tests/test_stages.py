@@ -244,3 +244,35 @@ class TestSequencePacking:
         for s in got.stream.unique():
             sub = got[got.stream == s].sort_values("seq_id")
             assert (sub.n_tokens.iloc[:-1] == 50).all()
+
+
+def test_tokenize_chunking_invariance(monkeypatch):
+    """Sub-chunked processing (SERX_TOK_CHUNK, the round-4 allocator-
+    pressure fix) must emit exactly the same (term, doc_id, tf, doc_len,
+    part) multiset as whole-batch processing — chunking is an execution
+    detail, never a semantic one."""
+    texts = [f"w{i % 7} w{i % 3} shared tail w{i}" for i in range(64)]
+    batch = pa.table({
+        "doc_id": pa.array(list(range(100, 164)), type=pa.int64()),
+        "text": pa.array(texts),
+        "url": pa.array([f"u{i}" for i in range(64)]),
+    })
+
+    def run(chunk: str, dict_terms: bool) -> list[tuple]:
+        monkeypatch.setenv("SERX_TOK_CHUNK", chunk)
+        stage = TokenizePostings(n_buckets=4, n_doc_shards=2)
+        stage.emit_doc_rows = True
+        stage.keep_cols = ("url",)
+        stage.dict_terms = dict_terms
+        out = stage(batch)
+        tbl = out.set_column(
+            out.column_names.index("term"), "term",
+            out["term"].cast(pa.string()))
+        return sorted(
+            ((r["term"] or "", r["doc_id"], r["tf"], r["doc_len"],
+              r["part"], r["url"]) for r in tbl.to_pylist()))
+
+    whole = run("0", False)
+    assert run("5", False) == whole          # tiny chunks, string terms
+    assert run("5", True) == whole           # per-chunk dictionaries
+    assert run("1000000", True) == whole     # chunk > batch → one slice
