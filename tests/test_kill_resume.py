@@ -94,3 +94,51 @@ def test_kill_mid_build_then_resume(ray_session, tmp_path):
                                             "postings.parquet"))
             assert t1.equals(t2), (s, b)
     assert ckpt.read_docstats(idx) == ckpt.read_docstats(idx2)
+
+
+def test_groupby_exchange_resume_skips_finished_partitions(ray_session,
+                                                           tmp_path):
+    """Deterministic resume on the ``exchange="groupby"`` path (the
+    multi-node shuffle shape): un-commit a subset of partitions from a
+    finished build, rebuild, and assert untouched partitions are not
+    recomputed (mtime-identical) while the resumed index equals a fresh
+    uninterrupted groupby build."""
+    from search_engine_ray.pipelines.build import build_index
+
+    src = "/root/testdata/sf0.001/documents.parquet"
+    grid = dict(n_buckets=8, n_doc_shards=2)          # 16 partitions
+    cfg = IndexConfig(**grid)
+    idx = str(tmp_path / "idx")
+    build_index(src, idx, IndexConfig(**grid), exchange="groupby")
+    assert not ckpt.pending_partitions(idx, cfg)
+
+    victims = [0, 3, 7, 9, 14]
+    for p in victims:
+        s, b = ckpt.split_part(p, cfg.n_buckets)
+        shutil.rmtree(ckpt.partition_dir(idx, s, b))
+    assert sorted(ckpt.pending_partitions(idx, cfg)) == victims
+
+    survivor_mtimes = {}
+    for p in range(cfg.n_partitions):
+        if p in victims:
+            continue
+        s, b = ckpt.split_part(p, cfg.n_buckets)
+        path = os.path.join(ckpt.partition_dir(idx, s, b), "postings.parquet")
+        survivor_mtimes[path] = os.path.getmtime(path)
+
+    man = build_index(src, idx, IndexConfig(**grid), exchange="groupby")
+    assert len(man["partitions"]) == cfg.n_partitions
+    assert not ckpt.pending_partitions(idx, cfg)
+    for path, mt in survivor_mtimes.items():
+        assert os.path.getmtime(path) == mt, f"recomputed finished {path}"
+
+    idx2 = str(tmp_path / "fresh")
+    build_index(src, idx2, IndexConfig(**grid), exchange="groupby")
+    for s in range(cfg.n_doc_shards):
+        for b in range(cfg.n_buckets):
+            t1 = pq.read_table(os.path.join(ckpt.partition_dir(idx, s, b),
+                                            "postings.parquet"))
+            t2 = pq.read_table(os.path.join(ckpt.partition_dir(idx2, s, b),
+                                            "postings.parquet"))
+            assert t1.equals(t2), (s, b)
+    assert ckpt.read_docstats(idx) == ckpt.read_docstats(idx2)
