@@ -3419,6 +3419,124 @@ def _simhash_pairs_in_group(group: pa.Table, *, max_hamming: int,
                      "hamming": pa.array(d[keep].astype(np.int32), type=pa.int32())})
 
 
+_NGRAM_JACCARD_K = 3        # shingle width; the SQL oracle pins k=3
+_NGRAM_JACCARD_T = 0.5
+
+
+def q_ngram_jaccard_pairs(sf_dir: str, *, k: int = _NGRAM_JACCARD_K,
+                          threshold: float = _NGRAM_JACCARD_T):
+    """Exact n-gram (shingle) Jaccard near-duplicate pairs — Broder's
+    resemblance computed exactly: every document pair whose DISTINCT
+    k-token shingle sets overlap with Jaccard ≥ ``threshold``, with set
+    sizes and intersection reported.  This is the ground truth that
+    ``minhash_neardup`` approximates (its in-group verify uses the same
+    resemblance over the same kept-token stream).
+
+    Scale shape: stage 1 tokenizes (``stages/tokenize.split_and_normalize``
+    — the reference kept-token semantics, so the oracle reuses the shared
+    tokenizer CTE) and emits one row per DISTINCT (doc, shingle); the
+    shuffle carries 8-byte FNV hashes, never shingle text, and the doc's
+    distinct-shingle count rides each row so no per-doc side join is ever
+    needed.  Stage 2 groups by shingle hash and emits co-occurring doc
+    pairs; stage 3 is a (doc_a, doc_b) count-groupby → Jaccard filter.
+    A shingle shared by d docs emits O(d²) pair rows — exactness (and
+    SQL-equality) forbids a df cap here, so at web scale drop grams with
+    df > D before pairing (Lee et al. 2022 blocking) or use
+    ``minhash_neardup``; the stop-shingle skew is the documented cost of
+    the exact variant.  A 64-bit hash collision would merge two distinct
+    shingles (~1e-11 at 10⁴ shingles; same caveat as ``dedup_exact``,
+    ``pipelines/queries.py`` dedup-hash note)."""
+    from ..functions.hashing import fnv1a64_array
+    from ..stages.tokenize import split_and_normalize
+
+    empty_sh = pa.table({"shingle_hash": pa.array([], pa.int64()),
+                         "doc_id": pa.array([], pa.int64()),
+                         "n_sh": pa.array([], pa.int64())})
+
+    def shingles(t: pa.Table) -> pa.Table:
+        row_idx, terms = split_and_normalize(t["text"])
+        n = len(row_idx)
+        if n < k:
+            return empty_sh
+        starts = np.nonzero(row_idx[: n - k + 1] == row_idx[k - 1:])[0]
+        if starts.size == 0:
+            return empty_sh
+        parts = [terms.take(pa.array(starts + j)) for j in range(k)]
+        sh = pc.binary_join_element_wise(*parts, " ")
+        h = (fnv1a64_array(sh)
+             & np.uint64(0x7FFFFFFFFFFFFFFF)).astype(np.int64)
+        doc = t["doc_id"].cast(pa.int64()).to_numpy()[row_idx[starts]]
+        # DISTINCT (doc, shingle): a document's text is one batch row, so
+        # per-batch distinct IS globally distinct — and each doc therefore
+        # appears at most once in any shingle group downstream.
+        pair = np.stack([doc, h], axis=1)
+        uniq = np.unique(pair, axis=0)
+        docs_u, counts = np.unique(uniq[:, 0], return_counts=True)
+        n_per = counts[np.searchsorted(docs_u, uniq[:, 0])]
+        return pa.table({"shingle_hash": pa.array(uniq[:, 1]),
+                         "doc_id": pa.array(uniq[:, 0]),
+                         "n_sh": pa.array(n_per.astype(np.int64))})
+
+    empty_pairs = pa.table({"doc_a": pa.array([], pa.int64()),
+                            "doc_b": pa.array([], pa.int64()),
+                            "n_a": pa.array([], pa.int64()),
+                            "n_b": pa.array([], pa.int64())})
+
+    def pairs_in_group(g: pa.Table) -> pa.Table:
+        ids = g["doc_id"].to_numpy(zero_copy_only=False)
+        if ids.size < 2:
+            return empty_pairs
+        ns = g["n_sh"].to_numpy(zero_copy_only=False)
+        order = np.argsort(ids, kind="stable")
+        ids, ns = ids[order], ns[order]
+        iu = np.triu_indices(ids.size, k=1)
+        return pa.table({"doc_a": pa.array(ids[iu[0]]),
+                         "doc_b": pa.array(ids[iu[1]]),
+                         "n_a": pa.array(ns[iu[0]]),
+                         "n_b": pa.array(ns[iu[1]])})
+
+    def finish(t: pa.Table) -> pa.Table:
+        inter = t["inter"].to_numpy(zero_copy_only=False).astype(np.float64)
+        union = (t["n_a"].to_numpy(zero_copy_only=False)
+                 + t["n_b"].to_numpy(zero_copy_only=False) - inter)
+        j = inter / union
+        keep = j >= threshold
+        t = t.filter(pa.array(keep))
+        # round half-AWAY like DuckDB's round(DOUBLE, 6) (np.round is
+        # half-even: 65/128 would diverge at the 7th decimal)
+        jr = np.floor(j[keep] * 1e6 + 0.5) / 1e6
+        return t.append_column("jaccard", pa.array(jr))
+
+    return (_docs(sf_dir, ["doc_id", "text"])
+            .map_batches(shingles, batch_format="pyarrow")
+            .groupby("shingle_hash")
+            .map_groups(pairs_in_group, batch_format="pyarrow")
+            .groupby(["doc_a", "doc_b", "n_a", "n_b"])
+            .aggregate(Count())
+            .rename_columns({"count()": "inter"})
+            .map_batches(finish, batch_format="pyarrow")
+            .sort(["doc_a", "doc_b"]))
+
+
+SQL_NGRAM_JACCARD_PAIRS = f"""
+WITH ord1 AS ({sql_ordinal_tokenize_cte()}),
+sh AS (SELECT DISTINCT a.doc_id,
+              a.term || ' ' || b.term || ' ' || c.term AS shingle
+       FROM ord1 a
+       JOIN ord1 b ON b.doc_id = a.doc_id AND b.ord = a.ord + 1
+       JOIN ord1 c ON c.doc_id = a.doc_id AND c.ord = a.ord + 2),
+cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+          GROUP BY 1, 2)
+SELECT doc_a, doc_b, ca.n AS n_a, cb.n AS n_b, inter,
+       round(inter * 1.0 / (ca.n + cb.n - inter), 6) AS jaccard
+FROM pairs JOIN cnt ca ON ca.doc_id = doc_a JOIN cnt cb ON cb.doc_id = doc_b
+WHERE inter * 1.0 / (ca.n + cb.n - inter) >= {_NGRAM_JACCARD_T}
+ORDER BY doc_a, doc_b
+"""
+
+
 def _query_vectors(path: str, n_queries: int) -> np.ndarray:
     """The ANN query matrix: vectors with ``vec_id`` 0..n_queries-1, in
     vec_id order — selected BY ID, not by file position, so ``query_idx``
@@ -5180,6 +5298,7 @@ QUERIES = {
     "minhash_neardup": q_minhash_neardup,
     "minhash_dedup_keep": q_minhash_dedup_keep,
     "simhash_neardup": q_simhash_neardup,
+    "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
     "knn_topk": q_knn_topk,
     "events_tumbling": q_events_tumbling,
     "user_sessions": q_user_sessions,
@@ -5260,6 +5379,7 @@ ORACLE_SQL = {
     "regional_trade_volume": SQL_REGIONAL_TRADE_VOLUME,
     "user_running_stats": SQL_USER_RUNNING_STATS,
     "span_dedup": SQL_SPAN_DEDUP,
+    "ngram_jaccard_pairs": SQL_NGRAM_JACCARD_PAIRS,
     "user_type_pivot": SQL_USER_TYPE_PIVOT,
     "lineitem_rollup": SQL_LINEITEM_ROLLUP,
     "orders_monthly": SQL_ORDERS_MONTHLY,

@@ -21,7 +21,8 @@ KEYS = ["term_df", "dedup_exact", "bm25_scores", "cosine_scores",
         "source_temperature_mix", "order_ntile", "customer_order_profile",
         "event_value_median", "source_lang_profile", "span_dedup_cut",
         "bm25_explain", "decontaminated_corpus", "event_type_transitions",
-        "promo_revenue_share", "source_capped_sample", "snippet_windows"]
+        "promo_revenue_share", "source_capped_sample", "snippet_windows",
+        "ngram_jaccard_pairs"]
 
 
 @pytest.fixture(scope="module")
