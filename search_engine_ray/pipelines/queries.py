@@ -3424,7 +3424,8 @@ _NGRAM_JACCARD_T = 0.5
 
 
 def q_ngram_jaccard_pairs(sf_dir: str, *, k: int = _NGRAM_JACCARD_K,
-                          threshold: float = _NGRAM_JACCARD_T):
+                          threshold: float = _NGRAM_JACCARD_T,
+                          max_df: int | None = None):
     """Exact n-gram (shingle) Jaccard near-duplicate pairs — Broder's
     resemblance computed exactly: every document pair whose DISTINCT
     k-token shingle sets overlap with Jaccard ≥ ``threshold``, with set
@@ -3439,13 +3440,15 @@ def q_ngram_jaccard_pairs(sf_dir: str, *, k: int = _NGRAM_JACCARD_K,
     distinct-shingle count rides each row so no per-doc side join is ever
     needed.  Stage 2 groups by shingle hash and emits co-occurring doc
     pairs; stage 3 is a (doc_a, doc_b) count-groupby → Jaccard filter.
-    A shingle shared by d docs emits O(d²) pair rows — exactness (and
-    SQL-equality) forbids a df cap here, so at web scale drop grams with
-    df > D before pairing (Lee et al. 2022 blocking) or use
-    ``minhash_neardup``; the stop-shingle skew is the documented cost of
-    the exact variant.  A 64-bit hash collision would merge two distinct
-    shingles (~1e-11 at 10⁴ shingles; same caveat as ``dedup_exact``,
-    ``pipelines/queries.py`` dedup-hash note)."""
+    A shingle shared by d docs emits O(d²) pair rows — ``max_df`` is the
+    web-scale valve (Lee et al. 2022 blocking): groups larger than it emit
+    no pairs, which drops stop-shingles from BOTH intersection and pairing
+    but leaves per-doc set sizes exact, so reported Jaccards become lower
+    bounds (a pair sharing only capped grams is missed; one is never
+    over-reported).  The SQL-checked default is ``None`` (exact).  A
+    64-bit hash collision would merge two distinct shingles (~1e-11 at
+    10⁴ shingles; same caveat as ``dedup_exact``, ``pipelines/queries.py``
+    dedup-hash note)."""
     from ..functions.hashing import fnv1a64_array
     from ..stages.tokenize import split_and_normalize
 
@@ -3484,7 +3487,7 @@ def q_ngram_jaccard_pairs(sf_dir: str, *, k: int = _NGRAM_JACCARD_K,
 
     def pairs_in_group(g: pa.Table) -> pa.Table:
         ids = g["doc_id"].to_numpy(zero_copy_only=False)
-        if ids.size < 2:
+        if ids.size < 2 or (max_df is not None and ids.size > max_df):
             return empty_pairs
         ns = g["n_sh"].to_numpy(zero_copy_only=False)
         order = np.argsort(ids, kind="stable")

@@ -313,3 +313,54 @@ class TestSpanDedup:
                              type=pa.string())})
         pq.write_table(t, tmp_path / "documents.parquet")
         assert q_span_dedup(str(tmp_path)).count() == 0
+
+
+class TestNgramJaccardPairs:
+    def _corpus(self, tmp_path):
+        import pyarrow.parquet as pq
+        base = ("key agg row scan slow fast table value part hash "
+                "merge batch line sort window group")
+        near = base.replace("slow fast", "slow quick")   # 2 shingle edits
+        t = pa.table({
+            "doc_id": pa.array([1, 2, 3, 4], type=pa.int64()),
+            "text": pa.array([base, base, near,
+                              "entirely different words in this one doc"],
+                             type=pa.string())})
+        pq.write_table(t, tmp_path / "documents.parquet")
+        return str(tmp_path)
+
+    def test_exact_pairs_and_jaccard_values(self, ray_session, tmp_path):
+        from search_engine_ray.pipelines.queries import q_ngram_jaccard_pairs
+        sf = self._corpus(tmp_path)
+        out = q_ngram_jaccard_pairs(sf, threshold=0.5).to_pandas()
+        pairs = set(zip(out["doc_a"], out["doc_b"]))
+        assert (1, 2) in pairs                      # exact dup: jaccard 1.0
+        dup = out[(out["doc_a"] == 1) & (out["doc_b"] == 2)].iloc[0]
+        assert dup["jaccard"] == 1.0 and dup["inter"] == dup["n_a"] == dup["n_b"]
+        assert (1, 3) in pairs and (2, 3) in pairs  # near dup
+        near = out[(out["doc_a"] == 1) & (out["doc_b"] == 3)].iloc[0]
+        assert 0.5 <= near["jaccard"] < 1.0
+        assert not any(4 in p for p in pairs)
+
+    def test_loose_max_df_equals_exact(self, ray_session, tmp_path):
+        from search_engine_ray.pipelines.queries import q_ngram_jaccard_pairs
+        sf = self._corpus(tmp_path)
+        exact = q_ngram_jaccard_pairs(sf, threshold=0.5).to_pandas()
+        capped = q_ngram_jaccard_pairs(sf, threshold=0.5,
+                                       max_df=10**6).to_pandas()
+        assert exact.equals(capped)
+
+    def test_tight_max_df_lower_bounds(self, ray_session, tmp_path):
+        from search_engine_ray.pipelines.queries import q_ngram_jaccard_pairs
+        sf = self._corpus(tmp_path)
+        # every shingle of docs 1/2 has df>=2; max_df=1 kills all pairing
+        assert q_ngram_jaccard_pairs(sf, threshold=0.0,
+                                     max_df=1).count() == 0
+        # df<=2 drops only the grams shared by all of 1,2,3: surviving
+        # jaccards are lower bounds of the exact ones, never higher
+        exact = q_ngram_jaccard_pairs(sf, threshold=0.0).to_pandas()
+        lb = q_ngram_jaccard_pairs(sf, threshold=0.0, max_df=2).to_pandas()
+        ex = {(a, b): j for a, b, j in
+              zip(exact["doc_a"], exact["doc_b"], exact["jaccard"])}
+        for a, b, j in zip(lb["doc_a"], lb["doc_b"], lb["jaccard"]):
+            assert j <= ex[(a, b)] + 1e-12
