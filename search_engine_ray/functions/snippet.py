@@ -79,6 +79,20 @@ def best_window(norm_terms: list[str | None], qterms: frozenset[str],
     return int(hit_pos[lo_hit]), int(hit_pos[hi_hit])
 
 
+def center_window(lo: int, hi: int, n_kept: int, window: int
+                  ) -> tuple[int, int]:
+    """Pad the match span ``[lo, hi]`` out to ``window`` KEPT tokens,
+    clamped to ``[0, n_kept - 1]`` — the single definition of excerpt
+    centering shared by :func:`make_snippet` (raw-text serving render) and
+    ``q_doc_snippets`` (the SQL-verified render); the third copy is the
+    arithmetic inlined in the ``doc_snippets`` DuckDB oracle."""
+    pad = max(0, window - (hi - lo + 1))
+    start = max(0, lo - pad // 2)
+    end = min(n_kept - 1, start + window - 1)
+    start = max(0, end - window + 1)
+    return start, end
+
+
 def make_snippet(text: str, qterms, *, window: int = 30,
                  mark: tuple[str, str] = ("**", "**"),
                  stem: bool = False, ellipsis: str = "…") -> str | None:
@@ -105,12 +119,7 @@ def make_snippet(text: str, qterms, *, window: int = 30,
     if span is None:
         return None
     lo_k, hi_k = span
-    # center: pad the match span out to `window` KEPT tokens, clamped
-    pad = max(0, window - (hi_k - lo_k + 1))
-    lead = pad // 2
-    start_k = max(0, lo_k - lead)
-    end_k = min(len(kept_idx) - 1, start_k + window - 1)
-    start_k = max(0, end_k - window + 1)
+    start_k, end_k = center_window(lo_k, hi_k, len(kept_idx), window)
     start, end = kept_idx[start_k], kept_idx[end_k]
     pieces = []
     if start > 0:

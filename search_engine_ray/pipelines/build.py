@@ -132,12 +132,15 @@ def _auto_num_blocks() -> int:
     # parallelism + straggler slack), cap 128 (sort-shuffle object count).
     # SERX_BLOCKS_PER_CPU overrides the multiplier (wave-quantization
     # experiments: more, smaller blocks shrink the last-wave straggler tail
-    # at full width but multiply exchange fragment counts).
+    # at full width but multiply exchange fragment counts) — only then does
+    # the cap stretch to 4 blocks/CPU; the default path keeps the hard 128.
     try:
         per_cpu = int(os.environ.get("SERX_BLOCKS_PER_CPU", "2"))
+        cap = max(128, 4 * cpus) if "SERX_BLOCKS_PER_CPU" in os.environ \
+            else 128
     except ValueError:
-        per_cpu = 2
-    return min(max(128, 4 * cpus), max(32, per_cpu * cpus))
+        per_cpu, cap = 2, 128
+    return min(cap, max(32, per_cpu * cpus))
 
 
 def _resolve(source: str | DatasetFactory, columns: list[str],
@@ -421,8 +424,13 @@ def _exchange_fs(ds, index_dir: str, cfg: IndexConfig, stage, batch_size,
             os.makedirs(frag_dir, exist_ok=True)
             # stages that support it emit dict-encoded terms: the spiller
             # then compacts per-slice dictionaries (int32 ops) instead of
-            # re-hashing term strings per partition slice
+            # re-hashing term strings per partition slice.  Flip the flag
+            # on a COPY — a caller-supplied stage object must keep its
+            # documented plain-string default for any later direct /
+            # groupby-exchange use.
             if getattr(stage, "dict_terms", None) is False:
+                import copy
+                stage = copy.copy(stage)
                 stage.dict_terms = True
             spiller = FragmentSpiller(frag_dir, doc_tmp, cfg.n_doc_shards)
             # batch = whole block: one fragment per (task, partition) keeps

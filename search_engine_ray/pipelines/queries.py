@@ -2503,7 +2503,7 @@ def q_doc_snippets(sf_dir: str):
     test_doc_snippets_matches_raw_render``; only the original-text
     reconstruction itself is outside SQL.  Texts for the k hits come from
     ONE filtered corpus read (row-group push-down, 2 columns)."""
-    from ..functions.snippet import best_window
+    from ..functions.snippet import best_window, center_window
     from .query import fetch_texts
     topk = q_bm25_topk(sf_dir)   # (rank, doc_id, score) — 10 rows
     ids = topk["doc_id"].to_pylist()
@@ -2517,11 +2517,9 @@ def q_doc_snippets(sf_dir: str):
         if span is None:
             continue                          # SQL join drops the row too
         lo, hi = span
-        # centering: identical arithmetic to make_snippet (kept-token width)
-        pad = max(0, w - (hi - lo + 1))
-        start = max(0, lo - pad // 2)
-        end = min(len(toks) - 1, start + w - 1)
-        start = max(0, end - w + 1)
+        # ONE centering definition (functions/snippet.center_window) for
+        # this SQL-verified render and the raw-text serving render
+        start, end = center_window(lo, hi, len(toks), w)
         keep_rows.append(i)
         snips.append(" ".join(f"**{t}**" if t in qset else t
                               for t in toks[start:end + 1]))
@@ -4809,11 +4807,12 @@ FROM lineitem GROUP BY l_returnflag
 """
 
 
-# Hard bound ENFORCED on a SemDeDup cell: 128M float32 elements = 512 MB
-# of vectors materialized in one map_groups worker (the same 512 MB
-# budget as QUANTILE_MAX_GROUP_ROWS).  Violations raise with the
-# n_cells remedy instead of silently OOMing.
-SEMDEDUP_MAX_CELL_FLOATS = 128_000_000
+# Hard bound ENFORCED on a SemDeDup cell.  ``_vectors_from_batch``
+# materializes float64, so 64M elements = 512 MB resident in one
+# map_groups worker (the same 512 MB budget as QUANTILE_MAX_GROUP_ROWS);
+# the normalization copy transiently doubles that — budget ~1 GB peak.
+# Violations raise with the n_cells remedy instead of silently OOMing.
+SEMDEDUP_MAX_CELL_FLOATS = 64_000_000
 
 
 def q_semantic_dedup(sf_dir: str, *, n_cells: int = 8,
@@ -4846,7 +4845,9 @@ def q_semantic_dedup(sf_dir: str, *, n_cells: int = 8,
             raise ValueError(
                 f"SemDeDup cell {g['cell'][0].as_py()} holds {g.num_rows} "
                 f"vectors × {v.shape[1]} dims = {v.size} floats > "
-                f"max_cell_floats={max_cell_floats} (~512 MB): "
+                f"max_cell_floats={max_cell_floats} "
+                f"(~{max_cell_floats * 8 / 2**20:.0f} MB resident "
+                f"float64, ~2x peak during normalization): "
                 f"the greedy dedup materializes one cell per worker — "
                 f"raise n_cells so cells shrink (corpus/n_cells per cell), "
                 f"or pre-partition skewed cells with a coarser first-level "

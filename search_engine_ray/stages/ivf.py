@@ -28,12 +28,17 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
-# Hard bound ENFORCED on one CellSearcher actor's resident vectors:
-# 256M float32 elements = 1 GB.  Each actor owns corpus/n_searchers
-# vectors; violations raise in __init__ with the n_searchers/n_cells
-# remedy instead of OOMing mid-load (same pattern as the quantile and
-# SemDeDup group caps).
-MAX_ACTOR_FLOATS = 256_000_000
+# Hard bound ENFORCED on one CellSearcher actor's resident vectors.
+# ``_vectors_from_batch`` materializes float64, so 128M elements = 1 GB
+# resident (plus a transient same-size copy during normalization — budget
+# ~2 GB peak per actor).  Each actor owns corpus/n_searchers vectors;
+# violations raise in __init__ with the n_searchers/n_cells remedy instead
+# of OOMing mid-load (same pattern as the quantile and SemDeDup group
+# caps).  ``SERX_IVF_MAX_FLOATS`` overrides for deployments with more
+# per-actor headroom — IVFIndex.search constructs the actors internally,
+# so the env var (read in the actor at load time; set it before
+# ``ray.init`` so workers inherit it) is the operator's opt-out knob.
+MAX_ACTOR_FLOATS = 128_000_000
 
 
 def sample_vectors(source_path: str, vec_col: str, sample_rows: int,
@@ -115,8 +120,11 @@ class CellSearcher:
     in ``ray.remote`` by :meth:`IVFIndex.search`."""
 
     def __init__(self, index_dir: str, shard: int, n_searchers: int,
-                 max_actor_floats: int = MAX_ACTOR_FLOATS):
+                 max_actor_floats: int | None = None):
         from .similarity import _vectors_from_batch
+        if max_actor_floats is None:
+            max_actor_floats = int(os.environ.get("SERX_IVF_MAX_FLOATS",
+                                                  MAX_ACTOR_FLOATS))
         cells_dir = os.path.join(index_dir, "cells")
         self.cells: dict[int, tuple[np.ndarray, np.ndarray]] = {}
         loaded = 0
@@ -135,11 +143,14 @@ class CellSearcher:
                 # fail with the sizing remedy instead of OOMing the actor
                 raise ValueError(
                     f"CellSearcher shard {shard}/{n_searchers} exceeds "
-                    f"max_actor_floats={max_actor_floats} (~1 GB of "
-                    f"resident vectors) while loading cell {c}: each "
-                    f"actor holds corpus/n_searchers vectors — raise "
-                    f"n_searchers (more actors, fewer cells each) and/or "
-                    f"n_cells at build time so cells spread thinner")
+                    f"max_actor_floats={max_actor_floats} "
+                    f"(~{max_actor_floats * 8 / 2**30:.1f} GB resident "
+                    f"float64, ~2x that peak during normalization) while "
+                    f"loading cell {c}: each actor holds "
+                    f"corpus/n_searchers vectors — raise n_searchers "
+                    f"(more actors, fewer cells each) and/or n_cells at "
+                    f"build time so cells spread thinner, or set "
+                    f"SERX_IVF_MAX_FLOATS if the node has the headroom")
             vn = v / np.maximum(np.linalg.norm(v, axis=1, keepdims=True),
                                 1e-30)
             self.cells[c] = (t["vec_id"].to_numpy(zero_copy_only=False), vn)

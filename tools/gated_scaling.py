@@ -66,18 +66,31 @@ def main() -> int:
                    SCALING_HEALTH_GATE=str(args.gate),
                    SCALING_HEALTH_WAIT="900",
                    SCALING_TRIALS="2")
-        proc = subprocess.run(
-            [sys.executable, os.path.join(REPO, "bench.py"), "--scaling"],
-            capture_output=True, text=True, timeout=5400, env=env, cwd=REPO)
-        os.unlink(flag)
-        lines = [l for l in proc.stdout.strip().splitlines()
-                 if l.startswith("{")]
-        rec = {"attempt": attempt, "pre": pre,
-               "post_first_touch_gbps": round(first_touch_gbps(16, 1.5), 1)}
-        if lines:
-            rec["result"] = json.loads(lines[-1])
-        else:
-            rec["error"] = proc.stderr.strip().splitlines()[-8:]
+        rec = {"attempt": attempt, "pre": pre}
+        try:
+            proc = subprocess.run(
+                [sys.executable, os.path.join(REPO, "bench.py"),
+                 "--scaling"],
+                capture_output=True, text=True, timeout=5400, env=env,
+                cwd=REPO)
+        except subprocess.TimeoutExpired as e:
+            # a hung leg (the degraded phase this tool rides out) must not
+            # kill the attempt loop or leak the RUNNING flag
+            rec["error"] = [f"timeout after {e.timeout}s"]
+            proc = None
+        finally:
+            try:
+                os.unlink(flag)
+            except OSError:
+                pass
+        rec["post_first_touch_gbps"] = round(first_touch_gbps(16, 1.5), 1)
+        if proc is not None:
+            lines = [l for l in proc.stdout.strip().splitlines()
+                     if l.startswith("{")]
+            if lines:
+                rec["result"] = json.loads(lines[-1])
+            else:
+                rec["error"] = proc.stderr.strip().splitlines()[-8:]
         path = os.path.join(args.out, f"attempt_{attempt}.json")
         with open(path, "w") as f:
             json.dump(rec, f, indent=1)
