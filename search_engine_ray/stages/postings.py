@@ -448,9 +448,68 @@ class FragmentSpiller:
         postings = postings.select(
             [c for c in ("field", "term", "doc_id", "tf", "part", "pos")
              if c in postings.column_names])
-        # one stable sort + run slicing instead of a filter scan per part
+        import pyarrow.feather as feather
+        # BLOCK-LOCAL docID indices (default on; SERX_SPILL_DOCIDX=0 for the
+        # legacy raw-docID fragments): docIDs are 64-bit content hashes —
+        # incompressible random bytes that were ~85% of fragment volume.
+        # Replace the per-row doc_id with a uint16/uint32 index into the
+        # block's SORTED unique docID array, written ONCE per block (shared
+        # by all its partition slices) as docdict/dict-<tag>.feather.  The
+        # encode stage reconstructs global ids with one np.take per
+        # fragment.  Cuts exchange tmpfs WRITES ~3× — the shmem page path
+        # is the measured 32-way scaling drag (BASELINE.md round-4 ledger);
+        # on a real cluster it equally cuts exchange network bytes.  The
+        # dict is written BEFORE any fragment that references it, tagged by
+        # the same content hash, so task retries stay idempotent.
+        use_idx = (os.environ.get("SERX_SPILL_DOCIDX", "1") != "0"
+                   and postings.num_rows > 0)
+        if use_idx:
+            block_dict = np.unique(ids_np)
+            ddir = os.path.join(self.tmp_dir, "docdict")
+            os.makedirs(ddir, exist_ok=True)
+            tmpd = os.path.join(ddir, f".tmp-{tag}.feather")
+            feather.write_feather(
+                pa.table({"doc_id": pa.array(block_dict.astype(np.int64),
+                                             type=pa.int64())}),
+                tmpd, compression="lz4")
+            os.replace(tmpd, os.path.join(ddir, f"dict-{tag}.feather"))
+            idx_dtype = (np.uint16 if block_dict.size <= (1 << 16)
+                         else np.uint32)
+            pdoc = postings["doc_id"].to_numpy(zero_copy_only=False)
+            idx = np.searchsorted(block_dict, pdoc).astype(idx_dtype)
+            di = postings.column_names.index("doc_id")
+            postings = postings.set_column(di, "doc_idx", pa.array(idx))
+            # tf rides as uint16 when every value fits (exact check, never
+            # clipped — a >65535 tf keeps int32); the encoder casts back.
+            tfs = postings["tf"].to_numpy(zero_copy_only=False)
+            if tfs.size and int(tfs.max()) < (1 << 16):
+                ti = postings.column_names.index("tf")
+                postings = postings.set_column(
+                    ti, "tf", pa.array(tfs.astype(np.uint16)))
+        # one stable sort + run slicing instead of a filter scan per part.
+        # PRESORT (default on): secondary keys (term code, doc_id) inside
+        # each part run cost ~nothing over the plain part argsort (one
+        # integer lexsort either way) but give lz4 long runs of identical
+        # term codes and ascending docIDs — measurably smaller fragments,
+        # i.e. fewer tmpfs pages written through the host's contended
+        # shmem path (the round-4 32-way scaling drag).  Encode order is
+        # canonicalized downstream (encode_postings_table lexsorts), so
+        # fragment row order is free.  SERX_SPILL_PRESORT=0 restores the
+        # part-only sort for A/B.
         pvals = postings["part"].to_numpy(zero_copy_only=False)
-        order = np.argsort(pvals, kind="stable")
+        tcol = postings["term"]
+        tcol = (tcol.combine_chunks()
+                if isinstance(tcol, pa.ChunkedArray) else tcol)
+        if (os.environ.get("SERX_SPILL_PRESORT", "1") != "0"
+                and pa.types.is_dictionary(tcol.type)):
+            dkey = ("doc_idx" if "doc_idx" in postings.column_names
+                    else "doc_id")
+            order = np.lexsort((
+                postings[dkey].to_numpy(zero_copy_only=False),
+                tcol.indices.to_numpy(zero_copy_only=False),
+                pvals))
+        else:
+            order = np.argsort(pvals, kind="stable")
         postings = postings.take(pa.array(order))
         pvals = pvals[order]
         starts = np.flatnonzero(np.r_[True, np.diff(pvals) != 0])
@@ -462,7 +521,6 @@ class FragmentSpiller:
         # stage1 49.4 s with parquet fragments vs 16.9 s with IPC at 32
         # CPUs on 1.6M pages).  The durable artifacts (docstore above,
         # segments in FragmentEncoder) stay parquet.
-        import pyarrow.feather as feather
         str_cols = [i for i, c in enumerate(postings.column_names)
                     if c in ("term", "field")]
         for s, e in zip(starts, ends):
@@ -537,6 +595,50 @@ def load_shard_dict(docstore_dir: str, shard: int) -> np.ndarray | None:
     return out
 
 
+# worker-local block-dict cache: every encode task reads the same ~n_blocks
+# docdict files (one per spilled block); a worker runs several partition
+# tasks, so cache the decoded int64 arrays across tasks.  Bounded: ≤256
+# entries × O(block docs) ≈ ≤50 MB per worker at default block sizes.
+_BLOCK_DICT_CACHE: dict[tuple[str, str], np.ndarray] = {}
+_BLOCK_DICT_CACHE_MAX = 256
+
+
+def _load_block_dict(tmp_dir: str, tag: str) -> np.ndarray:
+    """Sorted unique global docIDs of the spilled block ``tag`` (written by
+    :class:`FragmentSpiller` under ``tmp_dir/docdict/``)."""
+    key = (tmp_dir, tag)
+    hit = _BLOCK_DICT_CACHE.get(key)
+    if hit is not None:
+        return hit
+    import pyarrow.feather as feather
+    p = os.path.join(tmp_dir, "docdict", f"dict-{tag}.feather")
+    arr = feather.read_table(p)["doc_id"].to_numpy(
+        zero_copy_only=False).astype(np.int64)
+    if len(_BLOCK_DICT_CACHE) >= _BLOCK_DICT_CACHE_MAX:
+        _BLOCK_DICT_CACHE.pop(next(iter(_BLOCK_DICT_CACHE)))
+    _BLOCK_DICT_CACHE[key] = arr
+    return arr
+
+
+def resolve_fragment_docids(t: pa.Table, tmp_dir: str,
+                            frag_name: str) -> pa.Table:
+    """Reconstruct global ``doc_id`` for a fragment spilled with block-local
+    ``doc_idx`` indices (no-op for legacy raw-docID fragments)."""
+    if "doc_idx" not in t.column_names:
+        return t
+    tag = frag_name[len("frag-"):].rsplit(".", 1)[0]
+    dic = _load_block_dict(tmp_dir, tag)
+    idx = t["doc_idx"].to_numpy(zero_copy_only=False)
+    di = t.column_names.index("doc_idx")
+    t = t.set_column(di, "doc_id", pa.array(dic[idx], type=pa.int64()))
+    if not pa.types.is_int32(t["tf"].type):
+        # tf may have shrunk to uint16 in the fragment; normalize so
+        # cross-block concat always sees one schema
+        ti = t.column_names.index("tf")
+        t = t.set_column(ti, "tf", t["tf"].cast(pa.int32()))
+    return t
+
+
 class FragmentEncoder:
     """Reduce side of the filesystem exchange: one task per pending
     partition reads its fragments, encodes (in LOCAL docID space when the
@@ -564,9 +666,11 @@ class FragmentEncoder:
             # feather is the current fragment format; parquet fragments can
             # coexist when resuming a stage1 spilled by an older build
             parts_tables = [
-                feather.read_table(os.path.join(part_dir, f))
-                if f.endswith(".feather")
-                else pq.read_table(os.path.join(part_dir, f))
+                resolve_fragment_docids(
+                    feather.read_table(os.path.join(part_dir, f))
+                    if f.endswith(".feather")
+                    else pq.read_table(os.path.join(part_dir, f)),
+                    self.tmp_dir, f)
                 for f in frags]
             rows = (pa.concat_tables(parts_tables, promote_options="default")
                     if parts_tables else None)

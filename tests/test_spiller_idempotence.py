@@ -72,10 +72,16 @@ def test_double_spill_reads_back_single_copy(tmp_path):
     sp(b)                            # retry
 
     # postings: every (term, doc) appears exactly once across fragments
+    # (fragments carry block-local doc_idx + a shared per-block docdict;
+    # resolve_fragment_docids is the encoder's read path)
+    from search_engine_ray.stages.postings import resolve_fragment_docids
     rows = []
     for dirpath, _, files in os.walk(frag):
+        if os.path.basename(dirpath) == "docdict":
+            continue
         for f in files:
-            t = feather.read_table(os.path.join(dirpath, f))
+            t = resolve_fragment_docids(
+                feather.read_table(os.path.join(dirpath, f)), frag, f)
             rows.extend((r["term"], r["doc_id"]) for r in t.to_pylist())
     assert sorted(rows) == sorted(
         [("scan", 11), ("merge", 11), ("scan", 24), ("scan", 24)])
