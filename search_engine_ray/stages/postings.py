@@ -504,10 +504,24 @@ class FragmentSpiller:
                 and pa.types.is_dictionary(tcol.type)):
             dkey = ("doc_idx" if "doc_idx" in postings.column_names
                     else "doc_id")
-            order = np.lexsort((
-                postings[dkey].to_numpy(zero_copy_only=False),
-                tcol.indices.to_numpy(zero_copy_only=False),
-                pvals))
+            dvals = postings[dkey].to_numpy(zero_copy_only=False)
+            tvals = tcol.indices.to_numpy(zero_copy_only=False)
+            # pack (part, term code, doc) into ONE uint64 sort key when the
+            # bit widths fit — a single argsort costs the same as the
+            # part-only sort, vs 3 stable passes for np.lexsort (+37% spill
+            # CPU measured).  Ties (same term+doc across fields) need no
+            # stable order: encode lexsorts canonically by (field, term,
+            # doc) downstream.
+            pb = max(int(pvals.max()), 0).bit_length()
+            tb = max(int(tvals.max()) if tvals.size else 0, 0).bit_length()
+            db = max(int(dvals.max()) if dvals.size else 0, 0).bit_length()
+            if pb + tb + db <= 63 and (dvals >= 0).all():
+                key = ((pvals.astype(np.uint64) << np.uint64(tb + db))
+                       | (tvals.astype(np.uint64) << np.uint64(db))
+                       | dvals.astype(np.uint64))
+                order = np.argsort(key)
+            else:
+                order = np.lexsort((dvals, tvals, pvals))
         else:
             order = np.argsort(pvals, kind="stable")
         postings = postings.take(pa.array(order))
