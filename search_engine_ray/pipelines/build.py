@@ -321,7 +321,13 @@ def cleanup_orphan_scratch(base: str | None = None, *,
     now = _time.time()
     for name in os.listdir(base):
         d = os.path.join(base, name)
-        if not os.path.isdir(d):
+        # Only this project's exchange dirs are eligible: a 16-hex fnv tag
+        # (_scratch_dir's naming).  Without the filter, SERX_SCRATCH_DIR
+        # pointed at a shared directory (/tmp, a team scratch mount) would
+        # let the markerless age rule rmtree sibling data this project
+        # never wrote.
+        if not (os.path.isdir(d) and len(name) == 16
+                and all(c in "0123456789abcdef" for c in name)):
             continue
         try:
             newest = max((os.path.getmtime(os.path.join(dp, f))
