@@ -34,7 +34,9 @@ def tokenize_with_offsets(text: str, *, stem: bool = False
                           ) -> list[tuple[int, int, str | None]]:
     """``[(char_start, char_end, normalized_term_or_None), ...]`` in document
     order.  ``None`` marks a token the analyzer rejects (non-ASCII etc.) —
-    it still occupies a window slot, exactly as it occupies no posting."""
+    callers drop it before window selection (window width is measured in
+    KEPT tokens, the stream the positional index stores); the char span is
+    kept so the raw-text render can still print the rejected token."""
     out = []
     for m in _TOKEN_RE.finditer(text):
         term = normalize_token(m.group())

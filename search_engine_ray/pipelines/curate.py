@@ -35,7 +35,7 @@ import ray.data
 
 from ..stages.contamination import (ContaminationScore,
                                     collect_benchmark_grams)
-from ..stages.join import hash_join
+from ..stages.join import hash_join, per_key_head_k
 from ..stages.textstats import QualityStats
 
 
@@ -105,27 +105,8 @@ def curate_corpus(sf_dir: str, out_dir: str | None = None, *,
         # pin it once instead of re-executing the whole upstream twice.
         curated = curated.materialize()
         pairs = curated.select_columns(["doc_id", "source"])
-
-        def local_head_k(t: pa.Table) -> pa.Table:
-            # map-side combine: a mega-source can't blow up a rank group —
-            # each group sees <= cap x n_upstream_blocks skinny rows
-            order = pc.sort_indices(t, sort_keys=[
-                ("source", "ascending"), ("doc_id", "ascending")])
-            t = t.take(order)
-            src = t["source"].to_numpy(zero_copy_only=False)
-            starts = np.flatnonzero(np.r_[True, src[1:] != src[:-1]])
-            ends = np.append(starts[1:], len(src))
-            rank = np.arange(len(src)) - np.repeat(starts, ends - starts)
-            return t.filter(pa.array(rank < source_cap))
-
-        def head_k(g: pa.Table) -> pa.Table:
-            order = pc.sort_indices(g["doc_id"])
-            return g.take(order[:source_cap]).select(["doc_id"])
-
-        cap_keepers = (pairs
-                       .map_batches(local_head_k, batch_format="pyarrow")
-                       .groupby("source")
-                       .map_groups(head_k, batch_format="pyarrow"))
+        cap_keepers = per_key_head_k(pairs, key="source",
+                                     order_col="doc_id", k=source_cap)
         curated = hash_join(curated, cap_keepers, left_key="doc_id",
                             right_key="doc_id", n_buckets=n_buckets,
                             join_type="left semi")

@@ -2445,33 +2445,15 @@ def q_source_capped_sample(sf_dir: str):
     group at the rank stage holds ≤ K × n_upstream_blocks skinny rows no
     matter how hot the source; the hot-key salting story of
     ``stages/join.py`` applies to the semi-join."""
-    from ..stages.join import hash_join
+    from ..stages.join import hash_join, per_key_head_k
     docs = ray.data.read_parquet(
         os.path.join(sf_dir, "documents.parquet"),
         columns=["doc_id", "source", "n_chars"])
     pairs = ray.data.read_parquet(
         os.path.join(sf_dir, "documents.parquet"),
         columns=["doc_id", "source"])
-
-    def local_head_k(t: pa.Table) -> pa.Table:
-        # per-batch combiner: lowest K doc_ids per source in this batch
-        order = pc.sort_indices(
-            t, sort_keys=[("source", "ascending"), ("doc_id", "ascending")])
-        t = t.take(order)
-        src = t["source"].to_numpy(zero_copy_only=False)
-        starts = np.flatnonzero(np.r_[True, src[1:] != src[:-1]])
-        ends = np.append(starts[1:], len(src))
-        rank = np.arange(len(src)) - np.repeat(starts, ends - starts)
-        return t.filter(pa.array(rank < SOURCE_CAP))
-
-    def head_k(g: pa.Table) -> pa.Table:
-        order = pc.sort_indices(g["doc_id"])
-        return g.take(order[:SOURCE_CAP]).select(["doc_id"])
-
-    keepers = (pairs
-               .map_batches(local_head_k, batch_format="pyarrow")
-               .groupby("source")
-               .map_groups(head_k, batch_format="pyarrow"))
+    keepers = per_key_head_k(pairs, key="source", order_col="doc_id",
+                             k=SOURCE_CAP)
     kept = hash_join(docs, keepers, left_key="doc_id",
                      right_key="doc_id", n_buckets=16,
                      join_type="left semi")

@@ -366,3 +366,39 @@ def broadcast_lookup(ds: "ray.data.Dataset", dim: pa.Table, *, key: str,
             out = out.append_column(c, vals)
         return out
     return ds.map_batches(attach, batch_format="pyarrow")
+
+
+def per_key_head_k(pairs: "ray.data.Dataset", key: str, order_col: str,
+                   k: int) -> "ray.data.Dataset":
+    """Keeper set for the per-key-cap curation step (C4/Dolma "at most K
+    pages per domain"): the ``k`` lowest-``order_col`` rows of every
+    ``key`` group, returned as a keys-only dataset of ``[order_col]`` to
+    semi-join back against the corpus (``hash_join(join_type='left
+    semi')`` — never broadcast or collected; at web scale the keeper set
+    is a corpus-scale fraction).
+
+    Skew-immune by construction: a MAP-SIDE COMBINE keeps each batch's
+    local lowest-k per key before the shuffle (global lowest-k ⊆ union of
+    per-batch lowest-k), so the rank group of even a mega-key holds
+    ≤ k × n_upstream_blocks skinny rows.  Shared by
+    ``pipelines.queries.q_source_capped_sample`` and the curation
+    pipeline's domain cap (``pipelines.curate``)."""
+
+    def local_head_k(t: pa.Table) -> pa.Table:
+        order = pc.sort_indices(t, sort_keys=[
+            (key, "ascending"), (order_col, "ascending")])
+        t = t.take(order)
+        vals = t[key].to_numpy(zero_copy_only=False)
+        starts = np.flatnonzero(np.r_[True, vals[1:] != vals[:-1]])
+        ends = np.append(starts[1:], len(vals))
+        rank = np.arange(len(vals)) - np.repeat(starts, ends - starts)
+        return t.filter(pa.array(rank < k))
+
+    def head_k(g: pa.Table) -> pa.Table:
+        order = pc.sort_indices(g[order_col])
+        return g.take(order[:k]).select([order_col])
+
+    return (pairs
+            .map_batches(local_head_k, batch_format="pyarrow")
+            .groupby(key)
+            .map_groups(head_k, batch_format="pyarrow"))

@@ -448,6 +448,13 @@ class FragmentSpiller:
         postings = postings.select(
             [c for c in ("field", "term", "doc_id", "tf", "part", "pos")
              if c in postings.column_names])
+        if postings.num_rows == 0:
+            # a block whose every doc tokenizes to nothing (empty/binary
+            # text, all-stopword) yields zero posting rows; the sort/run
+            # machinery below indexes pvals[0] — guard, doc rows already
+            # spilled above
+            return self._metrics(batch.num_rows, doc_rows.num_rows,
+                                 total_tokens)
         import pyarrow.feather as feather
         # BLOCK-LOCAL docID indices (default on; SERX_SPILL_DOCIDX=0 for the
         # legacy raw-docID fragments): docIDs are 64-bit content hashes —

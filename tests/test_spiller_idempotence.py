@@ -105,3 +105,29 @@ def test_distinct_blocks_never_collide(tmp_path):
     # part=0 receives one fragment from EACH block
     p0_dir = os.path.join(frag, "part=00000")
     assert len(os.listdir(p0_dir)) == 2
+
+
+def test_zero_posting_block(tmp_path):
+    # every doc in the block tokenized to nothing (empty/binary text,
+    # all-stopword): only doc rows (part == -1), zero posting rows.  The
+    # spiller must still spill the doc rows and return a metrics row —
+    # regression: pvals.max() on the empty part array raised ValueError.
+    frag = str(tmp_path / "frags")
+    docs = str(tmp_path / "docstore")
+    sp = FragmentSpiller(frag, docs, n_doc_shards=2)
+    b = pa.table({
+        "field": pa.array([0, 0], type=pa.int8()),
+        "term": pa.array(["", ""]),
+        "doc_id": pa.array([11, 24], type=pa.int64()),
+        "tf": pa.array([0, 0], type=pa.int32()),
+        "part": pa.array([-1, -1], type=pa.int32()),
+        "doc_len": pa.array([0, 0], type=pa.int32()),
+    })
+    m = sp(b)
+    assert m["n_docs"][0].as_py() == 2
+    assert m["total_tokens"][0].as_py() == 0
+    # doc rows landed in the docstore spill; no posting fragments exist
+    assert any(f.startswith("frag-") for _, _, fs in os.walk(docs)
+               for f in fs)
+    assert not any(f.startswith("frag-") for _, _, fs in os.walk(frag)
+                   for f in fs)

@@ -88,7 +88,15 @@ def main() -> int:
             lines = [l for l in proc.stdout.strip().splitlines()
                      if l.startswith("{")]
             if lines:
-                rec["result"] = json.loads(lines[-1])
+                try:
+                    rec["result"] = json.loads(lines[-1])
+                except ValueError:
+                    # a '{'-prefixed log line (Ray warning, traceback) is
+                    # not the bench JSON — record the attempt as errored
+                    # instead of aborting the whole gated loop
+                    rec["error"] = (["unparseable bench stdout:",
+                                     lines[-1][:500]]
+                                    + proc.stderr.strip().splitlines()[-4:])
             else:
                 rec["error"] = proc.stderr.strip().splitlines()[-8:]
         path = os.path.join(args.out, f"attempt_{attempt}.json")
