@@ -187,3 +187,30 @@ def test_hot_key_salting_string_keys(ray_session):
     key = lambda d: d.sort_values(list(d.columns)).reset_index(drop=True)
     assert key(plain).equals(key(salted))
     assert len(salted) == 51
+
+
+def test_per_key_head_k_matches_bruteforce(ray_session):
+    # the shared keeper-set combiner (q_source_capped_sample + curate's
+    # domain cap): global lowest-k per key must survive the map-side
+    # combine regardless of how rows split across blocks
+    import pandas as pd
+    from search_engine_ray.stages.join import per_key_head_k
+    rng = np.random.default_rng(11)
+    keys = rng.choice(["a", "b", "mega", "d"], size=300,
+                      p=[0.1, 0.1, 0.7, 0.1])
+    ids = rng.permutation(300).astype(np.int64)
+    t = pa.table({"source": keys, "doc_id": ids})
+    got = per_key_head_k(_ds(t, 7), key="source", order_col="doc_id",
+                         k=5).to_pandas()
+    want = (t.to_pandas().sort_values("doc_id").groupby("source")
+            .head(5)[["doc_id"]])
+    assert sorted(got["doc_id"]) == sorted(want["doc_id"])
+
+
+def test_per_key_head_k_fewer_rows_than_k(ray_session):
+    from search_engine_ray.stages.join import per_key_head_k
+    t = pa.table({"source": pa.array(["x", "y"]),
+                  "doc_id": pa.array([2, 1], type=pa.int64())})
+    got = per_key_head_k(_ds(t, 2), key="source", order_col="doc_id",
+                         k=10).to_pandas()
+    assert sorted(got["doc_id"]) == [1, 2]
