@@ -403,10 +403,12 @@ def make_parser() -> argparse.ArgumentParser:
     b.add_argument("--stem", action="store_true")
     b.add_argument("--fielded", action="store_true",
                    help="multi-field reference index (title+metadata)")
-    b.add_argument("--exchange", choices=["fs", "groupby"], default="fs",
-                   help="shuffle strategy: fs = filesystem external shuffle "
-                        "(single node / shared fs), groupby = Ray object-"
-                        "store sort shuffle (multi-node clusters)")
+    b.add_argument("--exchange", choices=["auto", "fs", "groupby"],
+                   default="auto",
+                   help="shuffle strategy: auto = fs on a single node, "
+                        "groupby on a multi-node cluster; fs = filesystem "
+                        "external shuffle (single node / shared fs), "
+                        "groupby = Ray object-store sort shuffle")
     b.set_defaults(fn=cmd_build)
 
     q = sub.add_parser("query", help="one-shot query (reference --search)")

@@ -614,7 +614,7 @@ def build_index(source: str | DatasetFactory, index_dir: str,
                 tokenize_concurrency: int | None = None,
                 postings_stage=None,
                 postings_columns: list[str] | None = None,
-                exchange: str = "fs") -> dict:
+                exchange: str = "auto") -> dict:
     """Build (or resume) the index at ``index_dir``. Returns the manifest.
 
     ``source`` is a parquet path/dir or a zero-arg Dataset factory (the
@@ -626,17 +626,24 @@ def build_index(source: str | DatasetFactory, index_dir: str,
 
     ``exchange`` selects the partition exchange:
 
-    - ``"fs"`` (default): external shuffle through the filesystem —
+    - ``"auto"`` (default): ``"fs"`` on a single node, ``"groupby"`` when
+      the cluster has >1 alive node (``stages.join.resolve_exchange``) —
+      correct-by-default on both topologies.
+    - ``"fs"``: external shuffle through the filesystem —
       tokenize tasks spill per-partition fragments (parallel, page-cache
       backed), one encode task per partition reads+commits them.  On a
       single node this bypasses the plasma store, the serializing resource
       of the sort shuffle (measured: raw tokenize scales 14k→419k docs/s
-      from 1→32 procs while the plasma-routed build plateaus at 8).
+      from 1→32 procs while the plasma-routed build plateaus at 8).  On a
+      cluster it requires node-shared scratch (`SERX_SCRATCH_DIR` on NFS
+      or fast shared NVMe).
     - ``"groupby"``: idiomatic ``groupby('part').map_groups`` sort shuffle —
       the right shape on a multi-node cluster where each node contributes
       its own object store.
     """
     cfg = config or IndexConfig()
+    from ..stages.join import resolve_exchange
+    exchange = resolve_exchange(exchange)
     mark = _phase_timer()
     os.makedirs(index_dir, exist_ok=True)
     stopwords = ENGLISH_STOPWORDS if cfg.stopwords else None

@@ -189,7 +189,7 @@ def compact_index(index_dir: str, out_dir: str) -> dict:
 
 def ingest_documents(index_dir: str, source, *, keep_cols=None,
                      workdir: str | None = None,
-                     exchange: str = "fs") -> dict:
+                     exchange: str = "auto") -> dict:
     """Incremental ingestion: build a DELTA index over ``source`` with the
     live index's own config/partition grid, k-way merge with the delta
     LAST (so a re-crawled doc_id takes the new content — the merge's

@@ -10,7 +10,9 @@ provides the two scale shapes:
   with Arrow's Acero hash join.  The exchange itself has two modes, the
   same split (and the same rationale) as ``build_index``:
 
-  * ``exchange="fs"`` (default): a filesystem external shuffle — map tasks
+  * ``exchange="auto"`` (default): picks ``fs`` on a single node and
+    ``groupby`` when >1 node is alive (:func:`resolve_exchange`).
+  * ``exchange="fs"``: a filesystem external shuffle — map tasks
     spill per-bucket Arrow IPC fragments to node-local scratch in
     parallel, one join task per bucket reads them back.  On a single node
     Ray's sort-based ``groupby`` funnels every row through one plasma
@@ -129,6 +131,24 @@ def _with_bucket(ds: "ray.data.Dataset", key: str, n_buckets: int,
     return ds.map_batches(add, batch_format="pyarrow")
 
 
+def resolve_exchange(requested: str) -> str:
+    """Resolve ``"auto"`` to the exchange that is CORRECT for the cluster
+    the caller is actually on: ``"fs"`` on a single node (bypasses the one
+    plasma store that serializes the sort shuffle there), ``"groupby"``
+    when >1 node is alive (each node contributes an object store, and the
+    fs exchange's node-shared-scratch assumption no longer holds by
+    default).  Explicit values pass through, so an operator with shared
+    NVMe/NFS scratch can still force ``"fs"`` on a cluster."""
+    if requested != "auto":
+        return requested
+    try:
+        import ray
+        alive = sum(1 for n in ray.nodes() if n.get("Alive"))
+    except Exception:
+        alive = 1
+    return "groupby" if alive > 1 else "fs"
+
+
 def join_scratch_base() -> str:
     """Base directory holding per-join scratch dirs.  Shared with the
     orphan janitor (``pipelines.build.cleanup_orphan_scratch``) so the
@@ -231,7 +251,8 @@ def hash_join(left: "ray.data.Dataset", right: "ray.data.Dataset", *,
     side fits a worker heap (~rows/n_buckets per group).  Column names must
     be disjoint apart from the keys (rename upstream).  ``exchange`` picks
     the shuffle implementation (module docstring); default is
-    ``SERX_JOIN_EXCHANGE`` or ``"fs"``.
+    ``SERX_JOIN_EXCHANGE`` or ``"auto"`` (fs on a single node, groupby on
+    a multi-node cluster — ``resolve_exchange``).
 
     ``hot_keys``: known skewed key values (from a sample or a prior
     heavy-hitter sketch — see ``stages.sketch.MisraGries``).  Each hot
@@ -240,7 +261,8 @@ def hash_join(left: "ray.data.Dataset", right: "ray.data.Dataset", *,
     task at ~1/salt of the hot key's rows; results are identical."""
     assert n_buckets & (n_buckets - 1) == 0, "n_buckets must be a power of 2"
     if exchange is None:
-        exchange = os.environ.get("SERX_JOIN_EXCHANGE", "fs")
+        exchange = os.environ.get("SERX_JOIN_EXCHANGE", "auto")
+    exchange = resolve_exchange(exchange)
     salter = _Salter(hot_keys, salt) if hot_keys is not None else None
     ls = left.schema(fetch_if_missing=True)
     rs = right.schema(fetch_if_missing=True)

@@ -214,3 +214,19 @@ def test_per_key_head_k_fewer_rows_than_k(ray_session):
     got = per_key_head_k(_ds(t, 2), key="source", order_col="doc_id",
                          k=10).to_pandas()
     assert sorted(got["doc_id"]) == [1, 2]
+
+
+def test_resolve_exchange(ray_session, monkeypatch):
+    # auto = correct-by-default on both topologies; explicit passes through
+    import ray as _ray
+    from search_engine_ray.stages.join import resolve_exchange
+    assert resolve_exchange("fs") == "fs"
+    assert resolve_exchange("groupby") == "groupby"
+    # this test session is single-node local mode
+    assert resolve_exchange("auto") == "fs"
+    monkeypatch.setattr(_ray, "nodes", lambda: [
+        {"Alive": True}, {"Alive": True}, {"Alive": False}])
+    assert resolve_exchange("auto") == "groupby"
+    monkeypatch.setattr(_ray, "nodes",
+                        lambda: (_ for _ in ()).throw(RuntimeError()))
+    assert resolve_exchange("auto") == "fs"   # no cluster view -> safe local

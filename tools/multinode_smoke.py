@@ -8,10 +8,10 @@ which ``ray.init(address="local")`` never exercises.  This drives the
 engine's multi-node shuffle shape end-to-end:
 
 1. start a head + N-1 worker nodes (distinct object stores);
-2. ``build_index(..., exchange="groupby")`` — the idiomatic Dataset sort
-   shuffle that is the recommended exchange on a real cluster (the fs
-   exchange assumes node-shared scratch: NVMe-backed NFS or per-node
-   spill + network fetch; see README deployment notes);
+2. ``build_index(...)`` with the default ``exchange="auto"`` — asserts it
+   resolves to ``"groupby"`` on this >1-node topology (the idiomatic
+   Dataset sort shuffle; the fs exchange assumes node-shared scratch:
+   NVMe-backed NFS or per-node spill + network fetch — README notes);
 3. assert tokenize/shuffle tasks actually LANDED on >1 node (from the
    per-task node ids recorded by a probe stage);
 4. query through the actor pool and compare BM25 top-k against the
@@ -108,6 +108,12 @@ def main() -> int:
                 args.source, columns=[cfg.id_col, cfg.text_col],
                 override_num_blocks=args.nodes * args.cpus_per_node * 4)
 
+        # the default exchange="auto" must resolve to groupby here — this
+        # IS the >1-alive-node topology the resolver exists for
+        from search_engine_ray.stages.join import resolve_exchange
+        resolved = resolve_exchange("auto")
+        assert resolved == "groupby", resolved
+
         # small batch_size keeps the tokenize task count well above one
         # node's CPUs (the default 8192 coalesces a 50k-doc corpus into ~6
         # short tasks, which the head's local dispatch queue absorbs before
@@ -116,8 +122,7 @@ def main() -> int:
         build_index(factory, args.index, cfg,
                     postings_stage=stage,
                     postings_columns=[cfg.id_col, cfg.text_col],
-                    batch_size=1024,
-                    exchange="groupby")
+                    batch_size=1024)
         build_s = time.perf_counter() - t0
         nodes_used = len(os.listdir(probe_dir))
 
