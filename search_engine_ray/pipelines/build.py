@@ -307,6 +307,7 @@ def cleanup_orphan_scratch(base: str | None = None, *,
     removed paths; CLI: ``scratch-gc``."""
     import json as _json
     import time as _time
+    explicit_base = base is not None
     if base is None:
         env = os.environ.get("SERX_SCRATCH_DIR", "").strip()
         if env and env.lower() != "none":
@@ -356,10 +357,18 @@ def cleanup_orphan_scratch(base: str | None = None, *,
     # /dev/shm/serx_join; else $TMPDIR/serx_join) so the janitor never
     # rmtree's a sibling directory this project didn't write, and the
     # tempfile fallback is actually collected.  Only 32-hex uuid4 names
-    # (the _join_scratch nonce format) are eligible.
+    # (the _join_scratch nonce format) are eligible.  A caller that passed
+    # an EXPLICIT base scoped the sweep to that directory — reaching out to
+    # the machine-global join root from such a call could delete another
+    # process's live join scratch (the caller's min_age_s choice only
+    # reflects its own dir), so the join sweep runs only when the base is
+    # the default (global invocation) or the explicit base IS the join
+    # root itself.
     from ..stages.join import join_scratch_base
     join_base = join_scratch_base()
-    if os.path.isdir(join_base):
+    if explicit_base and os.path.realpath(base) != os.path.realpath(join_base):
+        join_base = None
+    if join_base and os.path.isdir(join_base):
         for name in os.listdir(join_base):
             d = os.path.join(join_base, name)
             if not (os.path.isdir(d) and len(name) == 32

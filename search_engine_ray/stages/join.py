@@ -143,8 +143,22 @@ def resolve_exchange(requested: str) -> str:
         return requested
     try:
         import ray
+        if not ray.is_initialized():
+            # Perform the same auto-init the first Dataset execution would
+            # trigger moments later (honors RAY_ADDRESS, so a multi-node
+            # caller that hasn't init'd yet still resolves to its real
+            # topology instead of silently getting the single-node 'fs'
+            # answer).  The driver contract initializes Ray before calling
+            # the library, so this fires only in standalone scripts.
+            ray.init(ignore_reinit_error=True, include_dashboard=False)
         alive = sum(1 for n in ray.nodes() if n.get("Alive"))
     except Exception:
+        import warnings
+        warnings.warn(
+            "resolve_exchange('auto'): cluster topology unavailable; "
+            "assuming a single node and using the 'fs' exchange — on a "
+            "multi-node cluster without node-shared scratch, pass "
+            "exchange='groupby' explicitly", RuntimeWarning)
         alive = 1
     return "groupby" if alive > 1 else "fs"
 

@@ -22,7 +22,7 @@ KEYS = ["term_df", "dedup_exact", "bm25_scores", "cosine_scores",
         "event_value_median", "source_lang_profile", "span_dedup_cut",
         "bm25_explain", "decontaminated_corpus", "event_type_transitions",
         "promo_revenue_share", "source_capped_sample", "snippet_windows",
-        "ngram_jaccard_pairs"]
+        "ngram_jaccard_pairs", "doc_snippets"]
 
 
 @pytest.fixture(scope="module")

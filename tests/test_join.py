@@ -230,3 +230,26 @@ def test_resolve_exchange(ray_session, monkeypatch):
     monkeypatch.setattr(_ray, "nodes",
                         lambda: (_ for _ in ()).throw(RuntimeError()))
     assert resolve_exchange("auto") == "fs"   # no cluster view -> safe local
+
+
+def test_resolve_exchange_before_ray_init():
+    # 'auto' must not silently guess 'fs' just because the caller hasn't
+    # init'd Ray yet: it performs the same auto-init the first Dataset
+    # execution would, then reads the real topology (subprocess — the
+    # pytest session already holds a Ray instance)
+    import subprocess
+    import sys
+    code = (
+        "import sys, warnings; sys.path.insert(0, '/root/repo')\n"
+        "import ray\n"
+        "from search_engine_ray.stages.join import resolve_exchange\n"
+        "assert not ray.is_initialized()\n"
+        "warnings.simplefilter('error')\n"
+        "assert resolve_exchange('auto') == 'fs'\n"
+        "assert ray.is_initialized()\n"
+        "ray.shutdown()\n")
+    r = subprocess.run([sys.executable, "-c", code], capture_output=True,
+                       text=True, timeout=120,
+                       env={**__import__('os').environ,
+                            "RAY_DISABLE_IMPORT_WARNING": "1"})
+    assert r.returncode == 0, r.stderr[-2000:]
