@@ -149,11 +149,14 @@ def _has_fuzzy(text: str) -> bool:
 
 def cmd_print_database(args) -> int:
     """S4: console dump of the inverted index (``main.cpp:35-45``)."""
+    import numpy as np
     import pyarrow.parquet as pq
-    from .stages.postings import decode_posting
+    from .stages.postings import (decode_posting, load_shard_dict,
+                                  segment_docid_space)
     from .state import checkpoint as ckpt
     man = ckpt.read_manifest(args.index)
     cfg = man["config"]
+    docstore_dir = os.path.join(args.index, "docstore")
     shown = 0
     for s in range(cfg["n_doc_shards"]):
         for b in range(cfg["n_buckets"]):
@@ -161,8 +164,18 @@ def cmd_print_database(args) -> int:
                                 "postings.parquet")
             if not os.path.exists(path):
                 continue
-            for row in pq.read_table(path).to_pylist():
+            seg = pq.read_table(path)
+            # local-docID segments store shard-dictionary POSITIONS, not
+            # docIDs — remap through the shard's docstore dictionary so the
+            # dump prints the same global (signed int64) ids `show`/`see`
+            # accept; raw uint64 decode would print unsigned-wrapped values
+            # for negative content hashes
+            dd = (load_shard_dict(docstore_dir, s)
+                  if segment_docid_space(seg) == "local" else None)
+            for row in seg.to_pylist():
                 ids, tfs = decode_posting(row)
+                ids = (dd[ids.astype(np.int64)] if dd is not None
+                       else ids.view(np.int64))
                 postings = ", ".join(f"{d}:{t}" for d, t in
                                      zip(ids[:8], tfs[:8]))
                 more = "" if len(ids) <= 8 else f", …(+{len(ids) - 8})"

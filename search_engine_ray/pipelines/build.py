@@ -91,9 +91,13 @@ def _full_width_execution(*datasets):
     dataset exists does nothing — the executor reads the plan's captured
     copy.  Callers therefore pass the dataset(s) about to execute and the
     flag is flipped on each captured context (plus the global one, covering
-    datasets created inside the block).  Scoped + restored so concurrently-
-    running query pipelines keep the default policy; ``SERX_FULL_WIDTH=0``
-    opts out entirely."""
+    datasets created inside the block).  Scoped + restored, so query
+    pipelines created BEFORE or AFTER this window keep the default policy —
+    but a Dataset another thread creates DURING the window snapshots the
+    flipped global context for its lifetime (unavoidable with a global
+    DataContext; build-concurrent dataset construction in one driver is the
+    one case that loses reservation).  ``SERX_FULL_WIDTH=0`` opts out
+    entirely."""
     ctxs = [ray.data.DataContext.get_current()]
     for ds in datasets:
         c = getattr(ds, "context", None)
@@ -194,7 +198,8 @@ def _hot_terms(source, index_dir: str, cfg: IndexConfig,
         try:
             mtime = os.path.getmtime(src_tag) if os.path.exists(src_tag) else 0
             tag = f"{src_tag}|{mtime}|{cfg.hot_df_fraction}" \
-                  f"|{cfg.stopwords}|{cfg.stem}"
+                  f"|{cfg.stopwords}|{cfg.stem}" \
+                  f"|{cfg.text_col}|{cfg.id_col}"
             cache_key = f"/tmp/serx_hotterms_{fnv1a64(tag.encode()):016x}.json"
             if os.path.exists(cache_key):
                 with open(cache_key) as f:
@@ -314,13 +319,11 @@ def cleanup_orphan_scratch(base: str | None = None, *,
             base = env
         elif os.path.isdir("/dev/shm"):
             base = "/dev/shm/serx_exchange"
-        else:
-            return []
-    if not os.path.isdir(base):
-        return []
+        # else: no exchange root on this host — the join sweep below still
+        # runs (joins fall back to $TMPDIR/serx_join on such hosts)
     removed = []
     now = _time.time()
-    for name in os.listdir(base):
+    for name in os.listdir(base) if base and os.path.isdir(base) else []:
         d = os.path.join(base, name)
         # Only this project's exchange dirs are eligible: a 16-hex fnv tag
         # (_scratch_dir's naming).  Without the filter, SERX_SCRATCH_DIR
@@ -413,6 +416,21 @@ class _TokenizeAndSpill:
             "t_spill_ms", pa.array([int((t2 - t1) * 1000)], type=pa.int64()))
 
 
+def _stage1_tag(cfg: IndexConfig) -> str:
+    """Validity tag for the stage-1 resume marker.  The spilled fragments
+    bake in EVERY tokenization-affecting choice, not just the partition
+    grid: resuming them under a changed analyzer config (stem flipped,
+    different text/id column, positions toggled, salting params) would
+    silently encode stale fragments into an index whose manifest claims
+    the new config — so all of it goes into the tag."""
+    return (f"{cfg.n_buckets}x{cfg.n_doc_shards}"
+            f"-{cfg.text_col}/{cfg.id_col}/{','.join(cfg.fields)}"
+            f"-sw{int(cfg.stopwords)}st{int(cfg.stem)}"
+            f"pos{int(cfg.positions)}"
+            f"-salt{int(cfg.salt_hot_terms)}:{cfg.hot_df_fraction}"
+            f":{cfg.salt}")
+
+
 def _exchange_fs(ds, index_dir: str, cfg: IndexConfig, stage, batch_size,
                  concurrency, pending, need_docstore) -> None:
     """Filesystem external shuffle (see ``build_index`` docstring)."""
@@ -423,7 +441,7 @@ def _exchange_fs(ds, index_dir: str, cfg: IndexConfig, stage, batch_size,
     frag_dir = os.path.join(tmp_base, "postings")
     doc_tmp = os.path.join(tmp_base, "docstore")
     marker = os.path.join(tmp_base, "_STAGE1_DONE")
-    cfg_tag = f"{cfg.n_buckets}x{cfg.n_doc_shards}"
+    cfg_tag = _stage1_tag(cfg)
     for attempt in (0, 1):
         stage1_stats: dict | None = None
         if os.path.exists(marker):
@@ -489,6 +507,17 @@ def _exchange_fs(ds, index_dir: str, cfg: IndexConfig, stage, batch_size,
                 os.rename(doc_tmp, dst_tmp)
             except OSError:
                 shutil.copytree(doc_tmp, dst_tmp)
+            # killed spill attempts can leave private ".tmp-*" staging
+            # files beside the published fragments; parquet readers ignore
+            # dot-prefixed files, but the durable docstore shouldn't carry
+            # them
+            for dp, _, fs in os.walk(dst_tmp):
+                for f in fs:
+                    if f.startswith(".tmp-"):
+                        try:
+                            os.unlink(os.path.join(dp, f))
+                        except OSError:
+                            pass
             shutil.rmtree(docstore, ignore_errors=True)
             os.replace(dst_tmp, docstore)
             shutil.rmtree(doc_tmp, ignore_errors=True)
@@ -510,7 +539,7 @@ def _exchange_fs(ds, index_dir: str, cfg: IndexConfig, stage, batch_size,
             # empty corpus: stage 1 spilled no doc rows at all
             os.makedirs(docstore, exist_ok=True)
             pq.write_table(
-                pa.table({cfg.id_col: pa.array([], type=pa.int64()),
+                pa.table({"doc_id": pa.array([], type=pa.int64()),
                           "doc_len": pa.array([], type=pa.int32())}),
                 os.path.join(docstore, "empty.parquet"))
             break
@@ -569,20 +598,31 @@ def _exchange_groupby(ds, index_dir: str, cfg: IndexConfig, stage, batch_size,
         # in docstore/ (that would double n_docs/avgdl and corrupt BM25).
         # Partitioned by doc shard (``shard=K/``) so each searcher actor —
         # and the local-docID encoder below — reads only its own shard.
-        doc_cols = [cfg.id_col, "doc_len", *keep]
+        # the tokenize stages always emit the id column under the literal
+        # name "doc_id" whatever cfg.id_col names the INPUT column — and
+        # the query side (pipelines/query.py) reads docstores by that name
+        doc_cols = ["doc_id", "doc_len", *keep]
         doc_tmp = docstore_path + ".tmp"
         shutil.rmtree(doc_tmp, ignore_errors=True)
 
-        def add_shard(t: pa.Table, _n=cfg.n_doc_shards, _id=cfg.id_col
-                      ) -> pa.Table:
+        def add_shard(t: pa.Table, _n=cfg.n_doc_shards) -> pa.Table:
             import numpy as np
-            ids = t[_id].to_numpy(zero_copy_only=False)
+            ids = t["doc_id"].to_numpy(zero_copy_only=False)
             return t.append_column(
                 "shard", pa.array((ids % _n).astype(np.int32)))
 
         tokenized.filter(expr="part == -1").select_columns(doc_cols) \
             .map_batches(add_shard, batch_format="pyarrow") \
             .write_parquet(doc_tmp, partition_cols=["shard"])
+        if not os.path.isdir(doc_tmp):
+            # empty corpus: Ray's write_parquet of a zero-row dataset
+            # creates no output dir at all — publish an explicitly-empty
+            # docstore (mirrors the fs path's empty-corpus branch)
+            os.makedirs(doc_tmp, exist_ok=True)
+            pq.write_table(
+                pa.table({"doc_id": pa.array([], type=pa.int64()),
+                          "doc_len": pa.array([], type=pa.int32())}),
+                os.path.join(doc_tmp, "empty.parquet"))
         shutil.rmtree(docstore_path, ignore_errors=True)
         os.replace(doc_tmp, docstore_path)
     if pending:
@@ -674,6 +714,13 @@ def build_index(source: str | DatasetFactory, index_dir: str,
             n_buckets=cfg.n_buckets, n_doc_shards=cfg.n_doc_shards,
             hot_terms=hot_terms, salt=cfg.salt,
             emit_positions=cfg.positions)
+        if postings_stage is not None:
+            # flip build-mode flags on a COPY — a caller-supplied stage
+            # object must keep its documented defaults for any later
+            # direct map_batches use (same copy-on-write the fs exchange
+            # applies for dict_terms)
+            import copy
+            stage = copy.copy(stage)
         stage.emit_doc_rows = True
         stage.keep_cols = keep
         cols = postings_columns or [cfg.id_col, cfg.text_col]

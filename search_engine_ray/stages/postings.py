@@ -25,6 +25,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.parquet as pq
 
+from ..state import checkpoint as ckpt
 from ..functions.varint import (delta_decode, varint_decode,
                                 varint_decode_with_ends,
                                 varint_encode_with_sizes)
@@ -436,7 +437,14 @@ class FragmentSpiller:
             for s, e in zip(dstarts, dends):
                 d = os.path.join(self.docstore_tmp, f"shard={int(dshard[s])}")
                 os.makedirs(d, exist_ok=True)
-                tmp = os.path.join(d, f".tmp-{tag}.parquet")
+                # per-attempt nonce in the STAGING name: a zombie task (lost
+                # raylet heartbeat, process still writing) and its retry
+                # must never interleave writes into one tmp file — each
+                # attempt stages privately, the deterministic frag-<tag>
+                # rename target keeps retries idempotent
+                tmp = os.path.join(
+                    d, f".tmp-{tag}-{os.getpid()}-{uuid.uuid4().hex[:8]}"
+                       ".parquet")
                 # lz4, not zstd: these fragments get PUBLISHED as the
                 # docstore via rename, but zstd's encoder allocations cost
                 # more build wall than the ~1.3× size win is worth on the
@@ -548,7 +556,9 @@ class FragmentSpiller:
             p = int(pvals[s])
             d = os.path.join(self.tmp_dir, f"part={p:05d}")
             os.makedirs(d, exist_ok=True)
-            tmp = os.path.join(d, f".tmp-{tag}.feather")
+            tmp = os.path.join(
+                d, f".tmp-{tag}-{os.getpid()}-{uuid.uuid4().hex[:8]}"
+                   ".feather")
             sl = postings.slice(s, e - s)
             # dictionary-encode term/field PER PARTITION SLICE: a slice
             # holds one term bucket, so its dict is ~vocab/n_buckets
@@ -696,7 +706,7 @@ class FragmentEncoder:
             rows = (pa.concat_tables(parts_tables, promote_options="default")
                     if parts_tables else None)
             t_read = time.time()
-            shard, bucket = part // self.n_buckets, part % self.n_buckets
+            shard, bucket = ckpt.split_part(part, self.n_buckets)
             doc_dict = (load_shard_dict(self.docstore_dir, shard)
                         if self.docstore_dir else None)
             seg = encode_postings_table(rows, doc_dict) if rows is not None \
@@ -705,8 +715,7 @@ class FragmentEncoder:
                      "doc_id": pa.array([], type=pa.int64()),
                      "tf": pa.array([], type=pa.int32())}), doc_dict)
             t_enc = time.time()
-            part_dir = os.path.join(self.out_dir, f"shard={shard:03d}",
-                                    f"bucket={bucket:05d}")
+            part_dir = ckpt.partition_dir_in(self.out_dir, shard, bucket)
             os.makedirs(part_dir, exist_ok=True)
             tmp = os.path.join(part_dir, f".tmp-{uuid.uuid4().hex}.parquet")
             pq.write_table(seg, tmp, compression="zstd")
@@ -741,15 +750,14 @@ def commit_empty_partition(out_dir: str, part: int, n_buckets: int,
     """Write an empty segment + ``_DONE`` for a partition that received no
     posting rows (common with many partitions on small corpora) so the
     manifest completes and resume doesn't re-run the whole build."""
-    shard, bucket = part // n_buckets, part % n_buckets
+    shard, bucket = ckpt.split_part(part, n_buckets)
     doc_dict = (load_shard_dict(docstore_dir, shard)
                 if docstore_dir else None)
     seg = encode_postings_table(pa.table(
         {"term": pa.array([], type=pa.string()),
          "doc_id": pa.array([], type=pa.int64()),
          "tf": pa.array([], type=pa.int32())}), doc_dict)
-    part_dir = os.path.join(out_dir, f"shard={shard:03d}",
-                            f"bucket={bucket:05d}")
+    part_dir = ckpt.partition_dir_in(out_dir, shard, bucket)
     os.makedirs(part_dir, exist_ok=True)
     tmp = os.path.join(part_dir, f".tmp-{uuid.uuid4().hex}.parquet")
     pq.write_table(seg, tmp, compression="zstd")
@@ -781,12 +789,11 @@ class EncodePartitionWriter:
 
     def __call__(self, group: pa.Table) -> pa.Table:
         part = int(group["part"][0].as_py()) if group.num_rows else -1
-        shard, bucket = part // self.n_buckets, part % self.n_buckets
+        shard, bucket = ckpt.split_part(part, self.n_buckets)
         doc_dict = (load_shard_dict(self.docstore_dir, shard)
                     if self.docstore_dir else None)
         seg = encode_postings_table(group.drop_columns(["part"]), doc_dict)
-        part_dir = os.path.join(self.out_dir, f"shard={shard:03d}",
-                                f"bucket={bucket:05d}")
+        part_dir = ckpt.partition_dir_in(self.out_dir, shard, bucket)
         os.makedirs(part_dir, exist_ok=True)
         tmp = os.path.join(part_dir, f".tmp-{uuid.uuid4().hex}.parquet")
         pq.write_table(seg, tmp, compression="zstd")

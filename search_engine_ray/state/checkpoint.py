@@ -106,8 +106,18 @@ def docstore_shard_dir(index_dir: str, shard: int) -> str:
     return os.path.join(docstore_dir(index_dir), f"shard={shard}")
 
 
+def partition_dir_in(seg_dir: str, shard: int, bucket: int) -> str:
+    """Partition dir addressed from a segments root (writers hold the
+    segments dir, not the index dir).  THE single definition of the
+    on-disk ``shard=SSS/bucket=BBBBB`` naming: resume's done/pending scans
+    (`done_partitions`) walk exactly this format, so every writer must
+    route through here — a second hand-rolled copy that drifts (padding,
+    separator) would commit segments resume never finds."""
+    return os.path.join(seg_dir, f"shard={shard:03d}", f"bucket={bucket:05d}")
+
+
 def partition_dir(index_dir: str, shard: int, bucket: int) -> str:
-    return os.path.join(shard_dir(index_dir, shard), f"bucket={bucket:05d}")
+    return partition_dir_in(segments_dir(index_dir), shard, bucket)
 
 
 def tombstones_shard_dir(index_dir: str, shard: int) -> str:

@@ -313,3 +313,64 @@ def test_blockmax_pruning_exact_at_all_k(built_index, oracle, k,
         assert [d for d, _ in got] == [d for d, _ in want], (q, k)
         for (_, gs), (_, ws) in zip(got, want):
             assert gs == pytest.approx(ws, abs=1e-9), (q, k)
+
+
+def test_groupby_exchange_empty_corpus_and_custom_id_col(ray_session,
+                                                         tmp_path):
+    # two groupby-exchange holes the fs path handled but groupby didn't:
+    # (a) empty corpus — Ray write_parquet of a zero-row dataset creates no
+    #     output dir, so the docstore publish used to FileNotFoundError;
+    # (b) custom id_col — tokenize stages always EMIT 'doc_id', so
+    #     selecting docstore columns by cfg.id_col crashed mid-build
+    import pyarrow as pa
+    import pyarrow.parquet as _pq
+    from search_engine_ray.pipelines.build import build_index
+    from search_engine_ray.pipelines.query import QueryEngine
+
+    cfg = IndexConfig(n_buckets=4, n_doc_shards=2)
+    empty_src = str(tmp_path / "empty.parquet")
+    _pq.write_table(pa.table({"doc_id": pa.array([], type=pa.int64()),
+                              "text": pa.array([], type=pa.string())}),
+                    empty_src)
+    idx = str(tmp_path / "empty_gb_idx")
+    man = build_index(empty_src, idx, cfg, exchange="groupby")
+    assert len(man["partitions"]) == cfg.n_partitions
+    qe = QueryEngine(idx, num_searchers=2, use_actors=False)
+    assert qe.query("anything", 5) == []
+
+    src = str(tmp_path / "custom_id.parquet")
+    _pq.write_table(pa.table({"page_id": pa.array([3, 9], type=pa.int64()),
+                              "body": pa.array(["alpha beta alpha",
+                                                "beta gamma"])}), src)
+    for exchange in ("groupby", "fs"):
+        idx2 = str(tmp_path / f"custom_id_idx_{exchange}")
+        build_index(src, idx2,
+                    IndexConfig(n_buckets=4, n_doc_shards=2,
+                                text_col="body", id_col="page_id"),
+                    exchange=exchange)
+        qe2 = QueryEngine(idx2, num_searchers=2, use_actors=False)
+        (doc, score), = qe2.query("alpha", 5)
+        assert doc == 3 and score > 0
+
+
+def test_stage1_resume_tag_covers_analyzer_config():
+    # resuming stage-1 fragments under a changed analyzer config must
+    # invalidate the marker — every tokenization-affecting field has to
+    # reach the tag
+    from search_engine_ray.pipelines.build import _stage1_tag
+    base = IndexConfig()
+    variants = [
+        IndexConfig(n_buckets=32),
+        IndexConfig(n_doc_shards=8),
+        IndexConfig(text_col="title"),
+        IndexConfig(id_col="page_id"),
+        IndexConfig(stopwords=True),
+        IndexConfig(stem=True),
+        IndexConfig(positions=True),
+        IndexConfig(fields=("text", "title")),
+        IndexConfig(salt_hot_terms=False),
+        IndexConfig(hot_df_fraction=0.5),
+        IndexConfig(salt=4),
+    ]
+    tags = [_stage1_tag(c) for c in [base, *variants]]
+    assert len(set(tags)) == len(tags), tags
