@@ -117,6 +117,16 @@ class SegmentSearcher:
         partitioned = any(
             os.path.isdir(ckpt.docstore_shard_dir(index_dir, s))
             for s in range(n_shards_total))
+        flat_ids = flat_lens = None
+        if not partitioned and shards:
+            # legacy flat docstore: ONE full read, filtered per owned shard
+            # below (reading it inside the loop would multiply startup I/O
+            # by the owned-shard count)
+            store = pq.read_table(store_root, columns=["doc_id", "doc_len"])
+            flat_ids = store["doc_id"].to_numpy(zero_copy_only=False) \
+                .astype(np.int64)
+            flat_lens = store["doc_len"].to_numpy(zero_copy_only=False) \
+                .astype(np.int64)
         for s in shards:
             if partitioned:
                 sdir = ckpt.docstore_shard_dir(index_dir, s)
@@ -130,14 +140,8 @@ class SegmentSearcher:
                     ids = np.zeros(0, dtype=np.int64)
                     lens = np.zeros(0, dtype=np.int64)
             else:
-                store = pq.read_table(store_root,
-                                      columns=["doc_id", "doc_len"])
-                all_ids = store["doc_id"].to_numpy(zero_copy_only=False) \
-                    .astype(np.int64)
-                all_lens = store["doc_len"].to_numpy(zero_copy_only=False) \
-                    .astype(np.int64)
-                mask = (all_ids % n_shards_total) == s
-                ids, lens = all_ids[mask], all_lens[mask]
+                mask = (flat_ids % n_shards_total) == s
+                ids, lens = flat_ids[mask], flat_lens[mask]
             order = np.argsort(ids, kind="stable")
             ids, lens = ids[order], lens[order]
             first = np.ones(ids.size, dtype=bool)
@@ -832,7 +836,11 @@ class SegmentSearcher:
         """Faceted BM25: OR-union scores exactly as :meth:`search`, then
         the candidate set is intersected with the metadata filter docset
         BEFORE top-k.  df/idf stay GLOBAL (unfiltered) — the convention the
-        SQL oracle mirrors (score first, facet second)."""
+        SQL oracle mirrors (score first, facet second).  An EMPTY filter
+        list is a vacuous AND: every doc matches, i.e. plain search — not
+        the zero-results an empty intersection would produce."""
+        if not filters:
+            return self.search(terms, k)
         allowed = self._metadata_docset(filters)
         if not allowed.size:
             return (np.zeros(0, dtype=np.int64), np.zeros(0, dtype=np.float64))
@@ -1435,8 +1443,11 @@ class QueryEngine:
         :meth:`query`, keep only docs whose metadata set-indexes match ALL
         ``(field, value)`` filters (values normalized with the engine's
         CleanMetaData rules).  df/idf are global — facets restrict the
-        result set, not the statistics."""
+        result set, not the statistics.  ``filters=[]`` (all facets
+        deselected) degrades to the plain unfiltered :meth:`query`."""
         from ..functions.analyze import clean_metadata
+        if not filters:
+            return self.query(text, k)
         terms = tokenize(text, stopwords=self.stopwords, stem=self.stem)
         if not terms:
             return []
@@ -1487,21 +1498,26 @@ class QueryEngine:
         ranked by global df desc then term asc.  Each searcher range-scans
         ITS shards' sorted term dictionary (the vocabulary is doc-shard
         partitioned, so the union across searchers is the full dictionary);
-        the driver unions candidates and ranks them with the global df
-        table any single searcher holds."""
-        frag = tokenize(prefix, stopwords=self.stopwords, stem=self.stem)
+        the driver unions candidates and ranks them via the engine-level
+        ``df_of`` max-merge (each searcher's df table is filtered to the
+        terms its own shards contain, so no single searcher can rank the
+        union).
+
+        The fragment is normalized WITHOUT the stopword filter or stemmer
+        — same rule as ``prefix_query``: a user typing "the" wants
+        "theory"/"thermal" completions even on a stopworded index, and a
+        stem of a prefix isn't a prefix of the stems."""
+        frag = tokenize(prefix)
         if not frag:
             return []
         p = frag[0]
         if self.use_actors:
             sets = ray.get([s.expand_prefix.remote(p)
                             for s in self.searchers])
-            cand = sorted(set().union(*map(set, sets)))
-            dfs = ray.get(self.searchers[0].df_of.remote(cand)) if cand else {}
         else:
             sets = [s.expand_prefix(p) for s in self.searchers]
-            cand = sorted(set().union(*map(set, sets)))
-            dfs = self.searchers[0].df_of(cand) if cand else {}
+        cand = sorted(set().union(*map(set, sets)))
+        dfs = self.df_of(cand) if cand else {}
         return sorted(dfs.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
 
     def collapsed_query(self, text: str, group_field: str, k: int = 10

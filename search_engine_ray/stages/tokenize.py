@@ -36,6 +36,24 @@ for _c in range(ord("A"), ord("Z") + 1):
     _NORM_LUT[_c] = _c + 32
 
 
+# Arrow value-set arrays for pc.is_in, memoized by SET IDENTITY: the
+# stopword / hot-term sets live for an actor's lifetime while the ~2k-doc
+# tokenize sub-chunking calls down here hundreds of times per block —
+# re-sorting and re-materializing the same string array per chunk violated
+# the once-per-actor rule (north-rule ST5).  The cache holds a strong ref
+# to the keying set, so an id() is never reused while its entry exists.
+_VALUE_SET_CACHE: dict[int, tuple[object, pa.Array]] = {}
+
+
+def _value_set(s) -> pa.Array:
+    hit = _VALUE_SET_CACHE.get(id(s))
+    if hit is not None and hit[0] is s:
+        return hit[1]
+    arr = pa.array(sorted(s))
+    _VALUE_SET_CACHE[id(s)] = (s, arr)
+    return arr
+
+
 def split_and_normalize(texts: pa.Array | pa.ChunkedArray,
                         *, stopwords: frozenset[str] | None = None,
                         stem: bool = False) -> tuple[np.ndarray, pa.Array]:
@@ -102,7 +120,7 @@ def split_and_normalize(texts: pa.Array | pa.ChunkedArray,
         row_idx = row_idx[keep2_np]
 
     if stopwords:
-        drop = pc.is_in(terms, value_set=pa.array(sorted(stopwords)))
+        drop = pc.is_in(terms, value_set=_value_set(stopwords))
         keep3 = pc.invert(drop)
         keep3_np = keep3.to_numpy(zero_copy_only=False)
         terms = terms.filter(keep3)
@@ -268,7 +286,7 @@ class TokenizePostings:
     def _bucket(self, term_col: pa.Array, doc_ids: np.ndarray) -> np.ndarray:
         bucket = (fnv1a64_array(term_col) % np.uint64(self.n_buckets)).astype(np.int64)
         if self.hot_terms:
-            hot = pc.is_in(term_col, value_set=pa.array(sorted(self.hot_terms))) \
+            hot = pc.is_in(term_col, value_set=_value_set(self.hot_terms)) \
                 .to_numpy(zero_copy_only=False)
             if hot.any():
                 bucket[hot] = (bucket[hot] + doc_ids[hot] % self.salt) % self.n_buckets
@@ -345,8 +363,8 @@ class TokenizePostings:
             bucket = vbucket[gcodes]
             gdocs = doc_ids[rows]
             if self.hot_terms:
-                vhot = pc.is_in(vocab, value_set=pa.array(
-                    sorted(self.hot_terms))).to_numpy(zero_copy_only=False)
+                vhot = pc.is_in(vocab, value_set=_value_set(
+                    self.hot_terms)).to_numpy(zero_copy_only=False)
                 hot = vhot[gcodes]
                 if hot.any():
                     bucket[hot] = (bucket[hot] + gdocs[hot] % self.salt) \
@@ -391,7 +409,6 @@ class TokenizePostings:
         }
         if self.emit_positions:
             doc_rows["pos"] = pa.nulls(n, type=pa.binary())
-        tables = [out] if out is not None else []
         base = out if out is not None else empty
         for c in self.keep_cols:
             doc_rows[c] = batch[c].combine_chunks() \

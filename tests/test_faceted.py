@@ -115,3 +115,29 @@ def test_unfiltered_bm25_identical_on_fielded_index(fielded_index):
     wids, wsc = _brute([])
     assert [d for d, _ in got] == list(wids)
     np.testing.assert_allclose([s for _, s in got], wsc, rtol=1e-12)
+
+
+def test_empty_filter_list_is_unfiltered_query(fielded_index):
+    # vacuous AND: all facets deselected must degrade to plain search,
+    # not return zero hits from an empty intersection
+    qe = QueryEngine(fielded_index, num_searchers=3, use_actors=False)
+    got = qe.query_filtered(QUERY, [], k=10)
+    assert got == qe.query(QUERY, k=10)
+    assert len(got) > 0
+
+
+def test_suggest_merges_df_across_searchers(fielded_index):
+    # candidate ranking must use the engine-level df max-merge: each
+    # searcher's df table only covers terms its own shards contain, so a
+    # single searcher cannot rank the unioned candidate set
+    qe = QueryEngine(fielded_index, num_searchers=3, use_actors=False)
+    got = dict(qe.suggest("s", k=50))
+    # brute-force: every indexed term starting with 's' and its global df
+    t = pq.read_table(f"{SF}/documents.parquet", columns=["text"])
+    from collections import Counter
+    dfc = Counter()
+    for txt in t["text"].to_pylist():
+        dfc.update(set(tokenize(txt or "")))
+    want = {w: c for w, c in dfc.items() if w.startswith("s")}
+    top = dict(sorted(want.items(), key=lambda kv: (-kv[1], kv[0]))[:50])
+    assert got == top
