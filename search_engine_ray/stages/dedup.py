@@ -35,6 +35,28 @@ def _minhash_params(num_perm: int, seed: int = 42) -> tuple[np.ndarray, np.ndarr
     return a, b
 
 
+def _shingle_mults(k: int) -> np.ndarray:
+    """``k`` distinct odd 64-bit mix multipliers.  The first five are the
+    original fixed constants (existing shingle hashes / goldens depend on
+    them); beyond five, constants come from a splitmix64-style scramble of
+    the position — any ``k`` works instead of the former hard IndexError
+    at ``k > 5``."""
+    fixed = [0x9E3779B97F4A7C15, 0xC2B2AE3D27D4EB4F,
+             0x165667B19E3779F9, 0x27D4EB2F165667C5,
+             0x85EBCA77C2B2AE63]
+    if k <= len(fixed):
+        return np.array(fixed[:k], dtype=np.uint64)
+    out = np.empty(k, dtype=np.uint64)
+    out[:len(fixed)] = fixed
+    for j in range(len(fixed), k):
+        z = (np.uint64(j) * np.uint64(0x9E3779B97F4A7C15)) \
+            + np.uint64(0xBF58476D1CE4E5B9)
+        z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+        z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+        out[j] = (z ^ (z >> np.uint64(31))) | np.uint64(1)   # odd
+    return out
+
+
 def shingle_hashes(row_idx: np.ndarray, term_hashes: np.ndarray,
                    n_rows: int, k: int = 3) -> tuple[np.ndarray, np.ndarray]:
     """Word k-shingles per doc → (shingle_row_idx, shingle_hash uint64).
@@ -48,9 +70,7 @@ def shingle_hashes(row_idx: np.ndarray, term_hashes: np.ndarray,
         return np.zeros(0, dtype=np.int64), np.zeros(0, dtype=np.uint64)
     err = np.seterr(over="ignore")
     try:
-        mults = np.array([0x9E3779B97F4A7C15, 0xC2B2AE3D27D4EB4F,
-                          0x165667B19E3779F9, 0x27D4EB2F165667C5,
-                          0x85EBCA77C2B2AE63][:k], dtype=np.uint64)
+        mults = _shingle_mults(k)
         # windows fully inside one doc: window [i, i+k) valid iff row_idx[i] == row_idx[i+k-1]
         if n_tok >= k:
             valid = row_idx[: n_tok - k + 1] == row_idx[k - 1:]
@@ -243,7 +263,11 @@ def verify_jaccard_in_group(group: pa.Table, *, threshold: float = 0.5,
         return empty
     sh = group["shingles"].combine_chunks() \
         if isinstance(group["shingles"], pa.ChunkedArray) else group["shingles"]
-    flat = sh.flatten().to_numpy(zero_copy_only=False)
+    # the carried sets ride as Arrow int64 but were built SORTED IN UINT64
+    # order (they are uint64 hashes) — reinterpret so the sorted-merge
+    # intersection below sees a monotone array (as int64, hashes ≥ 2^63
+    # wrap negative and break monotonicity)
+    flat = sh.flatten().to_numpy(zero_copy_only=False).view(np.uint64)
     offs = sh.offsets.to_numpy(zero_copy_only=False)
     offs = offs - offs[0]       # rebase: sliced arrays keep raw offsets
 
@@ -261,7 +285,16 @@ def verify_jaccard_in_group(group: pa.Table, *, threshold: float = 0.5,
         sa, sb = sset(int(a_idx[p])), sset(int(b_idx[p]))
         union = sa.size + sb.size
         if union:
-            inter = np.intersect1d(sa, sb, assume_unique=True).size
+            # the carried shingle sets are SORTED UNIQUE (signatures()
+            # emits them that way), so intersect by searching the smaller
+            # into the larger — intersect1d would re-sort both sets for
+            # every pair, which a full max_group bucket (~2M pairs) pays
+            # dearly for
+            if sb.size < sa.size:
+                sa, sb = sb, sa
+            pos = np.searchsorted(sb, sa)
+            ok = pos < sb.size
+            inter = int(np.count_nonzero(sb[pos[ok]] == sa[ok]))
             jac[p] = inter / (union - inter)
     keep = jac >= threshold
     if not keep.any():

@@ -88,13 +88,18 @@ def pagerank(edges: "ray.data.Dataset", *, damping: float = 0.85,
 
     d = float(damping)
     rank = np.full(n, 1.0 / n, dtype=np.float64)
+    # the node array never changes across iterations — broadcast it ONCE;
+    # only the per-iteration coef vector is re-put (at ~10^8 nodes the
+    # former per-iteration (nodes, coef) put re-shipped the constant half
+    # `iters` times through the object store)
+    nodes_ref = ray.put(nodes)
     for _ in range(iters):
         coef = np.divide(rank, outw, out=np.zeros_like(rank),
                          where=~dangling)
-        ref = ray.put((nodes, coef))
+        ref = ray.put(coef)
 
-        def contrib(t: pa.Table, _ref=ref) -> pa.Table:
-            nd, cf = ray.get(_ref)
+        def contrib(t: pa.Table, _ref=ref, _nref=nodes_ref) -> pa.Table:
+            nd, cf = ray.get(_nref), ray.get(_ref)
             s = t[src].combine_chunks() if isinstance(t[src], pa.ChunkedArray) \
                 else t[src]
             idx = np.searchsorted(nd, s.to_numpy(zero_copy_only=False))

@@ -46,10 +46,29 @@ def sample_vectors(source_path: str, vec_col: str, sample_rows: int,
     """Seeded UNBIASED sample of ``sample_rows`` vectors across the WHOLE
     parquet file: random row indices drawn over ``metadata.num_rows``, then
     only the row groups containing them are read (a head sample is biased
-    when the file is clustered — e.g. already sorted by some key).  At
-    multi-file scale, apply per file with ``sample_rows`` split
-    proportionally to file row counts."""
+    when the file is clustered — e.g. already sorted by some key).  A
+    DIRECTORY source samples each member file with ``sample_rows`` split
+    proportionally to file row counts (footer reads only), so multi-file
+    datasets stay unbiased too."""
     from .similarity import _vectors_from_batch
+    if os.path.isdir(source_path):
+        files = sorted(
+            os.path.join(source_path, f) for f in os.listdir(source_path)
+            if f.endswith(".parquet"))
+        if not files:
+            raise ValueError(f"no parquet files under {source_path}")
+        counts = np.array([pq.ParquetFile(f).metadata.num_rows
+                           for f in files], dtype=np.int64)
+        total = int(counts.sum())
+        if total == 0:
+            return np.zeros((0, 0), dtype=np.float64)
+        # proportional split, remainders to the largest files; ≥1 row per
+        # nonempty file so tiny shards still contribute
+        share = np.maximum((counts * sample_rows) // max(total, 1), 1)
+        share = np.minimum(share, counts)
+        parts = [sample_vectors(f, vec_col, int(s), seed=seed + i)
+                 for i, (f, s) in enumerate(zip(files, share)) if s > 0]
+        return np.concatenate([p for p in parts if p.size], axis=0)
     pf = pq.ParquetFile(source_path)
     total = pf.metadata.num_rows
     if total <= sample_rows:
@@ -162,12 +181,30 @@ class CellSearcher:
         per query; the driver merges across actors)."""
         out_v, out_s, out_q = [], [], []
         for qi in range(qn.shape[0]):
-            owned = [self.cells[int(c)] for c in probe[qi]
-                     if int(c) in self.cells]
-            if not owned:
+            # score each owned cell IN PLACE and keep only its (-sim, id)
+            # top-k; concatenating the cells' resident matrices per query
+            # would copy up to the actor's whole float budget per call.
+            # Per-cell cut + merge is exact: a global top-k row is in its
+            # own cell's top-k under the same order
+            cand_v, cand_s = [], []
+            for c in probe[qi]:
+                o = self.cells.get(int(c))
+                if o is None:
+                    continue
+                ids_c, mat_c = o
+                sims_c = mat_c @ qn[qi]
+                if sims_c.size > k:
+                    part = np.argpartition(-sims_c, k - 1)[:k]
+                    keep = np.flatnonzero(sims_c >= sims_c[part].min())
+                    sel = keep[np.lexsort((ids_c[keep], -sims_c[keep]))[:k]]
+                else:
+                    sel = np.arange(sims_c.size)
+                cand_v.append(ids_c[sel])
+                cand_s.append(sims_c[sel])
+            if not cand_v:
                 continue
-            ids = np.concatenate([o[0] for o in owned])
-            sims = np.concatenate([o[1] for o in owned]) @ qn[qi]
+            ids = np.concatenate(cand_v)
+            sims = np.concatenate(cand_s)
             order = np.lexsort((ids, -sims))[:k]
             out_v.append(ids[order])
             out_s.append(sims[order])

@@ -31,9 +31,9 @@ def _vectors_from_batch(batch: pa.Table, col: str) -> np.ndarray:
         dim = int(widths[0]) if widths.size else 0
         if widths.size and not (widths == dim).all():
             raise ValueError("ragged embedding column")
-        base = int(offsets[0]) if offsets.size else 0
-        return flat[: len(arr) * dim].reshape(len(arr), dim) if base == 0 else \
-            flat.reshape(-1)[offsets[0] - base:].reshape(len(arr), dim)
+        # flatten() already rebases sliced arrays, so flat holds exactly
+        # this array's len(arr)*dim values
+        return flat.reshape(len(arr), dim)
     raise TypeError(f"unsupported embedding column type {arr.type}")
 
 
@@ -62,10 +62,23 @@ class CosineScorer:
         vn = v / np.maximum(np.linalg.norm(v, axis=1, keepdims=True), 1e-30)
         sims = self.qn @ vn.T                     # [q, batch]
         k = min(self.k, sims.shape[1])
-        # per-query partial top-k with deterministic (-sim, vec_id) order
-        part = np.argpartition(-sims, k - 1, axis=1)[:, :k]
-        rows = np.repeat(np.arange(sims.shape[0], dtype=np.int32), k)
-        cols = part.reshape(-1)
+        # per-query partial top-k with deterministic (-sim, vec_id) order.
+        # argpartition alone keeps boundary TIES by array position — which
+        # vec_ids survive would then depend on block partitioning (and
+        # duplicate embeddings are exactly what dedup corpora contain) —
+        # so widen to every column tied with the k-th value and resolve
+        # with an explicit (-sim, vec_id) lexsort before cutting to k
+        out_rows, out_cols = [], []
+        for qi_ in range(sims.shape[0]):
+            s = sims[qi_]
+            part = np.argpartition(-s, k - 1)[:k]
+            cand = np.flatnonzero(s >= s[part].min())
+            order = np.lexsort((ids[cand], -s[cand]))
+            sel = cand[order[:k]]
+            out_rows.append(np.full(sel.size, qi_, dtype=np.int32))
+            out_cols.append(sel)
+        rows = np.concatenate(out_rows)
+        cols = np.concatenate(out_cols)
         return pa.table({
             "query_idx": pa.array(rows, type=pa.int32()),
             "vec_id": pa.array(ids[cols], type=pa.int64()),

@@ -100,3 +100,28 @@ def test_cell_searcher_actor_cap_enforced(ivf_index):
     s = CellSearcher(idx.index_dir, shard=0, n_searchers=1,
                      max_actor_floats=1 << 30)
     assert sum(v.size for _, v in s.cells.values()) == 800 * 32
+
+
+def test_sample_vectors_directory_source(tmp_path):
+    # IVFIndex.build accepts parquet DIRECTORIES for the assign phase; the
+    # centroid sampler used to crash on them (pq.ParquetFile is file-only)
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from search_engine_ray.stages.ivf import sample_vectors
+    rng = np.random.RandomState(0)
+    d = tmp_path / "emb"
+    d.mkdir()
+    sizes = [60, 40, 10]
+    for i, n in enumerate(sizes):
+        vecs = rng.randn(n, 4)
+        pq.write_table(pa.table({
+            "vec_id": pa.array(np.arange(n) + i * 1000, type=pa.int64()),
+            "embedding": pa.array(vecs.tolist()),
+        }), str(d / f"part-{i}.parquet"))
+    s = sample_vectors(str(d), "embedding", 32, seed=7)
+    assert s.shape[1] == 4
+    assert 30 <= s.shape[0] <= 40      # proportional split, >=1 per file
+    # determinism
+    s2 = sample_vectors(str(d), "embedding", 32, seed=7)
+    np.testing.assert_array_equal(s, s2)

@@ -364,3 +364,39 @@ class TestNgramJaccardPairs:
               zip(exact["doc_a"], exact["doc_b"], exact["jaccard"])}
         for a, b, j in zip(lb["doc_a"], lb["doc_b"], lb["jaccard"]):
             assert j <= ex[(a, b)] + 1e-12
+
+
+def test_shingle_mults_any_k():
+    # k > 5 used to IndexError (the multiplier table had 5 constants);
+    # first five stay pinned so existing shingle hashes are unchanged
+    import numpy as np
+    from search_engine_ray.stages.dedup import _shingle_mults, shingle_hashes
+    m5 = _shingle_mults(5)
+    assert m5[0] == np.uint64(0x9E3779B97F4A7C15)
+    m13 = _shingle_mults(13)
+    assert (m13[:5] == m5).all()
+    assert len(set(m13.tolist())) == 13          # distinct
+    assert all(int(x) % 2 == 1 for x in m13)     # odd
+    row_idx = np.zeros(20, dtype=np.int64)
+    th = (np.arange(20, dtype=np.uint64) + 1) * np.uint64(2654435761)
+    rows, hashes = shingle_hashes(row_idx, th, 1, k=8)
+    assert rows.size == 20 - 8 + 1
+
+
+def test_cosine_scorer_tie_break_batch_invariant():
+    # identical vectors: which ids survive the per-batch partial top-k must
+    # follow the documented (-sim, vec_id) order, not argpartition's
+    # array-position accidents — and must not depend on block splits
+    import numpy as np
+    import pyarrow as pa
+    from search_engine_ray.stages.similarity import CosineScorer, merge_topk
+    q = np.ones((1, 4))
+    vec = [1.0, 1.0, 1.0, 1.0]
+    ids = [10, 3, 7, 1, 5]
+    scorer = CosineScorer(q, k=2)
+    whole = pa.table({"vec_id": pa.array(ids, type=pa.int64()),
+                      "embedding": pa.array([vec] * 5)})
+    got_whole = merge_topk(scorer(whole), 2)["vec_id"].to_pylist()
+    parts = [scorer(whole.slice(0, 3)), scorer(whole.slice(3, 2))]
+    got_split = merge_topk(pa.concat_tables(parts), 2)["vec_id"].to_pylist()
+    assert got_whole == got_split == [1, 3]
