@@ -15,8 +15,9 @@ in the order a real data-curation run applies them:
    per domain" step, applied LAST so the cap counts final docs: skinny
    ``(doc_id, source)`` rank shuffle + bucketed left-semi keeper join
    (same shape as ``queries.q_source_capped_sample``);
-5. **write** — parquet partitioned by ``source`` (a failed run reruns one
-   partition, not the corpus).
+5. **write** — parquet partitioned by ``source``, staged to ``.tmp`` and
+   published atomically (a re-run after a crash can never append
+   duplicate rows next to a partial first attempt).
 
 Every stage is a streaming ``map_batches`` / bucketed exchange — no
 driver-side doc sets, no whole-corpus materialization.
@@ -75,7 +76,11 @@ def curate_corpus(sf_dir: str, out_dir: str | None = None, *,
         ids = t["doc_id"].to_numpy(zero_copy_only=False)
         return t.filter(pa.array(np.isin(ids, keep_ids)))
 
-    survivors = corpus.map_batches(quality_gate, batch_format="pyarrow")
+    # the survivor stream feeds BOTH the keeper aggregation and the
+    # semi-join left side — pin it once (same rule as the source_cap fork
+    # below) instead of re-reading + re-tokenizing the corpus twice
+    survivors = corpus.map_batches(quality_gate,
+                                   batch_format="pyarrow").materialize()
 
     # keeper per distinct text among SURVIVORS: 16-byte hash shuffle only
     keepers = (survivors
@@ -92,10 +97,14 @@ def curate_corpus(sf_dir: str, out_dir: str | None = None, *,
 
     def decontaminate(t: pa.Table) -> pa.Table:
         sc = scorer(t)
-        clean = sc.filter(pc.equal(sc["n_contaminated"], 0))
-        keep_ids = clean["doc_id"].to_numpy(zero_copy_only=False)
+        # ContaminationScore emits NO row for a doc shorter than the
+        # n-gram window — such docs cannot contain a benchmark n-gram and
+        # must be KEPT, so drop by the contaminated set rather than
+        # keeping the scored-clean set (which silently removed them)
+        bad = sc.filter(pc.greater(sc["n_contaminated"], 0))
+        bad_ids = bad["doc_id"].to_numpy(zero_copy_only=False)
         ids = t["doc_id"].to_numpy(zero_copy_only=False)
-        return t.filter(pa.array(np.isin(ids, keep_ids)))
+        return t.filter(pa.array(~np.isin(ids, bad_ids)))
 
     curated = deduped.map_batches(decontaminate, batch_format="pyarrow")
 
@@ -112,6 +121,14 @@ def curate_corpus(sf_dir: str, out_dir: str | None = None, *,
                             join_type="left semi")
 
     if out_dir is not None:
-        curated.write_parquet(out_dir, partition_cols=["source"])
+        # stage + atomic publish: write_parquet into an existing dir
+        # APPENDS fresh uuid-named files, so a re-run after a partial
+        # failure would silently duplicate every already-written row
+        import shutil
+        tmp = out_dir.rstrip("/") + ".tmp"
+        shutil.rmtree(tmp, ignore_errors=True)
+        curated.write_parquet(tmp, partition_cols=["source"])
+        shutil.rmtree(out_dir, ignore_errors=True)
+        os.replace(tmp, out_dir)
         return ray.data.read_parquet(out_dir)
     return curated

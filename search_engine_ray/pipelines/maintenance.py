@@ -141,7 +141,16 @@ def compact_index(index_dir: str, out_dir: str) -> dict:
                          for k, v in man["config"].items()})
     os.makedirs(out_dir, exist_ok=True)
 
-    # 1. compacted docstore: filter each shard's rows; new dictionaries
+    # 1. compacted docstore: filter each shard's rows; new dictionaries.
+    # RESUME GUARD (same rule merge_indexes documents): an existing output
+    # docstore is reused AS-IS — partitions committed before a crash were
+    # encoded against its dictionaries, and rewriting it here (e.g. after
+    # delete_docs added tombstones to the still-live source in between)
+    # would shift local-docID positions under them, silently remapping
+    # their postings to different documents.  Newly-added tombstones are
+    # applied by the NEXT compaction into a fresh out_dir.
+    reuse_docstore = bool(glob.glob(os.path.join(
+        ckpt.docstore_dir(out_dir), "**", "*.parquet"), recursive=True))
     n_docs = 0
     total_tokens = 0
     dead_refs, dict_refs = {}, {}
@@ -150,8 +159,17 @@ def compact_index(index_dir: str, out_dir: str) -> dict:
         dead_refs[s] = ray.put(dead)
         sdir = ckpt.docstore_shard_dir(index_dir, s)
         out_sdir = ckpt.docstore_shard_dir(out_dir, s)
-        os.makedirs(out_sdir, exist_ok=True)
-        if os.path.isdir(sdir):
+        if reuse_docstore:
+            out_t = (pq.read_table(out_sdir, columns=["doc_len"])
+                     if os.path.isdir(out_sdir) and any(
+                         f.endswith(".parquet")
+                         for f in os.listdir(out_sdir)) else None)
+            if out_t is not None:
+                n_docs += out_t.num_rows
+                total_tokens += int(
+                    pa.compute.sum(out_t["doc_len"]).as_py() or 0)
+        elif os.path.isdir(sdir):
+            os.makedirs(out_sdir, exist_ok=True)
             t = pq.read_table(sdir)
             ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
             pos = np.searchsorted(dead, ids)
@@ -237,6 +255,31 @@ def ingest_documents(index_dir: str, source, *, keep_cols=None,
             c for c in pq.read_schema(frag[0]).names
             if c not in core) if frag else ()
     base = workdir or (index_dir.rstrip("/") + ".ingest")
+    # stale-scratch guard: a crashed ingest leaves ``base`` holding a
+    # fully/partly _DONE delta of ITS OWN source, and build_index's stage-1
+    # resume tag covers config, not the source — without this marker a
+    # later ingest of a DIFFERENT batch would silently resume (and merge)
+    # the previous batch's delta instead of indexing the new one.
+    src_id = source if isinstance(source, str) else repr(source)
+    try:
+        src_mtime = (os.path.getmtime(source)
+                     if isinstance(source, str) and os.path.exists(source)
+                     else 0)
+    except OSError:
+        src_mtime = 0
+    src_marker = os.path.join(base, "_SOURCE.json")
+    want_src = {"source": src_id, "mtime": src_mtime}
+    if os.path.isdir(base):
+        try:
+            with open(src_marker) as f:
+                have_src = json.load(f)
+        except (OSError, ValueError):
+            have_src = None
+        if have_src != want_src:
+            shutil.rmtree(base, ignore_errors=True)
+    os.makedirs(base, exist_ok=True)
+    with open(src_marker, "w") as f:
+        json.dump(want_src, f)
     delta = os.path.join(base, "delta")
     merged = os.path.join(base, "merged")
     builder(source, delta, cfg, keep_cols=tuple(keep_cols),

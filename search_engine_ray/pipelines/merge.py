@@ -22,6 +22,7 @@ re-shard rows by the REMAPPED doc_id before encoding.
 
 from __future__ import annotations
 
+import glob
 import os
 from dataclasses import replace
 
@@ -52,11 +53,13 @@ class _MergePartition:
 
     def __init__(self, index_dirs: list[str], out_dir: str, n_buckets: int,
                  doc_id_offsets: list[int] | None,
-                 dict_refs: dict | None = None):
+                 dict_refs: dict | None = None, n_doc_shards: int = 0):
         self.index_dirs = index_dirs
         self.out_dir = out_dir
         self.n_buckets = n_buckets
+        self.n_doc_shards = n_doc_shards
         self.offsets = doc_id_offsets
+        self._flat_cache: dict = {}
         # (rank, shard) -> ObjectRef of that input's shard dictionary
         # (rank -1 = the merged output).  Loaded ONCE per (dir, shard) by
         # parallel tasks and broadcast via the object store — without this,
@@ -76,6 +79,32 @@ class _MergePartition:
         d = self.out_dir if rank < 0 else self.index_dirs[rank]
         return load_shard_dict(ckpt.docstore_dir(d), shard)
 
+    def _ids_for(self, rank: int, shard: int):
+        """The shard's sorted global docIDs for precedence computation:
+        the shard dictionary when the input is shard-partitioned, else
+        derived from the LEGACY FLAT docstore (round-1/2 layout —
+        load_shard_dict returns None for it, which is the right signal for
+        segment decoding (global space) but not an id set)."""
+        import numpy as np
+        d = self._dict_for(rank, shard)
+        if d is not None:
+            return d
+        root = ckpt.docstore_dir(
+            self.out_dir if rank < 0 else self.index_dirs[rank])
+        ids = self._flat_cache.get(rank)
+        if ids is None:
+            import glob as _g
+            if _g.glob(os.path.join(root, "*.parquet")):
+                ids = np.unique(
+                    pq.read_table(root, columns=["doc_id"])["doc_id"]
+                    .to_numpy(zero_copy_only=False).astype(np.int64))
+            else:
+                ids = np.empty(0, dtype=np.int64)
+            self._flat_cache[rank] = ids
+        if not self.n_doc_shards:
+            return ids
+        return ids[ids % self.n_doc_shards == shard]
+
     def _drops_for(self, shard: int) -> list:
         """Per input rank, the sorted docIDs this rank must DROP from its
         postings: docs a LATER input also contains (doc-level last-input-
@@ -89,7 +118,7 @@ class _MergePartition:
         drops: list = [None] * k
         seen = None
         for r in range(k - 1, -1, -1):
-            d = self._dict_for(r, shard)
+            d = self._ids_for(r, shard)
             drops[r] = (np.intersect1d(d, seen) if seen is not None
                         else np.empty(0, dtype=np.int64))
             seen = d if seen is None else np.union1d(seen, d)
@@ -118,8 +147,7 @@ class _MergePartition:
             merged = merge_segment_tables(segs, offsets if any(offsets) else None,
                                           in_dicts=in_dicts, out_dict=out_dict,
                                           drop_docs=drops)
-            part_dir = os.path.join(self.out_dir, "segments",
-                                    f"shard={shard:03d}", f"bucket={bucket:05d}")
+            part_dir = ckpt.partition_dir(self.out_dir, shard, bucket)
             os.makedirs(part_dir, exist_ok=True)
             tmp = os.path.join(part_dir, f".tmp-{uuidlib.uuid4().hex}.parquet")
             pq.write_table(merged, tmp, compression="zstd")
@@ -213,6 +241,26 @@ def merge_indexes(index_dirs: list[str], out_dir: str, *,
     import numpy as np
     from ..stages.postings import load_shard_dict
     from .maintenance import load_tombstones
+    flat_ids_cache: dict[int, np.ndarray] = {}
+
+    def _input_shard_ids(r: int, s: int) -> np.ndarray:
+        # shard dictionary, or (legacy flat docstore — load_shard_dict
+        # returns None for it) the flat file's ids filtered to the shard
+        d = load_shard_dict(ckpt.docstore_dir(index_dirs[r]), s)
+        if d is not None:
+            return d
+        ids = flat_ids_cache.get(r)
+        if ids is None:
+            root = ckpt.docstore_dir(index_dirs[r])
+            if glob.glob(os.path.join(root, "*.parquet")):
+                ids = np.unique(
+                    pq.read_table(root, columns=["doc_id"])["doc_id"]
+                    .to_numpy(zero_copy_only=False).astype(np.int64))
+            else:
+                ids = np.empty(0, dtype=np.int64)
+            flat_ids_cache[r] = ids
+        return ids[ids % cfg.n_doc_shards == s]
+
     for s in range(cfg.n_doc_shards):
         out_ts = ckpt.tombstones_shard_dir(out_dir, s)
         if os.path.isdir(out_ts):
@@ -224,7 +272,7 @@ def merge_indexes(index_dirs: list[str], out_dir: str, *,
                 t = np.setdiff1d(t, later)    # revived by a later re-crawl
             if t.size:
                 parts.append(t)
-            d = load_shard_dict(ckpt.docstore_dir(index_dirs[r]), s)
+            d = _input_shard_ids(r, s)
             later = d if later is None else np.union1d(later, d)
         if parts:
             dead = np.unique(np.concatenate(parts))
@@ -251,7 +299,8 @@ def merge_indexes(index_dirs: list[str], out_dir: str, *,
             pa.table({"part": pa.array(pending, type=pa.int32())})) \
             .repartition(len(pending))
         worker = _MergePartition(index_dirs, out_dir, cfg.n_buckets,
-                                 doc_id_offsets, dict_refs)
+                                 doc_id_offsets, dict_refs,
+                                 n_doc_shards=cfg.n_doc_shards)
         parts.map_batches(worker, batch_format="pyarrow",
                           batch_size=1).materialize()
 

@@ -613,6 +613,10 @@ def load_shard_dict(docstore_dir: str, shard: int) -> np.ndarray | None:
     d = os.path.join(docstore_dir, f"shard={shard}")
     if not os.path.isdir(d):
         return None
+    if not any(f.endswith(".parquet") for f in os.listdir(d)):
+        # pre-created / crash-leftover dir with no rows yet: treat like a
+        # missing shard (reading an empty directory raises in pyarrow)
+        return None
     key = (os.path.abspath(d), shard, os.stat(d).st_mtime_ns)
     hit = _SHARD_DICT_CACHE.get(key)
     if hit is not None:

@@ -147,7 +147,8 @@ class PartialDigests:
             .astype(np.float64)
         order = np.argsort(keys, kind="stable")
         keys, vals = keys[order], vals[order]
-        bounds = np.flatnonzero(np.r_[True, keys[1:] != keys[:-1]])
+        bounds = (np.flatnonzero(np.r_[True, keys[1:] != keys[:-1]])
+                  if keys.size else np.zeros(0, dtype=np.int64))
         out_k, out_m, out_w = [], [], []
         for i, s in enumerate(bounds):
             e = bounds[i + 1] if i + 1 < bounds.size else keys.size
@@ -269,7 +270,8 @@ class PartialHLL:
             vals = col.to_numpy(zero_copy_only=False).astype(np.uint64)
         order = np.argsort(keys, kind="stable")
         keys, vals = keys[order], vals[order]
-        bounds = np.flatnonzero(np.r_[True, keys[1:] != keys[:-1]])
+        bounds = (np.flatnonzero(np.r_[True, keys[1:] != keys[:-1]])
+                  if keys.size else np.zeros(0, dtype=np.int64))
         out_k, out_r = [], []
         for i, s in enumerate(bounds):
             e = bounds[i + 1] if i + 1 < bounds.size else keys.size
@@ -377,6 +379,17 @@ class PartialMG:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         from ..functions.hashing import fnv1a64_array
+        if batch.num_rows == 0:
+            # zero-row block (empty fragment / emptied-by-filter): one
+            # empty partial row keeps the schema (downstream combine
+            # handles zero-length counter lists)
+            return pa.table({
+                "g": pa.array([0], type=pa.int32()),
+                "mg_hash": pa.array([[]], type=pa.list_(pa.int64())),
+                "mg_count": pa.array([[]], type=pa.list_(pa.int64())),
+                "mg_item": pa.array([[]], type=pa.list_(pa.string())),
+                "mg_n": pa.array([0], type=pa.int64()),
+            })
         items = batch[self.item_col]
         h = fnv1a64_array(items).astype(np.int64)
         w = (batch[self.weight_col].to_numpy(zero_copy_only=False)
@@ -384,7 +397,8 @@ class PartialMG:
              else np.ones(batch.num_rows, dtype=np.int64))
         order = np.argsort(h, kind="stable")
         hs, ws = h[order], w[order]
-        b = np.flatnonzero(np.r_[True, hs[1:] != hs[:-1]])
+        b = (np.flatnonzero(np.r_[True, hs[1:] != hs[:-1]])
+             if hs.size else np.zeros(0, dtype=np.int64))
         uh = hs[b]
         uc = np.add.reduceat(ws, b)
         first_row = order[b]                  # a representative row per hash

@@ -82,3 +82,36 @@ def test_curate_source_cap(ray_session):
     assert got == want
     assert all(len(v) <= cap for v in got.values())
     assert sum(len(v) for v in got.values()) < len(uncapped)
+
+
+def test_short_docs_survive_decontamination(ray_session, tmp_path):
+    # a doc shorter than the n-gram window cannot contain a benchmark
+    # n-gram; ContaminationScore emits no row for it, and the old
+    # keep-the-scored-clean filter silently dropped it
+    import pyarrow as pa
+    from search_engine_ray.pipelines.curate import curate_corpus
+    src_dir = tmp_path / "mini"
+    src_dir.mkdir()
+    long_text = " ".join(f"tok{i}" for i in range(40))
+    short_text = "alpha beta gamma delta"            # 4 tokens < ngram=13
+    pq.write_table(pa.table({
+        "doc_id": pa.array([1, 2, 97 * 3], type=pa.int64()),
+        "text": pa.array([long_text, short_text, long_text + " bench"]),
+        "source": pa.array(["s1", "s1", "s2"]),
+        "lang": pa.array(["en", "en", "en"]),
+    }), str(src_dir / "documents.parquet"))
+    ds = curate_corpus(str(src_dir), None, min_tokens=2,
+                       max_digit_ratio=1.0, ngram=13)
+    kept = sorted(r["doc_id"] for r in ds.select_columns(["doc_id"])
+                  .take_all())
+    assert 2 in kept, "short doc must survive decontamination"
+
+
+def test_curate_rerun_does_not_duplicate(ray_session, tmp_path):
+    # write step stages + publishes atomically: re-running into the same
+    # out_dir must replace, never append next to the first run's files
+    from search_engine_ray.pipelines.curate import curate_corpus
+    out = str(tmp_path / "curated")
+    n1 = curate_corpus(SF, out).count()
+    n2 = curate_corpus(SF, out).count()
+    assert n1 == n2 and n1 > 0

@@ -435,3 +435,113 @@ def test_federated_equals_merged_index(two_indexes, ray_session):
         assert [d for d, _ in got] == [d for d, _ in want], q
         for (_, gs), (_, ws) in zip(got, want):
             assert gs == pytest.approx(ws, abs=1e-9), q
+
+
+def test_ingest_discards_stale_scratch_of_other_source(ray_session,
+                                                       tmp_path):
+    """A crashed ingest's scratch (fully _DONE delta of batch A) must NOT
+    be resumed by a later ingest of batch B — the _SOURCE marker guards
+    the base dir (build_index's stage-1 tag covers config, not source)."""
+    from search_engine_ray.pipelines.build import build_index
+    from search_engine_ray.pipelines.maintenance import ingest_documents
+    from search_engine_ray.pipelines.query import QueryEngine
+    from search_engine_ray.state.checkpoint import IndexConfig
+
+    cfg = IndexConfig(n_buckets=4, n_doc_shards=2, salt_hot_terms=False)
+    p_base = str(tmp_path / "base.parquet")
+    pq.write_table(pa.table({
+        "doc_id": pa.array([1, 2], type=pa.int64()),
+        "text": pa.array(["base alpha text", "base beta text"])}), p_base)
+    idx = str(tmp_path / "idx")
+    build_index(p_base, idx, cfg)
+
+    # simulate a crashed ingest of batch A: its delta is fully built in
+    # the scratch base (marker recorded for A)
+    import json as _json
+    p_a = str(tmp_path / "batch_a.parquet")
+    pq.write_table(pa.table({
+        "doc_id": pa.array([10], type=pa.int64()),
+        "text": pa.array(["stale aardvark document"])}), p_a)
+    base = idx + ".ingest"
+    os.makedirs(base, exist_ok=True)
+    build_index(p_a, os.path.join(base, "delta"), cfg)
+    with open(os.path.join(base, "_SOURCE.json"), "w") as f:
+        _json.dump({"source": p_a, "mtime": os.path.getmtime(p_a)}, f)
+
+    # now ingest batch B — the stale A delta must be discarded
+    p_b = str(tmp_path / "batch_b.parquet")
+    pq.write_table(pa.table({
+        "doc_id": pa.array([20], type=pa.int64()),
+        "text": pa.array(["fresh bumblebee document"])}), p_b)
+    ingest_documents(idx, p_b)
+
+    qe = QueryEngine(idx, num_searchers=2, use_actors=False)
+    assert [d for d, _ in qe.query("bumblebee", 5)] == [20]
+    assert qe.query("aardvark", 5) == []      # batch A never merged
+
+
+def test_merge_with_legacy_flat_docstore_input(ray_session, tmp_path):
+    """merge_indexes must handle an input whose docstore is the legacy
+    FLAT (non-shard-partitioned) layout: precedence drops and tombstone
+    carry-forward derive per-shard ids from the flat file."""
+    import shutil
+    from search_engine_ray.pipelines.build import build_index
+    from search_engine_ray.pipelines.merge import merge_indexes
+    from search_engine_ray.pipelines.query import QueryEngine
+    from search_engine_ray.state import checkpoint as ckpt
+    from search_engine_ray.state.checkpoint import IndexConfig
+
+    cfg = IndexConfig(n_buckets=4, n_doc_shards=2, salt_hot_terms=False)
+    p1 = str(tmp_path / "a.parquet")
+    p2 = str(tmp_path / "b.parquet")
+    pq.write_table(pa.table({
+        "doc_id": pa.array([1, 2, 3], type=pa.int64()),
+        "text": pa.array(["old crocodile text", "old dingo text",
+                          "shared elephant text"])}), p1)
+    pq.write_table(pa.table({
+        "doc_id": pa.array([3, 4], type=pa.int64()),
+        "text": pa.array(["new elephant recrawled", "new flamingo text"])}),
+        p2)
+    idx1, idx2 = str(tmp_path / "i1"), str(tmp_path / "i2")
+    build_index(p1, idx1, cfg)
+    build_index(p2, idx2, cfg)
+
+    # downgrade idx1's docstore to the legacy flat layout: one parquet
+    # file, no shard=K subdirs (load_shard_dict then returns None), and
+    # re-encode its segments in GLOBAL docid space via a fresh build
+    # without a docstore dictionary — simplest faithful approximation:
+    # flatten the docstore files only; segments stay local-space and
+    # decode through... so instead rebuild idx1 the way round-1/2 did is
+    # not possible — flatten AND drop the shard dirs, then verify merge
+    # still computes drops/tombstones (segments keep decoding via the
+    # in-dict=None global path only if their metadata says global, so
+    # keep this test focused on the docstore-shape crash).
+    from search_engine_ray.stages.postings import (decode_segment_to_rows,
+                                                   encode_postings_table,
+                                                   load_shard_dict)
+    store = ckpt.docstore_dir(idx1)
+    dicts = {s: load_shard_dict(store, s) for s in range(cfg.n_doc_shards)}
+    # 1. segments back to GLOBAL docid space (what round-1/2 indexes wrote)
+    for s in range(cfg.n_doc_shards):
+        for b in range(cfg.n_buckets):
+            f = os.path.join(ckpt.partition_dir(idx1, s, b),
+                             "postings.parquet")
+            if not os.path.exists(f):
+                continue
+            rows = decode_segment_to_rows(pq.read_table(f), dicts[s])
+            pq.write_table(encode_postings_table(rows), f)
+    # 2. docstore to ONE flat parquet, no shard=K subdirs
+    flat = pq.read_table(store)
+    if "shard" in flat.column_names:
+        flat = flat.drop_columns(["shard"])
+    shutil.rmtree(store)
+    os.makedirs(store)
+    pq.write_table(flat, os.path.join(store, "docstore.parquet"))
+    out = str(tmp_path / "merged")
+    try:
+        merge_indexes([idx1, idx2], out)
+    except TypeError as e:
+        raise AssertionError(f"legacy flat docstore crashed merge: {e}")
+    qe = QueryEngine(out, num_searchers=2, use_actors=False)
+    assert [d for d, _ in qe.query("flamingo", 5)] == [4]
+    assert [d for d, _ in qe.query("recrawled", 5)] == [3]
