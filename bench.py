@@ -201,14 +201,19 @@ def main() -> None:
     # co-tenant, not the engine — retry once, keep the faster attempt, and
     # report the discarded attempt (its wall time is excluded from `value`
     # below so a co-tenant storm doesn't inflate the headline; both
-    # attempts stay visible in the JSON)
+    # attempts stay visible in the JSON).  The second trigger is the other
+    # contamination mode this host exhibits: a degraded memory phase
+    # (first-touch probe < 2 GB/s at build start, steal ≈ 0 — BASELINE.md's
+    # "host memory phase", which doubled the r3 driver build while leaving
+    # cache-resident queries untouched).
     discarded = None
-    if build["steal_pct"] > 3.0:
+    if build["steal_pct"] > 3.0 or build["fault_gbps"] < 2.0:
         retry = bench_index_build(pages_dir, bench_idx)
         worse, build = ((retry, build) if build["sec"] <= retry["sec"]
                         else (build, retry))
         discarded = {"sec": round(worse["sec"], 3),
-                     "steal_pct": worse["steal_pct"]}
+                     "steal_pct": worse["steal_pct"],
+                     "fault_gbps": worse["fault_gbps"]}
     out["index_build"] = round(build["sec"], 3)
 
     lat = bench_query_latency(bench_idx)
