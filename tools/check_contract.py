@@ -6,7 +6,11 @@ SQL in DuckDB over the same parquet tables, then compares row count, column
 names, and order-insensitive values (rows sorted by all columns, columns
 sorted by name).  Usage::
 
-    python tools/check_contract.py [sf_dir] [query ...]
+    python tools/check_contract.py [sf_dir] [--json out.json] [query ...]
+
+``--json`` writes a per-query machine-readable record (status, rows,
+timings) — committed per round as ``SWEEP_r{N}.json`` so the full-catalog
+result on final code is inspectable beyond the driver's 50-query sample.
 """
 
 from __future__ import annotations
@@ -50,8 +54,14 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    argv = list(sys.argv[1:])
+    json_out = None
+    if "--json" in argv:
+        i = argv.index("--json")
+        json_out = argv[i + 1]
+        del argv[i:i + 2]
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
+    only = set(argv[1:])
     sys.path.insert(0, "/root/repo")
     import ray
     if not ray.is_initialized():
@@ -68,7 +78,15 @@ def main() -> int:
 
     qs, oracles = entrymod.queries(), entrymod.oracle_sql()
     failures = 0
+    records: dict[str, dict] = {}
     t_sweep = time.time()
+
+    def fail(name: str, msg: str) -> None:
+        nonlocal failures
+        print(f"FAIL {name}: {msg}")
+        failures += 1
+        records[name] = {"status": "FAIL", "detail": msg[:400]}
+
     for name, fn in qs.items():
         if only and name not in only:
             continue
@@ -76,49 +94,56 @@ def main() -> int:
         try:
             got = canon(to_pandas(fn(sf_dir)))
         except Exception as e:
-            print(f"FAIL {name}: query raised {type(e).__name__}: {e}")
-            failures += 1
+            fail(name, f"query raised {type(e).__name__}: {e}")
             continue
         dt = time.time() - t0
         sql = oracles.get(name)
         if sql is None:
             print(f"ok   {name}: rows-only ({len(got)} rows, {dt:.1f}s)")
+            records[name] = {"status": "rows_only", "rows": len(got),
+                             "ray_s": round(dt, 2)}
             continue
         t1 = time.time()
         try:
             want = canon(con.execute(sql).fetchdf())
         except Exception as e:
-            print(f"FAIL {name}: oracle SQL raised {type(e).__name__}: {e}")
-            failures += 1
+            fail(name, f"oracle SQL raised {type(e).__name__}: {e}")
             continue
         dt_sql = time.time() - t1
         if list(got.columns) != list(want.columns):
-            print(f"FAIL {name}: columns {list(got.columns)} != {list(want.columns)}")
-            failures += 1
+            fail(name, f"columns {list(got.columns)} != {list(want.columns)}")
             continue
         if len(got) != len(want):
-            print(f"FAIL {name}: rows {len(got)} != {len(want)}")
-            failures += 1
+            fail(name, f"rows {len(got)} != {len(want)}")
             continue
         if [str(t) for t in got.dtypes] != [str(t) for t in want.dtypes]:
             # the driver's value hash is dtype-sensitive (int64 vs float64
             # HUGEINT artifacts showed as hash mismatches in round 1)
-            print(f"FAIL {name}: dtypes {list(map(str, got.dtypes))} != "
-                  f"{list(map(str, want.dtypes))}")
-            failures += 1
+            fail(name, f"dtypes {list(map(str, got.dtypes))} != "
+                       f"{list(map(str, want.dtypes))}")
             continue
         try:
             pd.testing.assert_frame_equal(got, want, check_dtype=False,
                                           check_exact=False, atol=1e-6, rtol=0)
         except AssertionError as e:
-            print(f"FAIL {name}: values differ: {str(e)[:400]}")
-            failures += 1
+            fail(name, f"values differ: {str(e)[:400]}")
             continue
         print(f"ok   {name}: MATCH ({len(got)} rows, ray {dt:.1f}s, "
               f"sql {dt_sql:.1f}s)")
+        records[name] = {"status": "MATCH", "rows": len(got),
+                         "ray_s": round(dt, 2), "sql_s": round(dt_sql, 2)}
     n_run = len([n for n in qs if not only or n in only])
+    wall = time.time() - t_sweep
     print(f"\n{failures} failures; {n_run} queries swept in "
-          f"{time.time() - t_sweep:.1f}s total")
+          f"{wall:.1f}s total")
+    if json_out:
+        import json as _json
+        payload = {"sf_dir": sf_dir, "n_queries": n_run,
+                   "failures": failures, "wall_s": round(wall, 1),
+                   "queries": records}
+        with open(json_out, "w") as f:
+            _json.dump(payload, f, indent=1, sort_keys=True)
+        print(f"wrote {json_out}")
     return 1 if failures else 0
 
 
