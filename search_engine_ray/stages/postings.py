@@ -537,8 +537,12 @@ class FragmentSpiller:
                 order = np.argsort(key)
             else:
                 order = np.lexsort((dvals, tvals, pvals))
+            # either branch leaves term codes ASCENDING within each part
+            # run — the per-slice dictionary compaction below exploits that
+            presorted_terms = True
         else:
             order = np.argsort(pvals, kind="stable")
+            presorted_terms = False
         postings = postings.take(pa.array(order))
         pvals = pvals[order]
         starts = np.flatnonzero(np.r_[True, np.diff(pvals) != 0])
@@ -582,9 +586,21 @@ class FragmentSpiller:
                     arr = col.combine_chunks() \
                         if isinstance(col, pa.ChunkedArray) else col
                     codes = arr.indices.to_numpy(zero_copy_only=False)
-                    uniq, inv = np.unique(codes, return_inverse=True)
+                    if presorted_terms and f_.name == "term" and codes.size:
+                        # presorted slice: term codes ascend, so compaction
+                        # is run-boundary detection — O(n), no argsort (the
+                        # np.unique below was the spiller's hottest loop:
+                        # 128 slices × sort per block)
+                        newrun = np.empty(codes.size, dtype=bool)
+                        newrun[0] = True
+                        np.not_equal(codes[1:], codes[:-1], out=newrun[1:])
+                        inv = np.cumsum(newrun, dtype=np.int32) - 1
+                        uniq = codes[newrun]
+                    else:
+                        uniq, inv = np.unique(codes, return_inverse=True)
+                        inv = inv.astype(np.int32)
                     compact = pa.DictionaryArray.from_arrays(
-                        pa.array(inv.astype(np.int32)),
+                        pa.array(inv),
                         arr.dictionary.take(pa.array(uniq)))
                     sl = sl.set_column(i, f_.name, compact)
                 else:
