@@ -32,6 +32,11 @@ def varint_encode_with_sizes(values: np.ndarray) -> tuple[bytes, np.ndarray]:
     vals = np.asarray(values, dtype=np.uint64)
     if vals.size == 0:
         return b"", np.zeros(0, dtype=np.int64)
+    if int(vals.max()) < 128:
+        # all-1-byte fast path (the common case for tf columns and dense
+        # local-docID deltas): the encoding IS the byte cast
+        return (vals.astype(np.uint8).tobytes(),
+                np.ones(vals.shape, dtype=np.int64))
     # bytes needed per value: smallest k with value < 128**k
     nbytes = np.ones(vals.shape, dtype=np.int64)
     threshold = np.uint64(128)
@@ -46,7 +51,11 @@ def varint_encode_with_sizes(values: np.ndarray) -> tuple[bytes, np.ndarray]:
         threshold = threshold << np.uint64(7)
     starts = np.cumsum(nbytes) - nbytes
     out = np.zeros(int(nbytes.sum()), dtype=np.uint8)
-    for k in range(int(nbytes.max())):
+    # k = 0 writes EVERY value (nbytes >= 1 always) — index by starts
+    # directly instead of materializing an all-true mask's indices
+    out[starts] = ((vals & np.uint64(0x7F)).astype(np.uint8)
+                   | ((nbytes > 1).astype(np.uint8) << 7))
+    for k in range(1, int(nbytes.max())):
         mask = nbytes > k
         chunk = (vals[mask] >> np.uint64(7 * k)) & np.uint64(0x7F)
         cont = (nbytes[mask] > k + 1).astype(np.uint8) << 7

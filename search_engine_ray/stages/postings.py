@@ -182,15 +182,32 @@ def encode_postings_table(group: pa.Table,
         codes = dic.indices.to_numpy(zero_copy_only=False)
         return rank_of_dic[codes], by_str, d
 
+    def _sort2(hi_keys: np.ndarray, hi_max: int) -> np.ndarray:
+        """argsort by (hi_keys, doc_id): one packed-uint64 STABLE argsort
+        (numpy radix for ints) when the key widths fit — always true in
+        LOCAL docID space, where ids < shard size — else the 2-pass stable
+        lexsort.  Stability matters only for duplicate (field, term, doc)
+        rows, which tokenize output never produces, but both paths must
+        order ties identically so global- and local-space encodes of the
+        same input stay byte-equal."""
+        db = int(doc_id.max()).bit_length() if n else 0
+        hb = hi_max.bit_length()
+        if hb + db <= 63:
+            return np.argsort((hi_keys.astype(np.uint64) << np.uint64(db))
+                              | doc_id, kind="stable")
+        return np.lexsort((doc_id.view(np.int64), hi_keys))
+
     t_keys, t_rank_to_dic, t_dict = _string_ranks(term)
     if has_field:
         f_keys, f_rank_to_dic, f_dict = _string_ranks(field)
-        order = np.lexsort((doc_id.view(np.int64), t_keys, f_keys))
+        tmax = int(t_keys.max()) if n else 0
+        combined = f_keys * np.int64(tmax + 1) + t_keys
+        order = _sort2(combined, int(f_keys.max()) * (tmax + 1) + tmax)
         f_codes = f_keys[order]
     else:
         f_dict = pa.array(["text"], type=pa.string())
         f_rank_to_dic = np.zeros(1, dtype=np.int64)
-        order = np.lexsort((doc_id.view(np.int64), t_keys))
+        order = _sort2(t_keys, int(t_keys.max()) if n else 0)
         f_codes = np.zeros(n, dtype=np.int64)
     t_codes = t_keys[order]
     doc_id, tf = doc_id[order], tf[order]
