@@ -137,6 +137,27 @@ class TestVarint:
         ids = np.arange(10_000, dtype=np.uint64) * 3 + 5
         assert len(delta_encode(ids)) < ids.nbytes / 4
 
+    @given(st.lists(st.integers(min_value=0, max_value=2**64 - 1),
+                    max_size=100))
+    @settings(max_examples=200, deadline=None)
+    def test_bytes_match_per_value_leb128(self, vals):
+        # pins the all-under-128 fast path byte-equal to the generic path:
+        # encoded bytes and per-value sizes must equal a scalar LEB128
+        def leb(v):
+            out = bytearray()
+            while True:
+                b, v = v & 0x7F, v >> 7
+                out.append(b | (0x80 if v else 0))
+                if not v:
+                    return bytes(out)
+        from search_engine_ray.functions.varint import (
+            varint_encode_with_sizes)
+        arr = np.array(vals, dtype=np.uint64)
+        packed, sizes = varint_encode_with_sizes(arr)
+        want = b"".join(leb(int(v)) for v in vals)
+        assert packed == want
+        assert sizes.tolist() == [len(leb(int(v))) for v in vals]
+
     def test_concatenated_streams_decode_in_one_pass(self):
         # the searcher decodes a whole segment's posting lists as ONE
         # concatenated stream (values are self-delimiting) — the mostly-
