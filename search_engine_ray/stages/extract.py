@@ -25,14 +25,37 @@ _UNESCAPES = [("&#39;", "'"), ("&quot;", '"'), ("&gt;", ">"),
               ("&lt;", "<"), ("&amp;", "&")]
 
 
+def _list_edge(sp: pa.ListArray, *, last: bool) -> pa.Array:
+    """First (or last) element of each list in a NON-NULL ListArray —
+    ``list_element`` accepts only scalar indices, so select via the raw
+    offsets + one take."""
+    import numpy as np
+    off = np.frombuffer(sp.buffers()[1], np.int32)[
+        sp.offset: sp.offset + len(sp) + 1]
+    idx = (off[1:] - 1) if last else off[:-1]
+    return sp.values.take(pa.array(idx))
+
+
 def extract_text_array(html: pa.Array | pa.ChunkedArray) -> pa.Array:
     """``html:binary`` → extracted ``text:string`` (vectorized)."""
     if isinstance(html, pa.ChunkedArray):
         html = html.combine_chunks()
     s = html.cast(pa.string())  # corpus HTML is valid UTF-8 by construction
-    # keep only the <article> body
-    s = pc.replace_substring_regex(s, r"(?s)^.*?<article><p>", "")
-    s = pc.replace_substring_regex(s, r"(?s)</p></article>.*$", "")
+    # keep only the <article> body.  Anchors are literals, so two
+    # max_splits=1 splits + edge selection replace the anchored regex
+    # scans (memmem vs RE2 over the whole doc — 210 → 143 ms per 25k-doc
+    # block, byte-identical incl. anchorless rows, where the 1-element
+    # list's last==first element is the unchanged string).
+    if s.null_count == 0:
+        sp = pc.split_pattern(s, "<article><p>", max_splits=1)
+        tail = _list_edge(sp, last=True)
+        sp2 = pc.split_pattern(tail, "</p></article>", max_splits=1)
+        s = _list_edge(sp2, last=False)
+    else:
+        # null rows make the offset edge-selection ill-defined; the regex
+        # path propagates nulls as nulls (rare: corpus html is non-null)
+        s = pc.replace_substring_regex(s, r"(?s)^.*?<article><p>", "")
+        s = pc.replace_substring_regex(s, r"(?s)</p></article>.*$", "")
     # paragraph boundaries → ground-truth separator
     s = pc.replace_substring(s, "</p><p>", "\n\n")
     # entity unescape on the dirty-row SUBSET only: every entity starts
