@@ -120,7 +120,8 @@ def _binary_from_slices(packed: bytes, byte_offsets: np.ndarray) -> pa.Array:
 
 
 def encode_postings_table(group: pa.Table,
-                          doc_dict: np.ndarray | None = None) -> pa.Table:
+                          doc_dict: np.ndarray | None = None, *,
+                          ids_are_local: bool = False) -> pa.Table:
     """One partition's ``(term, field?, doc_id, tf)`` rows → SEGMENT_SCHEMA.
 
     Fully vectorized; no per-term Python loop.  A ``doc_len`` column, if
@@ -131,6 +132,11 @@ def encode_postings_table(group: pa.Table,
     each posting's global docID is replaced by its position in ``doc_dict``
     before delta+varint packing.  Every group docID must be present in the
     dictionary (postings and docstore rows come from the same tokenize pass).
+
+    ``ids_are_local=True`` (requires ``doc_dict``) declares the ``doc_id``
+    column ALREADY holds local ids (``resolve_fragment_docids`` with a
+    shard dict) — the per-row mapping is skipped, the local-space metadata
+    still applies.
     """
     n = group.num_rows
     space = b"local" if doc_dict is not None else b"global"
@@ -147,7 +153,7 @@ def encode_postings_table(group: pa.Table,
     field = group["field"].combine_chunks() if has_field else None
     term = group["term"].combine_chunks()
     doc_id = group["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-    if doc_dict is not None:
+    if doc_dict is not None and not ids_are_local:
         local = np.searchsorted(doc_dict, doc_id)
         ok = (local < doc_dict.size)
         ok[ok] = doc_dict[local[ok]] == doc_id[ok]
@@ -688,17 +694,62 @@ def _load_block_dict(tmp_dir: str, tag: str) -> np.ndarray:
     return arr
 
 
-def resolve_fragment_docids(t: pa.Table, tmp_dir: str,
-                            frag_name: str) -> pa.Table:
-    """Reconstruct global ``doc_id`` for a fragment spilled with block-local
-    ``doc_idx`` indices (no-op for legacy raw-docID fragments)."""
+_LOCAL_DICT_CACHE: dict[tuple, np.ndarray] = {}
+_LOCAL_DICT_CACHE_MAX = 64
+
+
+def _block_to_local(tmp_dir: str, tag: str, doc_dict: np.ndarray,
+                    dict_key) -> np.ndarray:
+    """Block dictionary → SHARD-LOCAL id per entry (-1 = not in this shard's
+    dictionary).  Cached per (block, shard): the expensive searchsorted runs
+    over the ~25k-entry block dict ONCE, and every fragment of that block
+    landing on this worker (one per term bucket of the shard) reuses it —
+    vs one binary search per posting ROW, the encode stage's former
+    per-partition hotspot (≈0.12 s per 1M rows, cache-miss bound)."""
+    key = (tmp_dir, tag, dict_key)
+    hit = _LOCAL_DICT_CACHE.get(key)
+    if hit is not None:
+        return hit
+    dic = _load_block_dict(tmp_dir, tag)
+    pos = np.searchsorted(doc_dict, dic)
+    ok = pos < doc_dict.size
+    ok[ok] = doc_dict[pos[ok]] == dic[ok]
+    local = np.where(ok, pos, -1).astype(np.int64)
+    if len(_LOCAL_DICT_CACHE) >= _LOCAL_DICT_CACHE_MAX:
+        _LOCAL_DICT_CACHE.pop(next(iter(_LOCAL_DICT_CACHE)))
+    _LOCAL_DICT_CACHE[key] = local
+    return local
+
+
+def resolve_fragment_docids(t: pa.Table, tmp_dir: str, frag_name: str,
+                            doc_dict: np.ndarray | None = None,
+                            dict_key=None) -> pa.Table:
+    """Reconstruct ``doc_id`` for a fragment spilled with block-local
+    ``doc_idx`` indices (no-op for legacy raw-docID fragments).
+
+    With ``doc_dict`` (the owning shard's sorted unique global docIDs,
+    keyed for caching by ``dict_key``): emit SHARD-LOCAL ids directly via
+    the cached block→local map; rows whose docID is absent from the shard
+    dictionary raise (same contract as ``encode_postings_table``'s check).
+    Without it: emit global ids (legacy / dict-less callers)."""
     if "doc_idx" not in t.column_names:
         return t
     tag = frag_name[len("frag-"):].rsplit(".", 1)[0]
-    dic = _load_block_dict(tmp_dir, tag)
     idx = t["doc_idx"].to_numpy(zero_copy_only=False)
     di = t.column_names.index("doc_idx")
-    t = t.set_column(di, "doc_id", pa.array(dic[idx], type=pa.int64()))
+    if doc_dict is not None:
+        local = _block_to_local(tmp_dir, tag, doc_dict, dict_key)
+        vals = local[idx]
+        if vals.size and int(vals.min()) < 0:
+            n_bad = int((vals < 0).sum())
+            raise ValueError(
+                f"{n_bad} posting docIDs absent from the shard docstore "
+                "dictionary — postings and docstore must come from the "
+                "same build pass")
+        t = t.set_column(di, "doc_id", pa.array(vals, type=pa.int64()))
+    else:
+        dic = _load_block_dict(tmp_dir, tag)
+        t = t.set_column(di, "doc_id", pa.array(dic[idx], type=pa.int64()))
     if not pa.types.is_int32(t["tf"].type):
         # tf may have shrunk to uint16 in the fragment; normalize so
         # cross-block concat always sees one schema
@@ -731,22 +782,40 @@ class FragmentEncoder:
                             if f.startswith("frag-"))
                      if os.path.isdir(part_dir) else [])
             n_frags = len(frags)
-            # feather is the current fragment format; parquet fragments can
-            # coexist when resuming a stage1 spilled by an older build
-            parts_tables = [
-                resolve_fragment_docids(
-                    feather.read_table(os.path.join(part_dir, f))
-                    if f.endswith(".feather")
-                    else pq.read_table(os.path.join(part_dir, f)),
-                    self.tmp_dir, f)
-                for f in frags]
-            rows = (pa.concat_tables(parts_tables, promote_options="default")
-                    if parts_tables else None)
-            t_read = time.time()
             shard, bucket = ckpt.split_part(part, self.n_buckets)
             doc_dict = (load_shard_dict(self.docstore_dir, shard)
                         if self.docstore_dir else None)
-            seg = encode_postings_table(rows, doc_dict) if rows is not None \
+            # resolve block-local doc_idx straight to SHARD-LOCAL ids (the
+            # cached per-(block, shard) map) so encode skips its per-row
+            # global→local binary search; key the cache by content-ish
+            # identity (docstore dirs are immutable once published)
+            dkey = (None if doc_dict is None else
+                    (self.docstore_dir, shard, doc_dict.size,
+                     int(doc_dict[-1]) if doc_dict.size else -1))
+            # feather is the current fragment format; parquet fragments can
+            # coexist when resuming a stage1 spilled by an older build
+            raw_tables = [
+                feather.read_table(os.path.join(part_dir, f))
+                if f.endswith(".feather")
+                else pq.read_table(os.path.join(part_dir, f))
+                for f in frags]
+            # pre-localize only when EVERY fragment carries doc_idx — a mix
+            # with legacy raw-docID fragments (resume across formats) keeps
+            # global ids throughout and lets encode do its own mapping
+            use_local = (doc_dict is not None and bool(raw_tables) and
+                         all("doc_idx" in t.column_names
+                             for t in raw_tables))
+            parts_tables = [
+                resolve_fragment_docids(t, self.tmp_dir, f,
+                                        doc_dict if use_local else None,
+                                        dkey)
+                for t, f in zip(raw_tables, frags)]
+            rows = (pa.concat_tables(parts_tables, promote_options="default")
+                    if parts_tables else None)
+            t_read = time.time()
+            seg = encode_postings_table(rows, doc_dict,
+                                        ids_are_local=use_local) \
+                if rows is not None \
                 else encode_postings_table(pa.table(
                     {"term": pa.array([], type=pa.string()),
                      "doc_id": pa.array([], type=pa.int64()),
