@@ -328,6 +328,8 @@ class SegmentSearcher:
         # scores plus per-block (first_docid, max_score) — ~1/BLOCK the
         # score vector, count-capped LRU
         self._block_cache: OrderedDict[str, tuple] = OrderedDict()
+        # reused dense-union accumulator (see _union_scores)
+        self._dense_buf: np.ndarray | None = None
         self._cache_bytes = 0
         # per-metadata-field doc→group multimaps for collapsed search,
         # built lazily on first use (see _group_map)
@@ -404,14 +406,29 @@ class SegmentSearcher:
         doc's contributions in term order — identical floats."""
         m = sum(p[0].size for p in parts)
         if parts and m >= (len(self._docs) >> 3) and len(parts) > 1:
-            dense = np.zeros(len(self._docs), dtype=np.float64)
-            for ids, sc in parts:
-                # ids are unique within a term (one posting per doc), so
-                # the fused gather-add is exact — and ~2× cheaper than a
-                # sort-merge at head-term sizes
-                dense[ids] += sc
-            hits = np.flatnonzero(dense > 0.0)  # contributions are > 0
-            return hits, dense[hits]
+            # REUSED per-searcher accumulator: a fresh np.zeros(n_docs)
+            # per query faults ~n_docs/512 pages each time (3 MB at a
+            # 400k-doc shard) — the dominant per-query cost on this
+            # fault-slow host.  The buffer is restored to all-zeros by
+            # resetting exactly the touched entries (``hits`` lists every
+            # one: contributions are > 0); any failure discards it.
+            dense = self._dense_buf
+            if dense is None or dense.size != len(self._docs):
+                dense = self._dense_buf = np.zeros(len(self._docs),
+                                                   dtype=np.float64)
+            try:
+                for ids, sc in parts:
+                    # ids are unique within a term (one posting per doc), so
+                    # the fused gather-add is exact — and ~2× cheaper than a
+                    # sort-merge at head-term sizes
+                    dense[ids] += sc
+                hits = np.flatnonzero(dense > 0.0)  # contributions are > 0
+                out = dense[hits]          # fancy index → fresh array
+                dense[hits] = 0.0
+            except BaseException:
+                self._dense_buf = None     # buffer state unknown — drop it
+                raise
+            return hits, out
         return sparse_union([p[0] for p in parts], [p[1] for p in parts])
 
     def search(self, terms: list[str], k: int = 10
