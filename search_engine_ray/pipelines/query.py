@@ -410,8 +410,10 @@ class SegmentSearcher:
             # per query faults ~n_docs/512 pages each time (3 MB at a
             # 400k-doc shard) — the dominant per-query cost on this
             # fault-slow host.  The buffer is restored to all-zeros by
-            # resetting exactly the touched entries (``hits`` lists every
-            # one: contributions are > 0); any failure discards it.
+            # re-scattering 0.0 through the SAME per-part id lists the add
+            # loop used — correct for any scorer sign (a zero/negative
+            # contribution can't strand residue the way a ``dense > 0``
+            # reset mask would); any failure discards the buffer.
             dense = self._dense_buf
             if dense is None or dense.size != len(self._docs):
                 dense = self._dense_buf = np.zeros(len(self._docs),
@@ -422,9 +424,10 @@ class SegmentSearcher:
                     # the fused gather-add is exact — and ~2× cheaper than a
                     # sort-merge at head-term sizes
                     dense[ids] += sc
-                hits = np.flatnonzero(dense > 0.0)  # contributions are > 0
+                hits = np.flatnonzero(dense != 0.0)
                 out = dense[hits]          # fancy index → fresh array
-                dense[hits] = 0.0
+                for ids, _sc in parts:
+                    dense[ids] = 0.0
             except BaseException:
                 self._dense_buf = None     # buffer state unknown — drop it
                 raise

@@ -787,11 +787,21 @@ class FragmentEncoder:
                         if self.docstore_dir else None)
             # resolve block-local doc_idx straight to SHARD-LOCAL ids (the
             # cached per-(block, shard) map) so encode skips its per-row
-            # global→local binary search; key the cache by content-ish
-            # identity (docstore dirs are immutable once published)
-            dkey = (None if doc_dict is None else
-                    (self.docstore_dir, shard, doc_dict.size,
-                     int(doc_dict[-1]) if doc_dict.size else -1))
+            # global→local binary search; key the cache by content identity:
+            # size + last docID + the shard directory mtime_ns (same key
+            # component _SHARD_DICT_CACHE uses), so a docstore republished
+            # at the same path with equal size/max-docID but different
+            # interior content cannot serve a stale block→local map
+            if doc_dict is None:
+                dkey = None
+            else:
+                sdir = os.path.join(self.docstore_dir, f"shard={shard}")
+                try:
+                    mt = os.stat(sdir).st_mtime_ns
+                except OSError:
+                    mt = -1
+                dkey = (self.docstore_dir, shard, mt, doc_dict.size,
+                        int(doc_dict[-1]) if doc_dict.size else -1)
             # feather is the current fragment format; parquet fragments can
             # coexist when resuming a stage1 spilled by an older build
             raw_tables = [

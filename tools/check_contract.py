@@ -58,6 +58,10 @@ def main() -> int:
     json_out = None
     if "--json" in argv:
         i = argv.index("--json")
+        if i + 1 >= len(argv):
+            sys.stderr.write(
+                "usage: check_contract.py [sf_dir] [--json OUT] [query ...]\n")
+            return 2
         json_out = argv[i + 1]
         del argv[i:i + 2]
     sf_dir = argv[0] if argv else "/root/testdata/sf0.01"

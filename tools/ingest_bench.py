@@ -98,6 +98,24 @@ def main() -> None:
     t0 = time.time()
     hits = qe.query("market stock price", k=10)
     t_q = time.time() - t0
+    # the docstring's contract: a post-ingest query must surface delta docs.
+    # Every delta doc is a score-tied content twin of a base doc (same
+    # generator, re-keyed url), so the top-10 can legitimately be all base
+    # docs — widen to k=40 and require at least one hit whose docstore url
+    # carries the '?ingest=1' suffix, failing loudly if the merge silently
+    # dropped every delta posting.
+    from search_engine_ray.cli import docstore_lookup
+    wide = qe.query("market stock price", k=40)
+    delta_hits = 0
+    for doc_id, _score in wide:
+        row = docstore_lookup(idx, doc_id)
+        if row and "?ingest=1" in str(row.get("url", "")):
+            delta_hits += 1
+    if delta_hits == 0:
+        raise SystemExit(
+            f"ingest verification failed: none of the {len(wide)} widened "
+            f"top-k hits is a delta doc (url suffix '?ingest=1') — the "
+            f"merged index is not serving delta postings")
     import pyarrow.parquet as pq
     n_docs = sum(
         pq.read_metadata(f).num_rows
@@ -114,6 +132,7 @@ def main() -> None:
                                      / t_ingest, 1),
         "post_ingest_docstore_docs": n_docs,
         "first_query_sec": round(t_q, 2), "query_hits": len(hits),
+        "delta_hits_in_top40": delta_hits,
         "ingest_stats": {k: v for k, v in (stats or {}).items()
                          if isinstance(v, (int, float, str))},
         "num_cpus": args.num_cpus}))
