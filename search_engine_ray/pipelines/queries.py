@@ -4161,6 +4161,50 @@ def q_embedding_quantize(sf_dir: str):
     return ds.map_batches(QuantizeEmbeddings(), batch_format="pyarrow")
 
 
+# semantic_dedup oracle (VERDICT r4 item 5): first-k centroids make the
+# whole pipeline deterministic AND SQL-expressible — assignment is a
+# correlated argmax over the 8 centroid rows; the greedy keep-lowest-id
+# pass is a per-cell recursive CTE whose state row carries the kept
+# embedding list forward one rank at a time (list_transform + lambda
+# recomputes max-cosine-vs-kept exactly as greedy_semantic_keep does).
+# Cosine margins in the testdata are ~1e-3 between neighboring pairs vs
+# ~1e-15 float-expression noise, so keep decisions can't flip.
+SQL_SEMANTIC_DEDUP = """
+WITH RECURSIVE cent AS (
+    SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cemb
+    FROM embeddings ORDER BY vec_id LIMIT 8
+), centn AS (
+    SELECT CAST(row_number() OVER (ORDER BY cid) - 1 AS INTEGER) AS cell,
+           cemb
+    FROM cent
+), asg AS (
+    SELECT e.vec_id, CAST(e.embedding AS DOUBLE[]) AS emb,
+           (SELECT c.cell FROM centn c
+            ORDER BY list_cosine_similarity(
+                CAST(e.embedding AS DOUBLE[]), c.cemb) DESC, c.cell ASC
+            LIMIT 1) AS cell
+    FROM embeddings e
+), ranked AS (
+    SELECT vec_id, emb, cell,
+           row_number() OVER (PARTITION BY cell ORDER BY vec_id) AS rn
+    FROM asg
+), greedy AS (
+    SELECT cell, CAST(0 AS BIGINT) AS rn, CAST(NULL AS BIGINT) AS vec_id,
+           FALSE AS keep, CAST([] AS DOUBLE[][]) AS kept
+    FROM (SELECT DISTINCT cell FROM ranked)
+    UNION ALL
+    SELECT r.cell, r.rn, r.vec_id,
+           (len(g.kept) = 0 OR list_max(list_transform(g.kept,
+                x -> list_cosine_similarity(x, r.emb))) < 0.4) AS keep,
+           CASE WHEN (len(g.kept) = 0 OR list_max(list_transform(g.kept,
+                x -> list_cosine_similarity(x, r.emb))) < 0.4)
+                THEN list_append(g.kept, r.emb) ELSE g.kept END AS kept
+    FROM greedy g JOIN ranked r ON r.cell = g.cell AND r.rn = g.rn + 1
+)
+SELECT vec_id, cell, keep FROM greedy WHERE rn > 0 ORDER BY vec_id
+"""
+
+
 SQL_EMBEDDING_QUANTIZE = """
 WITH e AS (
   SELECT vec_id, unnest(embedding)::DOUBLE AS x FROM embeddings),
@@ -4799,26 +4843,58 @@ SEMDEDUP_MAX_CELL_FLOATS = 64_000_000
 
 def q_semantic_dedup(sf_dir: str, *, n_cells: int = 8,
                      threshold: float = 0.4, seed: int = 42,
+                     centroids="first_k",
                      max_cell_floats: int = SEMDEDUP_MAX_CELL_FLOATS):
     """SemDeDup (Abbas et al. 2023): semantic near-dup pruning by
-    k-means-cluster-then-greedy-dedup.  Centroids train on a seeded
-    UNBIASED sample (``ivf.sample_vectors`` — whole-file strided, not the
-    head); every vector assigns to its cell in one broadcast-centroid
-    ``map_batches`` (vectors ride the rows, ``carry_vec`` pattern); the
-    greedy keep-lowest-id dedup runs INSIDE ``groupby(cell)`` — no
-    all-pairs, no driver collection.  Cross-cluster near-dups are missed
-    by construction (the SemDeDup tradeoff: candidate scope = cell).
-    PARTITIONING ASSUMPTION: one cell ≈ corpus/n_cells rows fits a worker
-    — ENFORCED via ``max_cell_floats`` (raises with the n_cells remedy
-    instead of silently OOMing, same pattern as the quantile group cap).
-    Seeded k-means → rows-only check; golden-pinned in
-    tests/test_golden_snapshots.py, semantics in test_training_ops.py."""
+    cluster-then-greedy-dedup.  Every vector assigns to its cell in one
+    broadcast-centroid ``map_batches`` (vectors ride the rows,
+    ``carry_vec`` pattern); the greedy keep-lowest-id dedup runs INSIDE
+    ``groupby(cell)`` — no all-pairs, no driver collection.  Cross-cluster
+    near-dups are missed by construction (the SemDeDup tradeoff: candidate
+    scope = cell).  PARTITIONING ASSUMPTION: one cell ≈ corpus/n_cells rows
+    fits a worker — ENFORCED via ``max_cell_floats`` (raises with the
+    n_cells remedy instead of silently OOMing, same pattern as the
+    quantile group cap).
+
+    ``centroids`` selects the centroid source (VERDICT r4 item 5):
+
+    - ``"first_k"`` (default, the catalog/oracle path): the ``n_cells``
+      lowest-vec_id embeddings, L2-normalized — deterministic AND
+      SQL-reproducible, so assignment + greedy keep are value-checked by
+      the DuckDB oracle (``SQL_SEMANTIC_DEDUP``: recursive-CTE greedy).
+      Selection is a two-phase distributed head (per-block k-smallest →
+      bounded k×blocks driver reduce), never a full sort.
+    - ``"train"``: seeded sampled k-means (``ivf.train_centroids``) — the
+      production SemDeDup shape; not SQL-expressible, golden-pinned as
+      ``semantic_dedup_kmeans`` in tests/test_golden_snapshots.py,
+      semantics in test_training_ops.py.
+    - an ``np.ndarray``: precomputed centroids, used as given.
+    """
     from ..stages.ivf import AssignCells, sample_vectors, train_centroids
     from ..stages.similarity import _vectors_from_batch, greedy_semantic_keep
     path = os.path.join(sf_dir, "embeddings.parquet")
-    cents = train_centroids(
-        sample_vectors(path, "embedding", 2048, seed=seed), n_cells,
-        seed=seed)
+    if isinstance(centroids, np.ndarray):
+        cents = np.asarray(centroids, dtype=np.float64)
+    elif centroids == "train":
+        cents = train_centroids(
+            sample_vectors(path, "embedding", 2048, seed=seed), n_cells,
+            seed=seed)
+    elif centroids == "first_k":
+        def _local_head(t: pa.Table) -> pa.Table:
+            idx = pc.sort_indices(t, sort_keys=[("vec_id", "ascending")])
+            return t.take(idx[:n_cells])
+        head = _collect_table(
+            ray.data.read_parquet(path, columns=["vec_id", "embedding"])
+            .map_batches(_local_head, batch_format="pyarrow"))
+        head = head.take(pc.sort_indices(
+            head, sort_keys=[("vec_id", "ascending")])[:n_cells])
+        cents = _vectors_from_batch(head, "embedding").astype(np.float64)
+        # normalize so AssignCells' dot-argmax is a true cosine argmax
+        # (matching the oracle's list_cosine_similarity)
+        cents /= np.maximum(
+            np.linalg.norm(cents, axis=1, keepdims=True), 1e-30)
+    else:
+        raise ValueError(f"unknown centroids mode: {centroids!r}")
 
     def dedup_cell(g: pa.Table) -> pa.Table:
         g = g.take(pc.sort_indices(g["vec_id"]))
@@ -5417,8 +5493,11 @@ ORACLE_SQL = {
     "doc_chunks": SQL_DOC_CHUNKS,
     "sequence_packing": SQL_SEQUENCE_PACKING,
     "embedding_quantize": SQL_EMBEDDING_QUANTIZE,
+    # first-k deterministic centroids → assignment + greedy keep are fully
+    # value-checked (recursive-CTE greedy); the k-means-trained variant
+    # stays golden-pinned as semantic_dedup_kmeans
+    "semantic_dedup": SQL_SEMANTIC_DEDUP,
     # bpe_token_counts: iterative merge learning — golden-pinned
-    # semantic_dedup: seeded sampled k-means cells — golden-pinned
     # minhash_neardup / simhash_neardup / embedding_neardup / ivf_topk /
     # url_host_stats / boilerplate_removal / media_frame_stats /
     # event_value_quantiles_tdigest /

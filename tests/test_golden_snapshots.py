@@ -67,8 +67,11 @@ GOLDEN = {
     "bpe_token_counts":
         "b945124231646120c71190c4496989082881fdd5ec6077ef7ddbc77b5da53ed7",
     # seeded (seed=42) sampled k-means cells + greedy keep-lowest-id →
-    # deterministic regardless of batching (dedup sorts inside the cell)
-    "semantic_dedup":
+    # deterministic regardless of batching (dedup sorts inside the cell).
+    # The catalog's `semantic_dedup` now uses deterministic first-k
+    # centroids and is SQL-oracle-checked (SQL_SEMANTIC_DEDUP); this pin
+    # covers the k-means-TRAINED production path (centroids="train").
+    "semantic_dedup_kmeans":
         "b4fda3df83662bb91e712fbeaf5864ae95fd808ecfab90c05e28a6eaad6cc740",
     # doc_snippets graduated to a real SQL oracle (round 4): the excerpt is
     # rendered over the kept-token stream, which DuckDB rebuilds verbatim
@@ -93,9 +96,17 @@ def canonical_digest(result) -> str:
     return hashlib.sha256(body.encode()).hexdigest()
 
 
+def _overrides():
+    """Pinned variants that aren't catalog entries under the same name."""
+    from search_engine_ray.pipelines.queries import q_semantic_dedup
+    return {"semantic_dedup_kmeans":
+            lambda sf: q_semantic_dedup(sf, centroids="train")}
+
+
 @pytest.mark.parametrize("name", sorted(GOLDEN))
 def test_rows_only_query_snapshot(name, ray_session):
     from search_engine_ray.pipelines.queries import QUERIES
-    got = canonical_digest(QUERIES[name](SF))
+    fn = _overrides().get(name) or QUERIES[name]
+    got = canonical_digest(fn(SF))
     assert got == GOLDEN[name], (
         f"{name} snapshot changed: {got} (update GOLDEN if intentional)")
