@@ -451,7 +451,7 @@ def q_bm25_explain(sf_dir: str):
     is SQL-checked value-for-value)."""
     from .query import QueryEngine
     idx = _ensure_index(sf_dir)
-    qe = QueryEngine(idx, num_searchers=4, use_actors=True)
+    qe = _engine(idx)
     tbl = qe.explain(FLAGSHIP_QUERY, k=10)
     for col in ("idf", "contribution"):
         i = tbl.schema.get_field_index(col)
@@ -2402,6 +2402,33 @@ def _collect_table(ds: "ray.data.Dataset", schema: pa.Schema | None = None) -> p
     return pa.concat_tables(tables, promote_options="default")
 
 
+# per-process QueryEngine cache: the catalog's ~15 bm25-family queries each
+# need a 4-searcher actor pool over the SAME cached index — re-spawning the
+# actors (and re-loading segments in their __init__) per query cost ~1 s
+# each in the sweep.  Keyed by (index path, Ray job id, manifest mtime) so
+# a new Ray session or a rebuilt/ingested index gets fresh actors.
+_ENGINE_CACHE: dict[tuple, object] = {}
+
+
+def _engine(idx: str):
+    from .query import QueryEngine
+    job = ray.get_runtime_context().get_job_id() if ray.is_initialized() \
+        else "nojob"
+    try:
+        mt = os.stat(os.path.join(idx, "manifest.json")).st_mtime_ns
+    except OSError:
+        mt = -1
+    key = (idx, job, mt)
+    qe = _ENGINE_CACHE.get(key)
+    if qe is None:
+        for k in list(_ENGINE_CACHE):
+            if k[1] != job or (k[0] == idx and k[2] != mt):
+                del _ENGINE_CACHE[k]     # dead-session / stale-index actors
+        qe = _ENGINE_CACHE[key] = QueryEngine(idx, num_searchers=4,
+                                              use_actors=True)
+    return qe
+
+
 def _ensure_index(sf_dir: str) -> str:
     from .build import build_index
     from ..state.checkpoint import IndexConfig
@@ -2417,7 +2444,7 @@ def q_bm25_topk(sf_dir: str):
     """Flagship: segment-index build (cached) + actor-pool BM25 top-10."""
     from .query import QueryEngine
     idx = _ensure_index(sf_dir)
-    qe = QueryEngine(idx, num_searchers=4, use_actors=True)
+    qe = _engine(idx)
     res = qe.query(FLAGSHIP_QUERY, k=10)
     return pa.table({"rank": pa.array(range(len(res)), type=pa.int32()),
                      "doc_id": pa.array([d for d, _ in res], type=pa.int64()),
@@ -2676,7 +2703,7 @@ def q_bm25f_topk(sf_dir: str):
     before saturation (``SegmentSearcher.search_fielded``)."""
     from .query import QueryEngine
     idx = _ensure_titled_index(sf_dir)
-    qe = QueryEngine(idx, num_searchers=4, use_actors=True)
+    qe = _engine(idx)
     res = qe.fielded_query(FLAGSHIP_QUERY, k=10, title_weight=TITLE_WEIGHT)
     return pa.table({"rank": pa.array(range(len(res)), type=pa.int32()),
                      "doc_id": pa.array([d for d, _ in res], type=pa.int64()),
@@ -2739,7 +2766,7 @@ def q_mlt_topk(sf_dir: str, *, k: int = 10):
     from .query import QueryEngine
     from ..state import checkpoint as _ckpt
     idx = _ensure_index(sf_dir)
-    qe = QueryEngine(idx, num_searchers=4, use_actors=True)
+    qe = _engine(idx)
     want = pa.array([MLT_DOC_ID], type=pa.int64())
     rows = (_docs(sf_dir, ["doc_id", "text"])
             .map_batches(lambda t: t.filter(pc.is_in(t["doc_id"],
@@ -2818,7 +2845,7 @@ def q_prf_topk(sf_dir: str, *, k: int = 10):
     from .query import QueryEngine
     from ..state import checkpoint as _ckpt
     idx = _ensure_index(sf_dir)
-    qe = QueryEngine(idx, num_searchers=4, use_actors=True)
+    qe = _engine(idx)
     qterms = set(tokenize(FLAGSHIP_QUERY))
     base = qe.query(FLAGSHIP_QUERY, k=PRF_DOCS)
     want = pa.array(sorted(d for d, _ in base), type=pa.int64())
@@ -2903,7 +2930,7 @@ def q_hybrid_rrf(sf_dir: str, *, k: int = 10):
     from ..stages.similarity import CosineScorer, merge_topk
 
     idx = _ensure_index(sf_dir)
-    qe = QueryEngine(idx, num_searchers=4, use_actors=True)
+    qe = _engine(idx)
     bm = qe.query(FLAGSHIP_QUERY, k=RRF_LEG_K)
     bm_ranked = sorted(((round(s, 6), d) for d, s in bm),
                        key=lambda x: (-x[0], x[1]))
@@ -2976,7 +3003,7 @@ def q_bm25_boolean_topk(sf_dir: str, *, k: int = 10):
     live in its doc shard, so negation needs no cross-shard traffic."""
     from .query import QueryEngine
     idx = _ensure_index(sf_dir)
-    qe = QueryEngine(idx, num_searchers=4, use_actors=True)
+    qe = _engine(idx)
     res = qe.boolean_query(BOOLEAN_QUERY, k=k)
     return pa.table({"rank": pa.array(range(len(res)), type=pa.int32()),
                      "doc_id": pa.array([d for d, _ in res], type=pa.int64()),
@@ -3013,7 +3040,7 @@ def q_term_suggest(sf_dir: str, *, k: int = 10):
     table (``QueryEngine.suggest``)."""
     from .query import QueryEngine
     idx = _ensure_index(sf_dir)
-    qe = QueryEngine(idx, num_searchers=4, use_actors=True)
+    qe = _engine(idx)
     res = qe.suggest(SUGGEST_PREFIX, k=k)
     return pa.table({"term": pa.array([t for t, _ in res]),
                      "df": pa.array([d for _, d in res], type=pa.int64())})
@@ -3040,7 +3067,7 @@ def q_bm25_prefix_topk(sf_dir: str):
     core with the term predicate ``term LIKE 's%' OR term IN (...)``."""
     from .query import QueryEngine
     idx = _ensure_index(sf_dir)
-    qe = QueryEngine(idx, num_searchers=4, use_actors=True)
+    qe = _engine(idx)
     res = qe.prefix_query(PREFIX_QUERY, k=10)
     return pa.table({"rank": pa.array(range(len(res)), type=pa.int32()),
                      "doc_id": pa.array([d for d, _ in res], type=pa.int64()),
@@ -3095,7 +3122,7 @@ def q_bm25_topk_filtered(sf_dir: str):
     identically and facets afterwards."""
     from .query import QueryEngine
     idx = _ensure_fielded_index(sf_dir)
-    qe = QueryEngine(idx, num_searchers=4, use_actors=True)
+    qe = _engine(idx)
     res = qe.query_filtered(FLAGSHIP_QUERY, [FACET_FILTER], k=10)
     return pa.table({"rank": pa.array(range(len(res)), type=pa.int32()),
                      "doc_id": pa.array([d for d, _ in res], type=pa.int64()),
@@ -3123,7 +3150,7 @@ def q_bm25_topk_collapsed(sf_dir: str, *, k: int = 10):
     merge is n_searchers × n_groups rows — independent of corpus size."""
     from .query import QueryEngine
     idx = _ensure_fielded_index(sf_dir)
-    qe = QueryEngine(idx, num_searchers=4, use_actors=True)
+    qe = _engine(idx)
     res = qe.collapsed_query(FLAGSHIP_QUERY, COLLAPSE_FIELD, k=k)
     return pa.table({
         "rank": pa.array(range(len(res)), type=pa.int32()),
@@ -3227,7 +3254,7 @@ def q_phrase_topk(sf_dir: str):
     ``ord+1`` — value-checked end to end."""
     from .query import QueryEngine
     idx = _ensure_pos_index(sf_dir)
-    qe = QueryEngine(idx, num_searchers=4, use_actors=True)
+    qe = _engine(idx)
     res = qe.phrase_query(PHRASE_QUERY, k=10)
     return pa.table({"rank": pa.array(range(len(res)), type=pa.int32()),
                      "doc_id": pa.array([d for d, _ in res], type=pa.int64()),
@@ -3779,8 +3806,9 @@ def q_host_pagerank(sf_dir: str | None = None, *, n_pages: int = 2000,
     """Host-graph PageRank over the crawl-pages corpus: vectorized href
     extraction (``stages/webtext.ExtractLinks``) → ``(src_host, dst_host)``
     multi-edges → weighted edges via one groupby → distributed PageRank
-    (``stages/graph.pagerank``: edges stream, node-sized rank vector
-    broadcasts, dangling mass redistributed exactly).  Golden-pinned
+    (``stages/graph.pagerank``: fully partitioned — rank state is a
+    bucketed Dataset, per-iteration bucketed join, dangling mass a scalar
+    side-channel; nothing node-sized on the driver).  Golden-pinned
     (the link graph is corpus-seeded, not a testdata table); the pagerank
     kernel itself is oracle-checked by ``nation_trade_pagerank`` (SQL) and
     dense-power-iteration parity tests."""
@@ -3794,7 +3822,7 @@ def q_host_pagerank(sf_dir: str | None = None, *, n_pages: int = 2000,
              .groupby(["src_host", "dst_host"]).aggregate(Count())
              .rename_columns({"count()": "w"}))
     tbl = pagerank(edges, src="src_host", dst="dst_host", weight="w",
-                   iters=iters)
+                   iters=iters, n_buckets=4)
     return pa.table({"host": tbl["node"],
                      "rank": pc.round(tbl["rank"], 6)})
 
@@ -3823,7 +3851,13 @@ def q_nation_trade_pagerank(sf_dir: str, *, iters: int = PAGERANK_ITERS):
     supp = pq.read_table(os.path.join(sf_dir, "supplier.parquet"),
                          columns=["s_suppkey", "s_nationkey"])
     j = hash_join(li, orders, left_key="l_orderkey", right_key="o_orderkey",
-                  n_buckets=16)
+                  n_buckets=16,
+                  left_schema=pq.read_schema(
+                      os.path.join(sf_dir, "lineitem.parquet")).empty_table()
+                  .select(["l_orderkey", "l_suppkey"]).schema,
+                  right_schema=pq.read_schema(
+                      os.path.join(sf_dir, "orders.parquet")).empty_table()
+                  .select(["o_orderkey", "o_custkey"]).schema)
     j = broadcast_lookup(j, cust, key="o_custkey", dim_key="c_custkey")
     j = broadcast_lookup(j, supp, key="l_suppkey", dim_key="s_suppkey")
     edges = (j.groupby(["c_nationkey", "s_nationkey"]).aggregate(Count())
@@ -3832,7 +3866,8 @@ def q_nation_trade_pagerank(sf_dir: str, *, iters: int = PAGERANK_ITERS):
                  t.schema.get_field_index("w"), "w",
                  t["w"].cast(pa.float64())), batch_format="pyarrow"))
     tbl = pagerank(edges, src="c_nationkey", dst="s_nationkey", weight="w",
-                   iters=iters, damping=PAGERANK_DAMPING)
+                   iters=iters, damping=PAGERANK_DAMPING,
+                   n_buckets=4)
     return pa.table({"nation_key": tbl["node"].cast(pa.int64()),
                      "rank": pc.round(tbl["rank"], 6)})
 
@@ -4235,7 +4270,7 @@ def q_bm25_fuzzy_topk(sf_dir: str):
     core with a ``levenshtein(term, ...) <= 1`` predicate."""
     from .query import QueryEngine
     idx = _ensure_index(sf_dir)
-    qe = QueryEngine(idx, num_searchers=4, use_actors=True)
+    qe = _engine(idx)
     res = qe.fuzzy_query(FUZZY_QUERY, k=10)
     return pa.table({"rank": pa.array(range(len(res)), type=pa.int32()),
                      "doc_id": pa.array([d for d, _ in res], type=pa.int64()),
@@ -4273,6 +4308,9 @@ def q_order_revenue_topk(sf_dir: str, *, k: int = 10):
     column-pruned and every filter runs before its join so the exchanges
     carry only qualifying keys."""
     import datetime as dt
+
+    import pyarrow.parquet as pq
+
     from ..stages.join import hash_join
     cutoff = pa.scalar(dt.datetime(1998, 1, 1), type=pa.timestamp("us"))
 
@@ -4306,13 +4344,32 @@ def q_order_revenue_topk(sf_dir: str, *, k: int = 10):
 
     # explicit batch projection, not .select_columns: Ray 2.49's lazy
     # projection over a materialized dataset can report the un-projected
-    # schema from Dataset.schema() (defended in stages/join.py too)
+    # schema from Dataset.schema() (defended in stages/join.py too).
+    # Schema hints come from the parquet FILE metadata (pq.read_schema —
+    # no Ray execution) so the joins skip the lazy-lineage schema
+    # inference executions.
+    fsch = {f: pq.read_schema(os.path.join(sf_dir, f + ".parquet"))
+            for f in ("orders", "customer", "lineitem")}
+
+    def _sub(sch, names, extra=()):
+        fields = [sch.field(n) for n in names]
+        return pa.schema(fields + list(extra))
+
+    orders_sch = _sub(fsch["orders"], ["o_orderkey", "o_custkey",
+                                       "o_orderdate", "o_orderpriority"])
+    cust_sch = _sub(fsch["customer"], ["c_custkey"])
+    li_sch = _sub(fsch["lineitem"], ["l_orderkey"],
+                  [pa.field("rev", pa.float64())])
+    co_sch = _sub(fsch["orders"], ["o_orderkey", "o_orderdate",
+                                   "o_orderpriority"])
     co = hash_join(orders, cust, left_key="o_custkey",
-                   right_key="c_custkey", n_buckets=32).map_batches(
+                   right_key="c_custkey", n_buckets=32,
+                   left_schema=orders_sch, right_schema=cust_sch
+                   ).map_batches(
         lambda t: t.select(["o_orderkey", "o_orderdate", "o_orderpriority"]),
         batch_format="pyarrow")
     j = hash_join(li, co, left_key="l_orderkey", right_key="o_orderkey",
-                  n_buckets=32)
+                  n_buckets=32, left_schema=li_sch, right_schema=co_sch)
     out = (j.groupby(["l_orderkey", "o_orderdate", "o_orderpriority"])
            .aggregate(Sum("rev"))
            .rename_columns({"sum(rev)": "revenue"}))

@@ -22,6 +22,8 @@ and the constant edge table; both stream through the object store.
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pyarrow as pa
 
@@ -31,7 +33,7 @@ import ray.data
 def pagerank(edges: "ray.data.Dataset", *, damping: float = 0.85,
              iters: int = 5, src: str = "src", dst: str = "dst",
              weight: str | None = None, n_buckets: int = 16,
-             as_dataset: bool = False):
+             join_exchange: str | None = None, as_dataset: bool = False):
     """Weighted PageRank over an ``(src, dst[, weight])`` edge Dataset.
 
     Scale shape — FULLY PARTITIONED (VERDICT r4 item 2): rank state lives
@@ -115,7 +117,42 @@ def pagerank(edges: "ray.data.Dataset", *, damping: float = 0.85,
     d = float(damping)
     r0 = 1.0 / n
 
+    # Dangling-mass side-channel: the scalar Σ rank[outw == 0] is needed
+    # BEFORE each update, and a dedicated aggregate pass costs one full
+    # dataset execution per iteration (~0.5 s fixed overhead each at small
+    # scale; a full state pass at crawl scale).  On a single node the
+    # update tasks instead spill one tiny per-batch partial file
+    # (content-named → retry-idempotent, same scheme as the exchange
+    # spillers) during the materialize that builds the next state, and the
+    # driver sums the files.  On a multi-node topology (no shared /tmp —
+    # detected the same way the join exchange resolves) the aggregate pass
+    # is used instead.
+    import tempfile
+    import zlib
+    from .join import resolve_exchange
+    use_scratch = resolve_exchange("auto") == "fs"
+    scratch = tempfile.mkdtemp(prefix="serx_pr_dang_") if use_scratch \
+        else None
+
+    def _spill_dang(sub: str, t: pa.Table, val: float) -> None:
+        ddir = os.path.join(scratch, sub)
+        os.makedirs(ddir, exist_ok=True)
+        first = t["node"][0].as_py() if t.num_rows else ""
+        tag = zlib.crc32(f"{t.num_rows}-{first}".encode()) & 0xFFFFFFFF
+        tmp = os.path.join(ddir, f".tmp-{tag:08x}-{os.getpid()}")
+        with open(tmp, "w") as f:
+            f.write(repr(val))
+        os.replace(tmp, os.path.join(ddir, f"p-{tag:08x}"))
+
+    def _read_dang(sub: str) -> float:
+        ddir = os.path.join(scratch, sub)
+        return sum(float(open(os.path.join(ddir, f)).read())
+                   for f in os.listdir(ddir) if f.startswith("p-"))
+
     def _init_rank(t: pa.Table) -> pa.Table:
+        if use_scratch:
+            ow = t["outw"].to_numpy(zero_copy_only=False)
+            _spill_dang("r0", t, float(r0 * (ow == 0.0).sum()))
         return t.append_column(
             "rank", pa.array(np.full(t.num_rows, r0), type=pa.float64()))
 
@@ -149,28 +186,51 @@ def pagerank(edges: "ray.data.Dataset", *, damping: float = 0.85,
                          "c": pa.array(np.zeros(t.num_rows),
                                        type=pa.float64())})
 
-    for _ in range(iters):
-        dang = float(state.map_batches(
-            _dang_partial, batch_format="pyarrow").sum("d"))   # scalar only
-        coef = state.map_batches(_coef, batch_format="pyarrow")
-        msgs = (hash_join(edges, coef, left_key=src, right_key="node",
-                          n_buckets=n_buckets)
-                .map_batches(_contrib, batch_format="pyarrow"))
-        base = state.map_batches(_base, batch_format="pyarrow")
+    try:
+        dang = _read_dang("r0") if use_scratch else None
+        for it in range(iters):
+            if dang is None:     # multi-node: dedicated aggregate pass
+                dang = float(state.map_batches(
+                    _dang_partial, batch_format="pyarrow").sum("d"))
+            coef = state.map_batches(_coef, batch_format="pyarrow")
+            # join_exchange="groupby" composes the contribution join
+            # LAZILY into the update's single execution (no spill barrier
+            # — one driver-side execution per iteration); the default
+            # (auto) picks the fs exchange on a single node, which wins at
+            # full-corpus edge volumes but pays a ~1 s barrier per round.
+            # Schema hints skip the per-round lazy-schema inference
+            # executions (coef's schema is statically known).
+            msgs = (hash_join(edges, coef, left_key=src, right_key="node",
+                              n_buckets=n_buckets, exchange=join_exchange,
+                              left_schema=sch,
+                              right_schema=pa.schema([
+                                  pa.field("node", null_t),
+                                  pa.field("coef", pa.float64())]))
+                    .map_batches(_contrib, batch_format="pyarrow"))
+            base = state.map_batches(_base, batch_format="pyarrow")
+            sub = f"r{it + 1}"
 
-        def _update(t: pa.Table, _dang=dang) -> pa.Table:
-            c = t["sum(c)"].to_numpy(zero_copy_only=False)
-            rk = (1.0 - d) / n + d * (c + _dang / n)
-            ow = t["sum(outw)"].combine_chunks().cast(pa.float64()) \
-                if isinstance(t["sum(outw)"], pa.ChunkedArray) \
-                else t["sum(outw)"].cast(pa.float64())
-            return pa.table({"node": t["node"], "outw": ow,
-                             "rank": pa.array(rk, type=pa.float64())})
+            def _update(t: pa.Table, _dang=dang, _sub=sub) -> pa.Table:
+                c = t["sum(c)"].to_numpy(zero_copy_only=False)
+                rk = (1.0 - d) / n + d * (c + _dang / n)
+                ow = t["sum(outw)"].combine_chunks().cast(pa.float64()) \
+                    if isinstance(t["sum(outw)"], pa.ChunkedArray) \
+                    else t["sum(outw)"].cast(pa.float64())
+                if use_scratch:
+                    own = ow.to_numpy(zero_copy_only=False)
+                    _spill_dang(_sub, t, float(rk[own == 0.0].sum()))
+                return pa.table({"node": t["node"], "outw": ow,
+                                 "rank": pa.array(rk, type=pa.float64())})
 
-        state = (base.union(msgs)
-                 .groupby("node").aggregate(Sum("outw"), Sum("c"))
-                 .map_batches(_update, batch_format="pyarrow")
-                 .materialize())
+            state = (base.union(msgs)
+                     .groupby("node").aggregate(Sum("outw"), Sum("c"))
+                     .map_batches(_update, batch_format="pyarrow")
+                     .materialize())
+            dang = _read_dang(sub) if use_scratch else None
+    finally:
+        if scratch is not None:
+            import shutil
+            shutil.rmtree(scratch, ignore_errors=True)
 
     result = state.select_columns(["node", "rank"])
     if as_dataset:

@@ -259,7 +259,9 @@ def _check_collisions(ls: pa.Schema, rs: pa.Schema, right_key: str) -> None:
 def hash_join(left: "ray.data.Dataset", right: "ray.data.Dataset", *,
               left_key: str, right_key: str, n_buckets: int = 64,
               join_type: str = "inner", exchange: str | None = None,
-              hot_keys=None, salt: int = 8) -> "ray.data.Dataset":
+              hot_keys=None, salt: int = 8,
+              left_schema: pa.Schema | None = None,
+              right_schema: pa.Schema | None = None) -> "ray.data.Dataset":
     """Hash-partitioned equi-join.  ``n_buckets`` MUST be a power of two
     (bucket = key & (n_buckets-1)); size it so one bucket of the LARGER
     side fits a worker heap (~rows/n_buckets per group).  Column names must
@@ -278,8 +280,15 @@ def hash_join(left: "ray.data.Dataset", right: "ray.data.Dataset", *,
         exchange = os.environ.get("SERX_JOIN_EXCHANGE", "auto")
     exchange = resolve_exchange(exchange)
     salter = _Salter(hot_keys, salt) if hot_keys is not None else None
-    ls = left.schema(fetch_if_missing=True)
-    rs = right.schema(fetch_if_missing=True)
+    # explicit schema hints skip Dataset.schema(fetch_if_missing=True),
+    # which EXECUTES part of a lazy lineage to infer the schema — two
+    # avoidable mini-executions per join when both sides are lazy
+    # (VERDICT r4 item 6); the fs spillers still record the observed
+    # schema, so a wrong hint surfaces as a loud mismatch downstream
+    ls = left_schema if left_schema is not None \
+        else left.schema(fetch_if_missing=True)
+    rs = right_schema if right_schema is not None \
+        else right.schema(fetch_if_missing=True)
     ls = pa.schema(list(zip(ls.names, ls.types)))
     rs = pa.schema(list(zip(rs.names, rs.types)))
     _check_collisions(ls, rs, right_key)
