@@ -138,7 +138,7 @@ def q_doc_keywords(sf_dir: str, *, k: int = _DOC_KEYWORDS_K):
             "tfidf": pa.array(tfidf[order], type=pa.float64()),
             "rank": pa.array(np.arange(1, len(order) + 1), type=pa.int32())})
 
-    return joined.groupby("doc_id").map_groups(topk, batch_format="pyarrow")
+    return _map_key_groups(joined, "doc_id", topk)
 
 
 SQL_DOC_KEYWORDS = f"""
@@ -1106,7 +1106,7 @@ def q_user_retention(sf_dir: str):
             "day_offset": pa.array(off, type=pa.int64()),
         })
 
-    return (ds.groupby("user_id").map_groups(per_user, batch_format="pyarrow")
+    return (_map_key_groups(ds, "user_id", per_user)
             .groupby(["cohort_day", "day_offset"]).aggregate(Count())
             .rename_columns({"count()": "n_users"}))
 
@@ -1139,7 +1139,7 @@ def q_user_sessions(sf_dir: str, *, gap_s: int = 1800):
             "n_events": pa.array([group.num_rows], type=pa.int64()),
         })
 
-    return ds.groupby("user_id").map_groups(sessionize, batch_format="pyarrow")
+    return _map_key_groups(ds, "user_id", sessionize)
 
 
 SQL_USER_SESSIONS = """
@@ -1279,10 +1279,10 @@ def q_events_range_orders(sf_dir: str):
             "sum_value": pa.array(np.round(prefix[hi] - prefix[lo], 6),
                                   type=pa.float64())})
 
-    return (orders.map_batches(tag_orders, batch_format="pyarrow")
-            .union(events.map_batches(tag_events, batch_format="pyarrow"))
-            .groupby("user_id")
-            .map_groups(per_user, batch_format="pyarrow"))
+    return _map_key_groups(
+        orders.map_batches(tag_orders, batch_format="pyarrow")
+        .union(events.map_batches(tag_events, batch_format="pyarrow")),
+        "user_id", per_user)
 
 
 SQL_EVENTS_RANGE_ORDERS = """
@@ -1876,8 +1876,7 @@ def q_event_type_transitions(sf_dir: str):
         return pa.table({"prev_type": et.slice(0, len(et) - 1),
                          "event_type": et.slice(1)})
 
-    counts = (ds.groupby("user_id").map_groups(pairs,
-                                               batch_format="pyarrow")
+    counts = (_map_key_groups(ds, "user_id", pairs)
               .groupby(["prev_type", "event_type"])
               .aggregate(Count())
               .rename_columns({"count()": "n"}))
@@ -2400,6 +2399,52 @@ def _collect_table(ds: "ray.data.Dataset", schema: pa.Schema | None = None) -> p
     if not tables:
         return pa.table({}) if schema is None else schema.empty_table()
     return pa.concat_tables(tables, promote_options="default")
+
+
+def _map_key_groups(ds: "ray.data.Dataset", key: str, fn, *,
+                    n_buckets: int = 64) -> "ray.data.Dataset":
+    """``groupby(key).map_groups(fn)`` with BUCKET-level dispatch: fn still
+    receives one whole key-group per call (identical semantics), but Ray
+    sees only ``n_buckets`` hash-bucket groups instead of one per key —
+    at 10⁴-10⁵ distinct keys the per-group dispatch machinery (block
+    slicing, batch building, scheduling) dominated several catalog
+    queries (~1-2 s each at sf0.01).  Inside a bucket the groups are
+    recovered with one sort + run detection and fn is called per run;
+    zero-copy slices, one concat per bucket.  Output row order across
+    keys is unspecified (same as map_groups)."""
+    from ..functions.hashing import fnv1a64_array
+
+    def add_b(t: pa.Table) -> pa.Table:
+        kv = t[key]
+        kv = kv.combine_chunks() if isinstance(kv, pa.ChunkedArray) else kv
+        if pa.types.is_integer(kv.type):
+            k = kv.cast(pa.int64()).fill_null(0) \
+                .to_numpy(zero_copy_only=False)
+        else:
+            k = fnv1a64_array(kv).view(np.int64)
+        return t.append_column(
+            "__kb", pa.array(k & (n_buckets - 1)))
+
+    def per_bucket(g: pa.Table) -> pa.Table:
+        g = g.drop_columns(["__kb"])
+        order = pc.sort_indices(g[key])
+        g = g.take(order)
+        kv = g[key]
+        kv = kv.combine_chunks() if isinstance(kv, pa.ChunkedArray) else kv
+        if g.num_rows > 1:
+            neq = pc.not_equal(kv.slice(1), kv.slice(0, len(kv) - 1)) \
+                .to_numpy(zero_copy_only=False)
+            starts = np.r_[0, np.flatnonzero(neq) + 1]
+        else:
+            starts = np.array([0])
+        ends = np.append(starts[1:], g.num_rows)
+        outs = [fn(g.slice(int(s), int(e - s)))
+                for s, e in zip(starts, ends)]
+        outs = [o for o in outs if o.num_rows] or outs[:1]
+        return pa.concat_tables(outs, promote_options="default")
+
+    return (ds.map_batches(add_b, batch_format="pyarrow")
+            .groupby("__kb").map_groups(per_bucket, batch_format="pyarrow"))
 
 
 # per-process QueryEngine cache: the catalog's ~15 bm25-family queries each
@@ -3492,18 +3537,41 @@ def q_ngram_jaccard_pairs(sf_dir: str, *, k: int = _NGRAM_JACCARD_K,
                             "n_a": pa.array([], pa.int64()),
                             "n_b": pa.array([], pa.int64())})
 
-    def pairs_in_group(g: pa.Table) -> pa.Table:
+    # pair emission groups by COARSE bucket (shingle_hash & 63), not by
+    # shingle: GroupedData.map_groups dispatches one Python call per group,
+    # and at ~10^5 distinct shingles that per-group overhead dominated the
+    # query (~6 s of the sf0.01 sweep).  64 buckets → 64 vectorized calls;
+    # runs of equal shingle_hash are recovered inside each bucket with one
+    # lexsort + run detection, identical pairs emitted.
+    _NGRAM_PAIR_BUCKETS = 64
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        h = t["shingle_hash"].to_numpy(zero_copy_only=False)
+        return t.append_column(
+            "b", pa.array((h & (_NGRAM_PAIR_BUCKETS - 1)).astype(np.int64)))
+
+    def pairs_in_bucket(g: pa.Table) -> pa.Table:
+        h = g["shingle_hash"].to_numpy(zero_copy_only=False)
         ids = g["doc_id"].to_numpy(zero_copy_only=False)
-        if ids.size < 2 or (max_df is not None and ids.size > max_df):
-            return empty_pairs
         ns = g["n_sh"].to_numpy(zero_copy_only=False)
-        order = np.argsort(ids, kind="stable")
-        ids, ns = ids[order], ns[order]
-        iu = np.triu_indices(ids.size, k=1)
-        return pa.table({"doc_a": pa.array(ids[iu[0]]),
-                         "doc_b": pa.array(ids[iu[1]]),
-                         "n_a": pa.array(ns[iu[0]]),
-                         "n_b": pa.array(ns[iu[1]])})
+        order = np.lexsort((ids, h))     # doc ascending inside each run
+        h, ids, ns = h[order], ids[order], ns[order]
+        starts = np.flatnonzero(np.r_[True, h[1:] != h[:-1]])
+        ends = np.append(starts[1:], h.size)
+        da, db, na, nb = [], [], [], []
+        for s, e in zip(starts, ends):   # loops only over SHARED shingles
+            d = e - s
+            if d < 2 or (max_df is not None and d > max_df):
+                continue
+            iu, ju = np.triu_indices(d, k=1)
+            da.append(ids[s:e][iu]); db.append(ids[s:e][ju])
+            na.append(ns[s:e][iu]); nb.append(ns[s:e][ju])
+        if not da:
+            return empty_pairs
+        return pa.table({"doc_a": pa.array(np.concatenate(da)),
+                         "doc_b": pa.array(np.concatenate(db)),
+                         "n_a": pa.array(np.concatenate(na)),
+                         "n_b": pa.array(np.concatenate(nb))})
 
     def finish(t: pa.Table) -> pa.Table:
         inter = t["inter"].to_numpy(zero_copy_only=False).astype(np.float64)
@@ -3519,8 +3587,9 @@ def q_ngram_jaccard_pairs(sf_dir: str, *, k: int = _NGRAM_JACCARD_K,
 
     return (_docs(sf_dir, ["doc_id", "text"])
             .map_batches(shingles, batch_format="pyarrow")
-            .groupby("shingle_hash")
-            .map_groups(pairs_in_group, batch_format="pyarrow")
+            .map_batches(add_bucket, batch_format="pyarrow")
+            .groupby("b")
+            .map_groups(pairs_in_bucket, batch_format="pyarrow")
             .groupby(["doc_a", "doc_b", "n_a", "n_b"])
             .aggregate(Count())
             .rename_columns({"count()": "inter"})
@@ -4162,8 +4231,8 @@ def q_sequence_packing(sf_dir: str, *, capacity: int = 256,
                                  type=pa.int64()),
         })
 
-    return (ds.map_batches(add_stream, batch_format="pyarrow")
-            .groupby("stream").map_groups(pack, batch_format="pyarrow"))
+    return _map_key_groups(ds.map_batches(add_stream, batch_format="pyarrow"),
+                           "stream", pack)
 
 
 SQL_SEQUENCE_PACKING = f"""
@@ -4518,7 +4587,7 @@ def q_user_running_stats(sf_dir: str):
             "gap_s": pa.array(np.round(gap, 6), mask=np.isnan(gap)),
         })
 
-    return ds.groupby("user_id").map_groups(win, batch_format="pyarrow")
+    return _map_key_groups(ds, "user_id", win)
 
 
 SQL_USER_RUNNING_STATS = """
@@ -5044,8 +5113,7 @@ def q_user_mode_type(sf_dir: str):
                          "mode_type": g["event_type"],
                          "n": g["n"]})
 
-    return counts.groupby("user_id").map_groups(pick,
-                                                batch_format="pyarrow")
+    return _map_key_groups(counts, "user_id", pick)
 
 
 SQL_USER_MODE_TYPE = """
@@ -5086,7 +5154,7 @@ def q_user_moving_avg(sf_dir: str, *, w: int = _MAVG_W):
             "mavg": pa.array(np.round(s / cnt, 6)),
         })
 
-    return ds.groupby("user_id").map_groups(win, batch_format="pyarrow")
+    return _map_key_groups(ds, "user_id", win)
 
 
 SQL_USER_MOVING_AVG = f"""
