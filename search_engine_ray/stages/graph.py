@@ -186,6 +186,18 @@ def pagerank(edges: "ray.data.Dataset", *, damping: float = 0.85,
                          "c": pa.array(np.zeros(t.num_rows),
                                        type=pa.float64())})
 
+    coef_schema = pa.schema([pa.field("node", null_t),
+                             pa.field("coef", pa.float64())])
+    # On single-node/fs topologies the EDGE side of the per-round
+    # contribution join is spilled ONCE (PreparedJoinSide) instead of per
+    # iteration, and the join result stays lazy inside the update's
+    # execution — one big-side spill and one materialization saved per
+    # round (the dominant per-iteration cost at crawl-scale edge counts).
+    from .join import PreparedJoinSide
+    prep = None
+    if use_scratch and join_exchange in (None, "fs", "auto"):
+        prep = PreparedJoinSide(edges, key=src, n_buckets=n_buckets,
+                                schema=sch)
     try:
         dang = _read_dang("r0") if use_scratch else None
         for it in range(iters):
@@ -193,20 +205,16 @@ def pagerank(edges: "ray.data.Dataset", *, damping: float = 0.85,
                 dang = float(state.map_batches(
                     _dang_partial, batch_format="pyarrow").sum("d"))
             coef = state.map_batches(_coef, batch_format="pyarrow")
-            # join_exchange="groupby" composes the contribution join
-            # LAZILY into the update's single execution (no spill barrier
-            # — one driver-side execution per iteration); the default
-            # (auto) picks the fs exchange on a single node, which wins at
-            # full-corpus edge volumes but pays a ~1 s barrier per round.
             # Schema hints skip the per-round lazy-schema inference
             # executions (coef's schema is statically known).
-            msgs = (hash_join(edges, coef, left_key=src, right_key="node",
-                              n_buckets=n_buckets, exchange=join_exchange,
-                              left_schema=sch,
-                              right_schema=pa.schema([
-                                  pa.field("node", null_t),
-                                  pa.field("coef", pa.float64())]))
-                    .map_batches(_contrib, batch_format="pyarrow"))
+            joined = (prep.join(coef, right_key="node",
+                                right_schema=coef_schema)
+                      if prep is not None else
+                      hash_join(edges, coef, left_key=src,
+                                right_key="node", n_buckets=n_buckets,
+                                exchange=join_exchange, left_schema=sch,
+                                right_schema=coef_schema))
+            msgs = joined.map_batches(_contrib, batch_format="pyarrow")
             base = state.map_batches(_base, batch_format="pyarrow")
             sub = f"r{it + 1}"
 
@@ -228,6 +236,8 @@ def pagerank(edges: "ray.data.Dataset", *, damping: float = 0.85,
                      .materialize())
             dang = _read_dang(sub) if use_scratch else None
     finally:
+        if prep is not None:
+            prep.close()
         if scratch is not None:
             import shutil
             shutil.rmtree(scratch, ignore_errors=True)
@@ -330,16 +340,22 @@ def pagerank_broadcast(edges: "ray.data.Dataset", *, damping: float = 0.85,
                      "rank": pa.array(rank, type=pa.float64())})
 
 
-def _min_label_round(edges: "ray.data.Dataset", labels: "ray.data.Dataset",
+def _min_label_round(edges, labels: "ray.data.Dataset",
                      n_buckets: int) -> "ray.data.Dataset":
     """One propagation round: neighbor labels via edges⋈labels on ``src``,
-    then min(own, incoming) per node."""
+    then min(own, incoming) per node.  ``edges`` is either a Dataset or a
+    :class:`~.join.PreparedJoinSide` (the constant edge side spilled once
+    across rounds — see :func:`connected_components`)."""
     from ray.data.aggregate import Min
 
-    from .join import hash_join
-    msgs = (hash_join(edges, labels, left_key="src", right_key="node",
-                      n_buckets=n_buckets)
-            .select_columns(["dst", "label"])
+    from .join import PreparedJoinSide, hash_join
+    lbl_schema = pa.schema([pa.field("node", pa.int64()),
+                            pa.field("label", pa.int64())])
+    joined = (edges.join(labels, right_key="node", right_schema=lbl_schema)
+              if isinstance(edges, PreparedJoinSide) else
+              hash_join(edges, labels, left_key="src", right_key="node",
+                        n_buckets=n_buckets, right_schema=lbl_schema))
+    msgs = (joined.select_columns(["dst", "label"])
             .rename_columns({"dst": "node"}))
     return (labels.union(msgs)
             .groupby("node").aggregate(Min("label"))
@@ -365,19 +381,34 @@ def connected_components(pairs: pa.Table, *, max_iters: int = 25,
     nodes = np.unique(np.concatenate([a, b]))
     labels = ray.data.from_arrow(pa.table({"node": nodes, "label": nodes}))
 
-    prev_sum = int(nodes.sum())
-    for _ in range(max_iters):
-        labels = _min_label_round(edges, labels, n_buckets).materialize()
-        # labels only ever decrease → an unchanged SUM means a fixpoint
-        # (one tiny aggregate per round, no full comparison join)
-        cur_sum = int(labels.sum("label"))
-        if cur_sum == prev_sum:
-            break
-        prev_sum = cur_sum
-    else:
-        raise RuntimeError(
-            f"connected_components did not converge in {max_iters} rounds "
-            f"(component diameter exceeds the cap; raise max_iters)")
+    # spill the constant edge side once across all propagation rounds
+    # (single-node fs topologies; the groupby join handles multi-node)
+    from .join import PreparedJoinSide, resolve_exchange
+    side = edges
+    prep = None
+    if resolve_exchange("auto") == "fs":
+        prep = side = PreparedJoinSide(
+            edges, key="src", n_buckets=n_buckets,
+            schema=pa.schema([pa.field("src", pa.int64()),
+                              pa.field("dst", pa.int64())]))
+    try:
+        prev_sum = int(nodes.sum())
+        for _ in range(max_iters):
+            labels = _min_label_round(side, labels, n_buckets).materialize()
+            # labels only ever decrease → an unchanged SUM means a fixpoint
+            # (one tiny aggregate per round, no full comparison join)
+            cur_sum = int(labels.sum("label"))
+            if cur_sum == prev_sum:
+                break
+            prev_sum = cur_sum
+        else:
+            raise RuntimeError(
+                f"connected_components did not converge in {max_iters} "
+                f"rounds (component diameter exceeds the cap; raise "
+                f"max_iters)")
+    finally:
+        if prep is not None:
+            prep.close()
 
     out = pa.Table.from_pandas(
         labels.to_pandas(), preserve_index=False)  # bounded: pair-graph nodes

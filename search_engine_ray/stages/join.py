@@ -346,6 +346,90 @@ def _hash_join_fs(left, right, left_key, right_key, n_buckets, join_type,
         shutil.rmtree(scratch, ignore_errors=True)
 
 
+class PreparedJoinSide:
+    """Spilled LEFT side of an fs hash join, reusable across the rounds of
+    an iterative algorithm (PageRank, label propagation): the constant big
+    side is bucketed ONCE instead of re-spilled per iteration, and because
+    the scratch outlives the call, the per-round join result can stay LAZY
+    (``hash_join``'s fs path must materialize before its finally-cleanup)
+    — together that removes one full spill of the big side AND one
+    materialization round-trip per iteration.  Same shared-scratch
+    assumption as ``exchange="fs"`` (single node / node-shared scratch);
+    use :func:`hash_join` with ``exchange="groupby"`` on multi-node.
+
+    Call :meth:`close` when done (or use as a context manager); each
+    :meth:`join` deletes the previous round's right-side spill.
+    """
+
+    def __init__(self, ds: "ray.data.Dataset", *, key: str,
+                 n_buckets: int = 64, schema: pa.Schema | None = None):
+        assert n_buckets & (n_buckets - 1) == 0, \
+            "n_buckets must be a power of 2"
+        self.key = key
+        self.n_buckets = n_buckets
+        self.scratch = _join_scratch()
+        self._round = 0
+        sch = schema if schema is not None \
+            else ds.schema(fetch_if_missing=True)
+        sch = pa.schema(list(zip(sch.names, sch.types)))
+        ds.map_batches(_SideSpiller(self.scratch, 0, key, n_buckets),
+                       batch_format="pyarrow").materialize()
+        self.schema = self._observed(0, sch)
+
+    def _observed(self, side, fallback: pa.Schema) -> pa.Schema:
+        p = os.path.join(self.scratch, f"side{side}", "_schema.arrow")
+        if os.path.exists(p):
+            with open(p, "rb") as f:
+                return pa.ipc.read_schema(pa.BufferReader(f.read()))
+        return fallback
+
+    def join(self, right: "ray.data.Dataset", *, right_key: str,
+             join_type: str = "inner",
+             right_schema: pa.Schema | None = None) -> "ray.data.Dataset":
+        rs = right_schema if right_schema is not None \
+            else right.schema(fetch_if_missing=True)
+        rs = pa.schema(list(zip(rs.names, rs.types)))
+        _check_collisions(self.schema, rs, right_key)
+        prev, self._round = self._round, self._round + 1
+        if prev:
+            shutil.rmtree(os.path.join(self.scratch, f"side1_r{prev:03d}"),
+                          ignore_errors=True)
+        tag = f"1_r{self._round:03d}"
+        right.map_batches(
+            _SideSpiller(self.scratch, tag, right_key, self.n_buckets),
+            batch_format="pyarrow").materialize()
+        rs = self._observed(tag, rs)
+        ls, left_key = self.schema, self.key
+        expected = ls.empty_table().join(
+            rs.empty_table(), keys=left_key, right_keys=right_key,
+            join_type=join_type).schema
+        scratch = self.scratch
+
+        def join_bucket(bt: pa.Table) -> pa.Table:
+            b = int(bt["b"][0].as_py())
+            l = _read_fragments(
+                os.path.join(scratch, "side0", f"b{b:05d}"), ls)
+            r = _read_fragments(
+                os.path.join(scratch, f"side{tag}", f"b{b:05d}"), rs)
+            out = l.join(r, keys=left_key, right_keys=right_key,
+                         join_type=join_type)
+            return out.select(expected.names).cast(expected)
+
+        parts = ray.data.from_items([{"b": i}
+                                     for i in range(self.n_buckets)])
+        return parts.map_batches(join_bucket, batch_size=1,
+                                 batch_format="pyarrow")
+
+    def close(self) -> None:
+        shutil.rmtree(self.scratch, ignore_errors=True)
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+
 def _hash_join_groupby(left, right, left_key, right_key, n_buckets,
                        join_type, ls: pa.Schema, rs: pa.Schema,
                        salter: "_Salter | None" = None
