@@ -192,7 +192,10 @@ def bench_query_latency(idx_dir: str, n_queries: int = 60) -> dict:
 # host is itself evidenced in the artifact.
 BENCH_GATE_GBPS = float(os.environ.get("BENCH_HEALTH_GATE", "6.0"))
 BENCH_GATE_STEAL = float(os.environ.get("BENCH_HEALTH_STEAL", "2.0"))
-BENCH_GATE_WAIT = float(os.environ.get("BENCH_HEALTH_WAIT", "600"))
+# capped at 5 min by default: this host's phases flip within seconds to
+# minutes, and the build/query sections carry their own contamination
+# retries — the gate is a best-effort quiet start, not a hard requirement
+BENCH_GATE_WAIT = float(os.environ.get("BENCH_HEALTH_WAIT", "300"))
 
 
 def _await_quiet() -> dict:
