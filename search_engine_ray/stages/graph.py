@@ -362,24 +362,60 @@ def _min_label_round(edges, labels: "ray.data.Dataset",
             .rename_columns({"min(label)": "label"}))
 
 
-def connected_components(pairs: pa.Table, *, max_iters: int = 25,
-                         n_buckets: int = 16) -> pa.Table:
-    """``(doc_a, doc_b)`` pair table → ``(node, component)`` with
+def connected_components(pairs, *, max_iters: int = 25,
+                         n_buckets: int = 16, as_dataset: bool = False):
+    """``(doc_a, doc_b)`` pairs → ``(node, component)`` with
     ``component = min node id`` of each connected component, computed by
-    distributed min-label propagation (see module docstring).  Returns a
-    driver-side table ordered by node — the label table is one row per
-    node OF THE PAIR GRAPH, the bounded artifact every caller needs
-    anyway."""
-    if pairs.num_rows == 0:
-        return pa.table({"node": pa.array([], type=pa.int64()),
-                         "component": pa.array([], type=pa.int64())})
-    a = pairs["doc_a"].to_numpy(zero_copy_only=False).astype(np.int64)
-    b = pairs["doc_b"].to_numpy(zero_copy_only=False).astype(np.int64)
-    # symmetrize once; constant across rounds
-    edges = ray.data.from_arrow(pa.table({
-        "src": np.concatenate([a, b]), "dst": np.concatenate([b, a])}))
-    nodes = np.unique(np.concatenate([a, b]))
-    labels = ray.data.from_arrow(pa.table({"node": nodes, "label": nodes}))
+    distributed min-label propagation (see module docstring).
+
+    ``pairs`` may be a driver-side ``pa.Table`` (the historical shape —
+    near-dup pair sets are duplicate-bounded) or a ``ray.data.Dataset``
+    for pair sets that should never be collected: symmetrization and the
+    node-universe init then run as distributed passes and, with
+    ``as_dataset=True``, the label table is returned distributed too —
+    nothing component-graph-sized ever touches the driver."""
+    if isinstance(pairs, ray.data.Dataset):
+        def _sym(t: pa.Table) -> pa.Table:
+            a = t["doc_a"].to_numpy(zero_copy_only=False).astype(np.int64)
+            b = t["doc_b"].to_numpy(zero_copy_only=False).astype(np.int64)
+            return pa.table({"src": np.concatenate([a, b]),
+                             "dst": np.concatenate([b, a])})
+
+        edges = pairs.map_batches(_sym, batch_format="pyarrow") \
+            .materialize()
+        if edges.count() == 0:
+            empty = pa.table({"node": pa.array([], type=pa.int64()),
+                              "component": pa.array([], type=pa.int64())})
+            return ray.data.from_arrow(empty) if as_dataset else empty
+
+        def _node_rows(t: pa.Table) -> pa.Table:
+            import pyarrow.compute as _pc
+            u = _pc.unique(t["src"].combine_chunks()
+                           if isinstance(t["src"], pa.ChunkedArray)
+                           else t["src"])
+            return pa.table({"node": u})
+
+        from ray.data.aggregate import Count
+        labels = (edges.map_batches(_node_rows, batch_format="pyarrow")
+                  .groupby("node").aggregate(Count())
+                  .map_batches(lambda t: pa.table(
+                      {"node": t["node"], "label": t["node"]}),
+                      batch_format="pyarrow").materialize())
+        prev_sum = int(labels.sum("label"))
+        nodes = None
+    else:
+        if pairs.num_rows == 0:
+            return pa.table({"node": pa.array([], type=pa.int64()),
+                             "component": pa.array([], type=pa.int64())})
+        a = pairs["doc_a"].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = pairs["doc_b"].to_numpy(zero_copy_only=False).astype(np.int64)
+        # symmetrize once; constant across rounds
+        edges = ray.data.from_arrow(pa.table({
+            "src": np.concatenate([a, b]), "dst": np.concatenate([b, a])}))
+        nodes = np.unique(np.concatenate([a, b]))
+        labels = ray.data.from_arrow(pa.table({"node": nodes,
+                                               "label": nodes}))
+        prev_sum = int(nodes.sum())
 
     # spill the constant edge side once across all propagation rounds
     # (single-node fs topologies; the groupby join handles multi-node)
@@ -392,7 +428,6 @@ def connected_components(pairs: pa.Table, *, max_iters: int = 25,
             schema=pa.schema([pa.field("src", pa.int64()),
                               pa.field("dst", pa.int64())]))
     try:
-        prev_sum = int(nodes.sum())
         for _ in range(max_iters):
             labels = _min_label_round(side, labels, n_buckets).materialize()
             # labels only ever decrease → an unchanged SUM means a fixpoint
@@ -410,6 +445,11 @@ def connected_components(pairs: pa.Table, *, max_iters: int = 25,
         if prep is not None:
             prep.close()
 
+    if as_dataset:
+        return labels.map_batches(
+            lambda t: pa.table({"node": t["node"],
+                                "component": t["label"]}),
+            batch_format="pyarrow")
     out = pa.Table.from_pandas(
         labels.to_pandas(), preserve_index=False)  # bounded: pair-graph nodes
     out = out.rename_columns(["node", "component"])

@@ -132,3 +132,30 @@ class TestPagerankExchangeMatrix:
         assert fs["node"].to_pylist() == gb["node"].to_pylist()
         assert np.allclose(fs["rank"].to_numpy(), gb["rank"].to_numpy(),
                            rtol=1e-12)
+
+
+class TestConnectedComponentsDataset:
+    def test_dataset_input_and_output_match_table_path(self, ray_session):
+        from search_engine_ray.stages.graph import connected_components
+        rng = np.random.default_rng(5)
+        a = np.concatenate([np.arange(0, 12), rng.integers(100, 200, 80)])
+        b = np.concatenate([np.arange(1, 13), rng.integers(100, 200, 80)])
+        pairs = pa.table({"doc_a": a.astype(np.int64),
+                          "doc_b": b.astype(np.int64)})
+        want = connected_components(pairs).to_pandas()
+        ds = ray.data.from_arrow(pairs)
+        got = connected_components(ds).to_pandas()
+        got_ds = (connected_components(ds, as_dataset=True).to_pandas()
+                  .sort_values("node", ignore_index=True))
+        assert want.equals(got)
+        assert want.equals(got_ds)
+
+    def test_empty_dataset_input(self, ray_session):
+        from search_engine_ray.stages.graph import connected_components
+        empty = pa.table({"doc_a": pa.array([], type=pa.int64()),
+                          "doc_b": pa.array([], type=pa.int64())})
+        out = connected_components(ray.data.from_arrow(empty))
+        assert out.num_rows == 0
+        out_ds = connected_components(ray.data.from_arrow(empty),
+                                      as_dataset=True)
+        assert out_ds.count() == 0
