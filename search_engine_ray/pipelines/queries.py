@@ -2432,9 +2432,18 @@ def _map_key_groups(ds: "ray.data.Dataset", key: str, fn, *,
         kv = g[key]
         kv = kv.combine_chunks() if isinstance(kv, pa.ChunkedArray) else kv
         if g.num_rows > 1:
-            neq = pc.not_equal(kv.slice(1), kv.slice(0, len(kv) - 1)) \
+            va, vb = kv.slice(1), kv.slice(0, len(kv) - 1)
+            # null-safe boundary: not_equal yields NULL when either side
+            # is null, which a plain truthiness test treats as False and
+            # would merge null-key rows into the preceding group — match
+            # groupby semantics instead (nulls form their own group):
+            # boundary iff exactly one side is null, or both non-null
+            # and different
+            neq = pc.not_equal(va, vb).fill_null(False) \
                 .to_numpy(zero_copy_only=False)
-            starts = np.r_[0, np.flatnonzero(neq) + 1]
+            na_ = pc.is_null(va).to_numpy(zero_copy_only=False)
+            nb_ = pc.is_null(vb).to_numpy(zero_copy_only=False)
+            starts = np.r_[0, np.flatnonzero(neq | (na_ ^ nb_)) + 1]
         else:
             starts = np.array([0])
         ends = np.append(starts[1:], g.num_rows)

@@ -130,7 +130,14 @@ def pagerank(edges: "ray.data.Dataset", *, damping: float = 0.85,
     import tempfile
     import zlib
     from .join import resolve_exchange
-    use_scratch = resolve_exchange("auto") == "fs"
+    # honor the same precedence hash_join uses: explicit param, then the
+    # SERX_JOIN_EXCHANGE env override, then topology auto-detection — an
+    # operator forcing "groupby" (scratch not shared) must ALSO disable
+    # the shared-scratch dangling side-channel and the prepared edge side
+    _mode = resolve_exchange(
+        join_exchange
+        or os.environ.get("SERX_JOIN_EXCHANGE", "auto"))
+    use_scratch = _mode == "fs"
     scratch = tempfile.mkdtemp(prefix="serx_pr_dang_") if use_scratch \
         else None
 
@@ -195,7 +202,7 @@ def pagerank(edges: "ray.data.Dataset", *, damping: float = 0.85,
     # round (the dominant per-iteration cost at crawl-scale edge counts).
     from .join import PreparedJoinSide
     prep = None
-    if use_scratch and join_exchange in (None, "fs", "auto"):
+    if use_scratch:       # _mode already folds param + env + topology
         prep = PreparedJoinSide(edges, key=src, n_buckets=n_buckets,
                                 schema=sch)
     try:
@@ -418,11 +425,14 @@ def connected_components(pairs, *, max_iters: int = 25,
         prev_sum = int(nodes.sum())
 
     # spill the constant edge side once across all propagation rounds
-    # (single-node fs topologies; the groupby join handles multi-node)
+    # (single-node fs topologies; the groupby join handles multi-node).
+    # SERX_JOIN_EXCHANGE=groupby disables the shared-scratch assumption
+    # here too, matching hash_join's env precedence.
     from .join import PreparedJoinSide, resolve_exchange
     side = edges
     prep = None
-    if resolve_exchange("auto") == "fs":
+    if resolve_exchange(os.environ.get("SERX_JOIN_EXCHANGE",
+                                       "auto")) == "fs":
         prep = side = PreparedJoinSide(
             edges, key="src", n_buckets=n_buckets,
             schema=pa.schema([pa.field("src", pa.int64()),

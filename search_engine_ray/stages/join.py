@@ -395,6 +395,11 @@ class PreparedJoinSide:
             shutil.rmtree(os.path.join(self.scratch, f"side1_r{prev:03d}"),
                           ignore_errors=True)
         tag = f"1_r{self._round:03d}"
+        # pre-create the round dir: its absence later then unambiguously
+        # means it was DELETED (a stale round's lazy result re-executed
+        # after a newer join() reclaimed it) and must raise, not silently
+        # join against an empty right side
+        os.makedirs(os.path.join(self.scratch, f"side{tag}"), exist_ok=True)
         right.map_batches(
             _SideSpiller(self.scratch, tag, right_key, self.n_buckets),
             batch_format="pyarrow").materialize()
@@ -407,6 +412,13 @@ class PreparedJoinSide:
 
         def join_bucket(bt: pa.Table) -> pa.Table:
             b = int(bt["b"][0].as_py())
+            if not os.path.isdir(os.path.join(scratch, f"side{tag}")):
+                raise RuntimeError(
+                    f"PreparedJoinSide round {tag} spill is gone — its "
+                    f"lazy join result was (re-)executed after a newer "
+                    f"join() reclaimed the round dir; materialize or "
+                    f"fully consume each round's result before starting "
+                    f"the next")
             l = _read_fragments(
                 os.path.join(scratch, "side0", f"b{b:05d}"), ls)
             r = _read_fragments(

@@ -159,3 +159,43 @@ class TestConnectedComponentsDataset:
         out_ds = connected_components(ray.data.from_arrow(empty),
                                       as_dataset=True)
         assert out_ds.count() == 0
+
+
+class TestPagerankBroadcastParity:
+    def test_broadcast_matches_partitioned(self, ray_session):
+        """pagerank_broadcast (the documented small-graph latency path)
+        must agree with the partitioned default to float tolerance."""
+        from search_engine_ray.stages.graph import (pagerank,
+                                                    pagerank_broadcast)
+        edges = ray.data.from_arrow(_edges(400, 30, seed=13))
+        part = pagerank(edges, weight="w", iters=4, n_buckets=4)
+        bc = pagerank_broadcast(edges, weight="w", iters=4)
+        assert part["node"].to_pylist() == bc["node"].to_pylist()
+        assert np.allclose(part["rank"].to_numpy(),
+                           bc["rank"].to_numpy(), rtol=1e-12)
+
+
+class TestMapKeyGroupsNullKeys:
+    def test_null_keys_form_their_own_group(self, ray_session):
+        """groupby gives null keys their own group; the bucket-dispatch
+        wrapper must not merge them into an adjacent key's group."""
+        from search_engine_ray.pipelines.queries import _map_key_groups
+        t = pa.table({
+            "k": pa.array([1, 1, 2, None, None], type=pa.int64()),
+            "v": pa.array([1.0, 2.0, 3.0, 4.0, 5.0])})
+
+        def summarize(g: pa.Table) -> pa.Table:
+            return pa.table({
+                "k": g["k"].slice(0, 1),
+                "n": pa.array([g.num_rows], type=pa.int64()),
+                "vsum": pa.array(
+                    [float(np.nansum(
+                        g["v"].to_numpy(zero_copy_only=False)))])})
+
+        got = (_map_key_groups(ray.data.from_arrow(t), "k", summarize)
+               .to_pandas().sort_values("k", ignore_index=True))
+        want = (ray.data.from_arrow(t).groupby("k")
+                .map_groups(summarize, batch_format="pyarrow")
+                .to_pandas().sort_values("k", ignore_index=True))
+        assert got["n"].tolist() == want["n"].tolist(), (got, want)
+        assert np.allclose(got["vsum"], want["vsum"])

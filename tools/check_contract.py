@@ -77,7 +77,10 @@ def main() -> int:
     DataContext.get_current().enable_progress_bars = False
     import __ray_entry__ as entrymod
 
-    con = duckdb.connect()
+    # 2 threads: the oracle runs on a verify thread OVERLAPPED with the
+    # next query's Ray execution — an unbounded DuckDB would contend for
+    # all 8 Ray CPUs and skew the recorded per-query ray_s timings
+    con = duckdb.connect(config={"threads": 2})
     for t in TABLES:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")

@@ -157,8 +157,14 @@ def main() -> int:
            "n_pages": args.n_pages, "store_mb_total": args.store_mb,
            "pairs": []}
     for pair in args.pairs.split(";"):
+        topos = pair.split(",")
+        if len(topos) != 2 or topos[0] == topos[1]:
+            sys.stderr.write(
+                f"--pairs entry {pair!r} must name exactly two distinct "
+                f"NxC topologies (e.g. 1x8,4x2)\n")
+            return 2
         legs = {}
-        for topo in pair.split(","):
+        for topo in topos:
             nodes, cpus = (int(x) for x in topo.split("x"))
             best = None
             for _ in range(args.trials):
